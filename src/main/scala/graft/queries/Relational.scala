@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2.1–§2.4, expressed over the
+  * driver's testdata tables with DuckDB-oracle parity.
+  *
+  * Numeric discipline: monetary doubles are cast to DecimalType before any
+  * SUM so aggregation is exact and order-independent — a double sum's low
+  * bits depend on partial-aggregation order and would never hash-match the
+  * oracle (and would be nondeterministic across cluster topologies).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-family: hash aggregate with exact decimal sums (ref: stg_customer.sql:3-14,
+    // audit_null_rates; classic pricing-summary shape). Partial (map-side)
+    // aggregation is automatic for sum/count — no shuffle of raw rows.
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // S1: filtered scan + narrow projection (ref: Source/step1_collect_product_urls.py:106-122).
+    // Filter + projection both push down to the parquet scan.
+    "s1_filtered_scan" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // S2: spillable distinct over one column (ref: connection_to_mongodb.py:68-84).
+    // Spark hash-aggregate spills automatically (allowDiskUse equivalent).
+    "s2_distinct_scan" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+    }),
+
+    // J2: inner equi-join + group (ref: stg_customer.sql:16-26). customer is the
+    // small side → Catalyst broadcasts it (no shuffle of orders).
+    "j2_join_inner" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(dec(col("o_totalprice"))).as("total_price"))
+    }),
+
+    // J1: left outer broadcast join, dim side tiny (ref: stg_order.sql:80-85).
+    "j1_join_left_broadcast" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(dec(col("l_extendedprice"))).as("total_ext"))
+    }),
+
+    // W1: ROW_NUMBER latest-per-key, rn=1 (ref: mart_dim_customer.sql:24-40).
+    // event_id desc tie-break keeps the result deterministic.
+    "w1_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+                col("ts").as("last_ts"), col("event_type").as("last_event_type"))
+    }),
+
+    // X11: JSON-in-string extraction + agg (ref: INSERT INTO….sql:38-53,
+    // stg_product.sql:5-35).
+    "x11_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+    }),
+
+    // A6: scalar MAX subquery as filter (ref: mart_fact_order.sql:142). The
+    // 1-row aggregate broadcast-joins against the fact — build side reduced
+    // before the join exactly like the reference's fx_latest CTE.
+    "a6_scalar_max" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val mx = li.agg(max(col("l_shipdate")).as("mx"))
+      li.join(broadcast(mx), col("l_shipdate") === col("mx"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s1_filtered_scan" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type IN ('view','click') AND value IS NOT NULL""".stripMargin,
+
+    "s2_distinct_scan" ->
+      "SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL",
+
+    "j2_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "j1_join_left_broadcast" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+
+    "w1_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS last_event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "x11_json_extract" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a6_scalar_max" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate = (SELECT max(l_shipdate) FROM lineitem)""".stripMargin
+  )
+}
