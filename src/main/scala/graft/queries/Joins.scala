@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Join operators (SURVEY.md §2.3). All reference joins are equi-joins; J12
+  * adds the faithful range-join variant of the IP2Location lookup. Small dims
+  * are broadcast explicitly — at 100 TB the fact side never shuffles for
+  * these joins.
+  */
+object Joins {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J3: inner equi-join + per-group distinct (ref: stg_customer.sql:49-56).
+    "j3_inner_group" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = Tables.customer(s, dir)
+      ev.join(broadcast(c), ev("user_id") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // J4: fact-feed inner join (ref: customer_email_scd.sql:26-31). Both sides
+    // large → shuffle hash/sort-merge on the key; AQE picks at runtime.
+    "j4_fact_inner" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(dec(col("l_extendedprice"))).as("total_ext"))
+    }),
+
+    // J5: left merge-back of an aggregate (ref: mart_dim_customer.sql:41-50).
+    "j5_left_merge_back" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val agg = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("last_order_date"))
+      c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_orders"), col("last_order_date"))
+    }),
+
+    // J6: build side reduced by scalar-max subquery, then broadcast left join
+    // (ref: mart_fact_order.sql:135-143,203-205 — the fx_latest pattern).
+    "j6_scalar_filtered_dim" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val mx = p.agg(max(col("p_size")).as("mx_size"))
+      val dim = p.join(broadcast(mx), col("p_size") === col("mx_size")).drop("mx_size")
+      val li = Tables.lineitem(s, dir)
+      li.join(broadcast(dim), li("l_partkey") === dim("p_partkey"), "left")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("total_ext"))
+    }),
+
+    // J7: fact ← dim left broadcast join, row-level output (ref: mart_fact_order.sql:208-216).
+    "j7_fact_dim_left" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"), col("c_name"))
+    }),
+
+    // J9: USING-style left join (ref: int_order_qa.sql:12-17).
+    "j9_using_left" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      ev.join(broadcast(c), Seq("user_id"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // J10+A5: orphan-FK audit via anti-join semantics (ref: audit_orphan_rates.sql:3-31).
+    // left_anti is the scalable spelling — no wide row carried, count-only.
+    "j10_orphan_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val orphanPart = li.join(Tables.part(s, dir), li("l_partkey") === col("p_partkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_part_lines"))
+      val orphanSupp = li.join(Tables.supplier(s, dir), li("l_suppkey") === col("s_suppkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_supp_lines"))
+      val custNoOrder = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("customers_without_orders"))
+      val total = c.agg(count(lit(1)).as("n_customers"))
+      orphanPart.crossJoin(orphanSupp).crossJoin(custNoOrder).crossJoin(total)
+        .withColumn("no_order_rate",
+          round(col("customers_without_orders") / col("n_customers"), 6))
+    }),
+
+    // J11: composite-key left join (ref: Incremental_load_template.sql:47-54 —
+    // user dim joined on (user_id, email)).
+    "j11_composite_key_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("user_id").as("d_user"), col("event_type").as("d_type"))
+        .agg(count(lit(1)).as("n_in_dim"))
+      ev.join(dim, ev("user_id") === col("d_user") && ev("event_type") === col("d_type"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), max(col("n_in_dim")).as("max_group_size"))
+    }),
+
+    // J12: range join — the faithful IP2Location variant (ref:
+    // Source/connection_to_mongodb.py:96-121): value BETWEEN lo AND hi against
+    // a broadcast interval table (BroadcastNestedLoopJoin; at scale, bucket
+    // the probe side by floor(value/width) to turn it into an equi-join).
+    "j12_range_join" -> ((s, dir) => {
+      val buckets = s.range(0, 50)
+        .select(col("id").as("bucket_id"),
+          (col("id") * 10.0).as("lo"), ((col("id") + 1) * 10.0).as("hi"))
+      val ev = Tables.events(s, dir)
+      ev.join(broadcast(buckets), ev("value") >= col("lo") && ev("value") < col("hi"))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "j3_inner_group" ->
+      """SELECT c_mktsegment, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "j4_fact_inner" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "j5_left_merge_back" ->
+      """SELECT c_custkey, c_name, n_orders, last_order_date
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders, max(o_orderdate) AS last_order_date
+        |  FROM orders GROUP BY o_custkey) agg
+        |ON c_custkey = o_custkey""".stripMargin,
+
+    "j6_scalar_filtered_dim" ->
+      """SELECT p_brand, count(*) AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |FROM lineitem LEFT JOIN (
+        |  SELECT * FROM part WHERE p_size = (SELECT max(p_size) FROM part)) dim
+        |ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "j7_fact_dim_left" ->
+      """SELECT o_orderkey, o_totalprice, c_mktsegment, c_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "j9_using_left" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events LEFT JOIN (SELECT c_custkey AS user_id, c_mktsegment FROM customer) c
+        |USING (user_id)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "j10_orphan_audit" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |     (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS orphan_part_lines,
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |     (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)) AS orphan_supp_lines,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS customers_without_orders,
+        |  (SELECT count(*) FROM customer) AS n_customers,
+        |  round((SELECT count(*) FROM customer WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |    / (SELECT count(*) FROM customer), 6) AS no_order_rate""".stripMargin,
+
+    "j11_composite_key_join" ->
+      """SELECT event_type, count(*) AS n_rows, max(n_in_dim) AS max_group_size
+        |FROM events e LEFT JOIN (
+        |  SELECT user_id AS d_user, event_type AS d_type, count(*) AS n_in_dim
+        |  FROM events GROUP BY 1, 2) dim
+        |ON e.user_id = d_user AND e.event_type = d_type
+        |GROUP BY event_type""".stripMargin,
+
+    "j12_range_join" ->
+      """SELECT bucket_id, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events JOIN (
+        |  SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+        |  FROM range(0, 50) t(i)) b
+        |ON value >= lo AND value < hi
+        |GROUP BY bucket_id""".stripMargin
+  )
+}
