@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Filters.queries ++
       graft.queries.Joins.queries ++
-      graft.queries.AggWindows.queries
+      graft.queries.AggWindows.queries ++
+      graft.queries.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.Filters.oracleSql ++
       graft.queries.Joins.oracleSql ++
-      graft.queries.AggWindows.oracleSql
+      graft.queries.AggWindows.oracleSql ++
+      graft.queries.Scalars.oracleSql
 }
