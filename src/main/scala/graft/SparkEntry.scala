@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Filters.queries ++
       graft.queries.Joins.queries ++
       graft.queries.AggWindows.queries ++
-      graft.queries.Scalars.queries
+      graft.queries.Scalars.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Filters.oracleSql ++
       graft.queries.Joins.oracleSql ++
       graft.queries.AggWindows.oracleSql ++
-      graft.queries.Scalars.oracleSql
+      graft.queries.Scalars.oracleSql ++
+      graft.queries.Pipeline.oracleSql
 }

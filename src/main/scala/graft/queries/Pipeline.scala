@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Keys
+import graft.operators.{Assertions, Merge, Scd2}
+
+/** Pipeline-semantics operators (SURVEY.md §2.9 + §5): SCD2 snapshot,
+  * incremental merge, dbt-test assertions, QA rule rollups, seed CSV source.
+  */
+object Pipeline {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Deterministic FX seed (shape of seeds/fx_to_usd_22_01_26.csv +
+    * dbt_project.yml:49-58 column_types). Written to a temp CSV so the
+    * Spark side genuinely exercises the typed CSV source (S9).
+    */
+  private val fxRows: Seq[(String, String, String, Double)] = Seq(
+    ("2026-01-21", "USD", "USD", 1.0),
+    ("2026-01-21", "USD", "EUR", 0.861),
+    ("2026-01-22", "USD", "USD", 1.0),
+    ("2026-01-22", "USD", "EUR", 0.854605),
+    ("2026-01-22", "USD", "GBP", 0.73585),
+    ("2026-01-22", "USD", "JPY", 113.9095),
+    ("2026-01-22", "USD", "CNY", 6.34727),
+    ("2026-01-22", "USD", "AUD", 1.38744),
+    ("2026-01-22", "USD", "CAD", 1.25935),
+    ("2026-01-22", "USD", "SEK", 9.14995))
+
+  private def writeSeedCsv(): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_seed_fx.csv")
+    val body = "fx_date,base_code,currency_code,usd_to_ccy\n" +
+      fxRows.map { case (d, b, c, r) => s"$d,$b,$c,$r" }.mkString("\n")
+    java.nio.file.Files.writeString(p, body)
+    p.toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S9: seed CSV with explicit typed schema (ref: seeds/fx_to_usd_22_01_26.csv,
+    // dbt_project.yml:49-58).
+    "s9_seed_csv" -> ((s, dir) => {
+      val path = writeSeedCsv()
+      val schema = StructType(Seq(
+        StructField("fx_date", DateType),
+        StructField("base_code", StringType),
+        StructField("currency_code", StringType),
+        StructField("usd_to_ccy", DoubleType)))
+      s.read.option("header", "true").schema(schema).csv(path)
+        .filter(col("fx_date") === lit(java.sql.Date.valueOf("2026-01-22")))
+    }),
+
+    // U3a: dbt timestamp-strategy snapshot, first-run semantics (ref:
+    // customer_email_scd.sql:5-12 — per-event unique_key means every row
+    // opens its own version).
+    "u3_scd2_firstrun" -> ((s, dir) => {
+      val inc = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+      Scd2.firstRun(inc, Seq("user_id", "event_id", "ts_us"), "ts")
+        .select(col("event_id"), col("user_id"), col("dbt_scd_id"),
+          col("dbt_valid_from"), col("dbt_valid_to"))
+    }),
+
+    // U3b: per-entity SCD2 state history via LEAD — the classic SCD2 shape
+    // the reference approximates (mart_dim_customer latest-email resolution).
+    "u3_scd2_history" -> ((s, dir) => {
+      Scd2.entityHistory(Tables.events(s, dir),
+          key = Seq("user_id"), stateCol = "event_type",
+          ts = "ts", tieBreak = "event_id")
+        .filter(col("user_id") < 30)
+    }),
+
+    // U4: incremental MERGE with a re-processed trailing window (ref:
+    // Incremental_load_template.sql:1-15): target = loads before the 20th,
+    // source batch re-processes everything from the 18th (2-day overlap).
+    "u4_incremental_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("ts"))
+      val target = ev.filter(col("ts") < lit("2024-01-20 00:00:00").cast(TimestampType))
+      val batch = ev.withColumn("event_type", upper(col("event_type"))) // re-processed rows differ
+      Merge.incrementalWindow(target, batch, Seq("event_id"), "ts", "2024-01-18 00:00:00")
+    }),
+
+    // U5: dbt schema tests as violation queries (ref: models/staging/schema.yml).
+    // Deliberately duplicated key (user_id, event_type, floor(value/100)) so
+    // the unique test has real violations to report.
+    "u5_dbt_tests" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("bucket", floor(col("value") / 100).cast(IntegerType))
+      val dup = Assertions.unique(ev, Seq("user_id", "event_type", "bucket"))
+        .agg(count(lit(1)).as("n_violating_keys"), sum(col("n_dup")).as("n_violating_rows"))
+      val nn = Assertions.notNull(ev, "props").agg(count(lit(1)).as("n_null_props"))
+      val av = Assertions.acceptedValues(ev, "event_type",
+          Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)).as("n_bad_event_type"))
+      dup.crossJoin(nn).crossJoin(av)
+    }),
+
+    // QA: row-level rule engine with AND-rollup (ref: int_order_qa.sql:19-95).
+    "qa_row_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val lineTotal = dec(col("l_quantity")) * dec(col("l_extendedprice"))
+      li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") > 0).as("is_qty_positive"),
+          (col("l_extendedprice") >= 0).as("is_price_nonneg"),
+          (col("l_discount") >= 0 && col("l_discount") <= 1).as("is_discount_sane"),
+          (lineTotal <= lit(100000000)).as("is_total_bounded"),
+          col("l_shipdate").between(
+            lit("1992-01-01 00:00:00").cast(TimestampType),
+            lit("2030-01-01 00:00:00").cast(TimestampType)).as("is_date_sane"))
+        .withColumn("is_row_valid",
+          col("is_qty_positive") && col("is_price_nonneg") && col("is_discount_sane") &&
+            col("is_total_bounded") && col("is_date_sane"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s9_seed_csv" -> {
+      val values = fxRows.map { case (d, b, c, r) => s"(DATE '$d', '$b', '$c', $r)" }
+        .mkString(", ")
+      s"""SELECT fx_date, base_code, currency_code, CAST(usd_to_ccy AS DOUBLE) AS usd_to_ccy
+         |FROM (VALUES $values) t(fx_date, base_code, currency_code, usd_to_ccy)
+         |WHERE fx_date = DATE '2026-01-22'""".stripMargin
+    },
+
+    "u3_scd2_firstrun" ->
+      s"""SELECT event_id, user_id,
+         |  ${Keys.duckdbSql(Seq("user_id", "event_id", "epoch_us(ts)"))} AS dbt_scd_id,
+         |  ts AS dbt_valid_from, CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+         |FROM events WHERE event_type = 'signup'""".stripMargin,
+
+    "u3_scd2_history" ->
+      """SELECT user_id, event_type, ts AS valid_from, event_id,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+        |FROM events WHERE user_id < 30""".stripMargin,
+
+    "u4_incremental_merge" ->
+      """WITH target AS (
+        |  SELECT event_id, event_type, ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |batch AS (
+        |  SELECT event_id, upper(event_type) AS event_type, ts FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-18 00:00:00')
+        |SELECT * FROM target WHERE NOT EXISTS
+        |  (SELECT 1 FROM batch WHERE batch.event_id = target.event_id)
+        |UNION ALL SELECT * FROM batch""".stripMargin,
+
+    "u5_dbt_tests" ->
+      """WITH ev AS (
+        |  SELECT *, CAST(floor(value / 100) AS INTEGER) AS bucket FROM events),
+        |dup AS (
+        |  SELECT count(*) AS n_violating_keys, sum(n_dup) AS n_violating_rows
+        |  FROM (SELECT user_id, event_type, bucket, count(*) AS n_dup
+        |        FROM ev GROUP BY 1, 2, 3 HAVING count(*) > 1)),
+        |nn AS (SELECT count(*) AS n_null_props FROM ev WHERE props IS NULL),
+        |av AS (SELECT count(*) AS n_bad_event_type FROM ev
+        |       WHERE event_type NOT IN ('view','click','purchase','signup','error')
+        |          OR event_type IS NULL)
+        |SELECT * FROM dup, nn, av""".stripMargin,
+
+    "qa_row_rules" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity > 0 AS is_qty_positive,
+        |  l_extendedprice >= 0 AS is_price_nonneg,
+        |  l_discount >= 0 AND l_discount <= 1 AS is_discount_sane,
+        |  CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))
+        |    <= 100000000 AS is_total_bounded,
+        |  l_shipdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '2030-01-01' AS is_date_sane,
+        |  (l_quantity > 0 AND l_extendedprice >= 0 AND l_discount >= 0 AND l_discount <= 1
+        |   AND CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) <= 100000000
+        |   AND l_shipdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '2030-01-01') AS is_row_valid
+        |FROM lineitem""".stripMargin
+  )
+}
