@@ -21,7 +21,9 @@ object SparkEntry {
       graft.queries.Joins.queries ++
       graft.queries.AggWindows.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +33,7 @@ object SparkEntry {
       graft.queries.Joins.oracleSql ++
       graft.queries.AggWindows.oracleSql ++
       graft.queries.Scalars.oracleSql ++
-      graft.queries.Pipeline.oracleSql
+      graft.queries.Pipeline.oracleSql ++
+      graft.queries.TextOps.oracleSql ++
+      graft.queries.VectorOps.oracleSql
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, word shingles, portable 60-bit content hashing. Everything
+  * is a pure Column expression (codegen-friendly, no UDFs) with a DuckDB
+  * SQL twin for oracle parity.
+  */
+object TextFns {
+
+  /** Whitespace tokens of the trimmed text. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Space-split tokens (no trim/regex — for shingling parity with the
+    * oracle's string_split).
+    */
+  def rawTokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles. Empty array when fewer than 3 tokens —
+    * guarded explicitly because Spark's `sequence(0, n)` flips direction for
+    * negative n instead of returning empty.
+    */
+  def shingles3(text: Column): Column = {
+    val toks = rawTokens(text)
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Portable 60-bit hash: first 15 md5 hex digits as a long. The DuckDB twin
+    * is `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  def md5Hash60Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Occurrence count of tokens found in a fixed vocabulary list. */
+  def vocabHits(tokens: Column, vocab: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(vocab.map(lit(_)): _*)))
+
+  def vocabHitsSql(tokensExpr: String, vocab: Seq[String]): String = {
+    val list = vocab.map(v => s"'$v'").mkString(", ")
+    s"len(list_filter($tokensExpr, t -> t IN ($list)))"
+  }
+}

@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Large-scale training-data text operators: exact + near deduplication
+  * (n-gram Jaccard, MinHash-LSH, SimHash), language-ID, quality scoring,
+  * token counting, document fingerprinting, multimodal binary plumbing.
+  *
+  * Scale notes (100 TB design):
+  *  - the shingle inverted index (doc_id, shingle) is the only large shuffle;
+  *    it partitions by shingle. In production, shingles with document
+  *    frequency above a cap are dropped before the self-join (they only
+  *    connect already-connected near-dups and quadratically blow up the
+  *    join) — at test SF no cap is needed.
+  *  - MinHash-LSH replaces the quadratic shingle self-join with a per-band
+  *    bucket join: candidates ∝ colliding docs only. Verification re-checks
+  *    exact Jaccard so false positives cost only the verify join.
+  *  - SimHash is one aggregation pass (60 conditional sums), no explode of
+  *    bit positions.
+  */
+object TextOps {
+
+  // ---- MinHash parameters (16 perms, 8 bands × 2 rows) -------------------
+  // Recall at the 0.7 verify threshold: P(candidate | s) = 1-(1-s^2)^8,
+  // s=0.9 → 0.9999998. Small literal a/b keep (a*h+b) % P portable 64-bit.
+  private val P = 1000000007L
+  private val NPERM = 16
+  private val ROWS_PER_BAND = 2
+  private def aj(j: Int): Long = 2L * j + 3
+  private def bj(j: Int): Long = 5L * j + 7
+  private val JACCARD_T = 0.7
+
+  private val SIMHASH_BITS = 60
+
+  /** (doc_id, shingle) inverted index, distinct within doc. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.shingles3(col("text"))).as("shingle"))
+
+  /** Exact pairwise Jaccard over the shingle index: (i, j, jc). */
+  private def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleIndex(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("i"), col("shingle"))
+    val b = sh.select(col("doc_id").as("j"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("na")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nb")), Seq("j"))
+      .withColumn("jc", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+  }
+
+  /** DuckDB twin of the shingle index, as a CTE body. */
+  private val shingleSql =
+    """SELECT doc_id,
+      |  unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |                        for i in range(1, greatest(len(s) - 1, 1))])) AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)""".stripMargin
+
+  private val jaccardSql =
+    s"""sh AS ($shingleSql),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i, j, CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jc
+       |  FROM inter
+       |  JOIN sizes sa ON i = sa.doc_id
+       |  JOIN sizes sb ON j = sb.doc_id)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on full content (one shuffle on the content
+    // hash; at 100 TB group on md5 of the text, never the text itself).
+    "dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (quadratic ground truth the
+    // MinHash path approximates).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      jaccardPairs(Tables.documents(s, dir))
+        .filter(col("jc") >= JACCARD_T)
+        .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
+    }),
+
+    // MinHash + LSH banding + exact-Jaccard verification.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = shingleIndex(docs)
+        .withColumn("h", TextFns.md5Hash60(col("shingle")) % P)
+      val perms = s.range(NPERM).select(col("id").cast(IntegerType).as("perm"))
+        .withColumn("a", element_at(array((0 until NPERM).map(j => lit(aj(j))): _*), col("perm") + 1))
+        .withColumn("b", element_at(array((0 until NPERM).map(j => lit(bj(j))): _*), col("perm") + 1))
+      val mh = sh.crossJoin(broadcast(perms))
+        .groupBy(col("doc_id"), col("perm"))
+        .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
+      val bands = mh
+        .withColumn("band", floor(col("perm") / ROWS_PER_BAND).cast(IntegerType))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+            x => x.getField("mh").cast(StringType)))).as("sig"))
+      val cand = bands.select(col("band"), col("sig"), col("doc_id").as("i"))
+        .join(bands.select(col("band"), col("sig"), col("doc_id").as("j")), Seq("band", "sig"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      cand.join(jaccardPairs(docs), Seq("i", "j"))
+        .filter(col("jc") >= JACCARD_T)
+        .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
+    }),
+
+    // SimHash signature: one pass, 60 conditional sums over distinct tokens.
+    "dedup_simhash" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(TextFns.rawTokens(col("text")))).as("tok"))
+        .withColumn("h", TextFns.md5Hash60(col("tok")))
+      val sums = (0 until SIMHASH_BITS).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j"))
+      val sig = (0 until SIMHASH_BITS).map(j =>
+        when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+    }),
+
+    // Language-ID by vocabulary-hit scoring with a deterministic priority
+    // tie-break (n-gram heuristic shape; wordlists are demo vocab).
+    "text_langid" -> ((s, dir) => {
+      val toks = TextFns.rawTokens(col("text"))
+      val scores = Map(
+        "en" -> TextFns.vocabHits(toks, Langs.en),
+        "de" -> TextFns.vocabHits(toks, Langs.de),
+        "es" -> TextFns.vocabHits(toks, Langs.es),
+        "fr" -> TextFns.vocabHits(toks, Langs.fr),
+        "zh" -> TextFns.vocabHits(toks, Langs.zh))
+      val pred = when(scores("en") >= scores("de") && scores("en") >= scores("es") &&
+          scores("en") >= scores("fr") && scores("en") >= scores("zh"), "en")
+        .when(scores("de") >= scores("es") && scores("de") >= scores("fr") &&
+          scores("de") >= scores("zh"), "de")
+        .when(scores("es") >= scores("fr") && scores("es") >= scores("zh"), "es")
+        .when(scores("fr") >= scores("zh"), "fr")
+        .otherwise("zh")
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        scores("en").as("score_en"), scores("de").as("score_de"),
+        scores("es").as("score_es"), scores("fr").as("score_fr"),
+        scores("zh").as("score_zh"), pred.as("pred_lang"))
+    }),
+
+    // Quality scoring: token stats + stopword ratio + length prior.
+    "text_quality" -> ((s, dir) => {
+      val toks = TextFns.wsTokens(col("text"))
+      val nTok = size(toks)
+      val stopHits = TextFns.vocabHits(toks, Langs.stopwords)
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_actual"),
+          nTok.as("n_tokens"),
+          round(length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nTok, 6)
+            .as("avg_token_len"),
+          round(stopHits.cast(DoubleType) / nTok, 6).as("stopword_ratio"))
+        .withColumn("quality_score",
+          round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - col("stopword_ratio")) * 0.5, 6))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex pieces + distinct words.
+    "text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextFns.wsTokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpeish_tokens"),
+        size(array_distinct(TextFns.rawTokens(col("text")))).as("n_distinct_words"))
+    }),
+
+    // Document fingerprint: md5 over the sorted distinct-token canonical form
+    // (word-order-insensitive content identity).
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(TextFns.wsTokens(lower(col("text")))))))
+          .as("fingerprint"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + typed metadata. The text
+    // is re-encoded as the stand-in payload; real decode is the stubbed
+    // mapPartitions path in graft.operators.Multimodal.
+    "multimodal_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          substring(col("text"), 1, 8).as("header_preview"))
+    })
+  )
+
+  private def simhashSumsSql: String =
+    (0 until SIMHASH_BITS).map(j =>
+      s"sum((((h >> $j) & 1) * 2) - 1) AS s_$j").mkString(",\n    ")
+
+  private def simhashSigSql: String =
+    (0 until SIMHASH_BITS).map(j =>
+      s"(CASE WHEN s_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)").mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $jaccardSql
+         |SELECT i, j, round(jc, 6) AS jaccard FROM jac WHERE jc >= $JACCARD_T""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val permVals = (0 until NPERM).map(j => s"(${j}, ${aj(j)}, ${bj(j)})").mkString(", ")
+      s"""WITH $jaccardSql,
+         |perms(perm, a, b) AS (VALUES $permVals),
+         |hashed AS (
+         |  SELECT doc_id, shingle,
+         |    ${TextFns.md5Hash60Sql("shingle")} % $P AS h
+         |  FROM sh),
+         |mh AS (
+         |  SELECT doc_id, perm, min((a * h + b) % $P) AS mh
+         |  FROM hashed CROSS JOIN perms GROUP BY doc_id, perm),
+         |bands AS (
+         |  SELECT doc_id, perm // $ROWS_PER_BAND AS band,
+         |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS sig
+         |  FROM mh GROUP BY doc_id, perm // $ROWS_PER_BAND),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT jac.i, jac.j, round(jc, 6) AS jaccard
+         |FROM cand JOIN jac ON cand.i = jac.i AND cand.j = jac.j
+         |WHERE jc >= $JACCARD_T""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, ${TextFns.md5Hash60Sql("tok")} AS h FROM tok),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $simhashSumsSql
+         |  FROM hashed GROUP BY doc_id)
+         |SELECT doc_id, $simhashSigSql AS simhash FROM sums""".stripMargin,
+
+    "text_langid" -> {
+      def sc(lang: String, vocab: Seq[String]) =
+        s"CAST(${TextFns.vocabHitsSql("string_split(text, ' ')", vocab)} AS INTEGER) AS score_$lang"
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    ${sc("en", Langs.en)},
+         |    ${sc("de", Langs.de)},
+         |    ${sc("es", Langs.es)},
+         |    ${sc("fr", Langs.fr)},
+         |    ${sc("zh", Langs.zh)}
+         |  FROM documents)
+         |SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
+         |  CASE
+         |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
+         |      AND score_en >= score_zh THEN 'en'
+         |    WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |    WHEN score_fr >= score_zh THEN 'fr'
+         |    ELSE 'zh' END AS pred_lang
+         |FROM scored""".stripMargin
+    },
+
+    "text_quality" -> {
+      val stopHits = TextFns.vocabHitsSql("regexp_split_to_array(trim(text), '\\s+')", Langs.stopwords)
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_actual,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_nonspace,
+        |    STOPHITS AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars_actual, n_tokens,
+        |  round(n_nonspace / n_tokens, 6) AS avg_token_len,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.5 +
+        |    (1.0 - round(CAST(stop_hits AS DOUBLE) / n_tokens, 6)) * 0.5, 6) AS quality_score
+        |FROM base""".stripMargin.replace("STOPHITS", stopHits)
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpeish_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_words
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  substr(text, 1, 8) AS header_preview
+        |FROM documents""".stripMargin
+  )
+
+  /** Deterministic demo vocabularies (the fixture corpus is synthetic). */
+  private object Langs {
+    val en = Seq("the", "a", "value", "row")
+    val de = Seq("table", "data")
+    val es = Seq("query", "join")
+    val fr = Seq("batch", "stream")
+    val zh = Seq("spark", "merge")
+    val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  }
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Embedding similarity operators over `embeddings` (Array[Float], 64-d).
+  *
+  * Numeric discipline: every dot/norm accumulates exact double products of
+  * float32 values via a sequential left-to-right fold (`aggregate` over
+  * `zip_with`), matching the oracle's list_sum over list_zip. Display values
+  * round to 6 dp; ordering uses full precision (gaps between random-vector
+  * cosines are ~1e-3, far above accumulated fold error ~1e-13).
+  *
+  * Scale notes (100 TB design): brute-force top-k is the quadratic ground
+  * truth — O(n²) pairs shuffle. The LSH path (`sim_ann_lsh`) is the scale
+  * story: random-hyperplane signatures bucket the vectors so the pair join
+  * only materializes within-bucket candidates; recall is tunable by probing
+  * multiple hash tables. An IVF variant would k-means the corpus and probe
+  * nearest centroids — same bucket-join shape.
+  */
+object VectorOps {
+
+  private val TOPK = 5
+  private val COS_T = 0.45
+  private val NPLANES = 12
+  private val ANN_T = 0.999
+
+  /** Exact double dot product, sequential fold (oracle-portable). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+
+  /** All-pairs cosine (i < j): the quadratic kernel shared by the brute-force
+    * top-k and threshold queries.
+    */
+  private def cosinePairs(emb: DataFrame): DataFrame = {
+    val a = withNorm(emb).select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm(emb).select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("i") < col("j"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Norm/stat sanity pass over the embedding column.
+    "emb_norms" -> ((s, dir) => {
+      withNorm(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label"),
+          round(col("nrm"), 6).as("l2_norm"),
+          size(col("embedding")).as("dim"))
+    }),
+
+    // Brute-force cosine top-k per query vector (directed: every vector gets
+    // its k nearest others).
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = withNorm(emb).select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = withNorm(emb).select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select(col("vec_id"), col("rn").as("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"))
+    }),
+
+    // Embedding near-duplicate pairs above a cosine threshold.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      cosinePairs(Tables.embeddings(s, dir))
+        .filter(col("cos") >= COS_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // ANN via random-hyperplane LSH: signature = sign bits of projections on
+    // NPLANES pseudo-random ±1 hyperplanes (deterministic from md5 parity).
+    // Near-dup search joins only within signature buckets — identical
+    // vectors always collide (identical projections), so recall for true
+    // duplicates is exactly 1.0 with a single table. The corpus is augmented
+    // with planted duplicate vectors (vec_id + 100000) to give the operator
+    // real positives; looser thresholds need L multi-probe tables (same
+    // bucket-join shape, L× signatures).
+    "sim_ann_lsh" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+      val emb = base.select(col("vec_id"), col("embedding"))
+        .unionByName(base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      // planes(p, d, w): w ∈ {+1,-1} from md5 parity of "p:d"
+      val planes = s.range(NPLANES).select(col("id").cast(IntegerType).as("p"))
+        .crossJoin(s.range(64).select(col("id").cast(IntegerType).as("d")))
+        .withColumn("w",
+          (conv(substring(md5(concat_ws(":", col("p"), col("d"))), 1, 15), 16, 10)
+            .cast(LongType) % 2 * 2 - 1).cast(DoubleType))
+      val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      val sigs = comps.join(broadcast(planes), Seq("d"))
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("x").cast(DoubleType) * col("w")).as("proj"))
+        .groupBy(col("vec_id"))
+        .agg(concat_ws("", transform(array_sort(collect_list(struct(col("p"),
+          when(col("proj") > 0, lit(1)).otherwise(lit(0)).as("bit")))),
+          x => x.getField("bit").cast(StringType))).as("bucket"))
+      val e = withNorm(emb).join(sigs, Seq("vec_id"))
+      val a = e.select(col("bucket"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    })
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%A, %B), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))"
+
+  private def dSql(a: String, b: String): String =
+    dotSql.replace("%A", a).replace("%B", b)
+
+  def oracleSql: Map[String, String] = Map(
+    "emb_norms" ->
+      s"""SELECT vec_id, label,
+         |  round(sqrt(${dSql("embedding", "embedding")}), 6) AS l2_norm,
+         |  CAST(len(embedding) AS INTEGER) AS dim
+         |FROM embeddings""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, neighbor_id, cos, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs)
+         |SELECT vec_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+         |  round(cos, 6) AS cosine
+         |FROM ranked WHERE rn <= $TOPK""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |  round(${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $COS_T""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+         |planes AS (
+         |  SELECT p, d,
+         |    CAST((CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 15)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE) AS w
+         |  FROM (SELECT unnest(range(0, $NPLANES)) AS p), (SELECT unnest(range(0, 64)) AS d)),
+         |comps AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |    unnest(embedding) AS x
+         |  FROM aug),
+         |projs AS (
+         |  SELECT vec_id, p, sum(CAST(x AS DOUBLE) * w) AS proj
+         |  FROM comps JOIN planes USING (d) GROUP BY vec_id, p),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM projs GROUP BY vec_id),
+         |n AS (
+         |  SELECT e.vec_id, e.embedding, s.bucket,
+         |    sqrt(${dSql("e.embedding", "e.embedding")}) AS nrm
+         |  FROM aug e JOIN sigs s ON e.vec_id = s.vec_id)
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |  round(${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $ANN_T""".stripMargin
+  )
+}
