@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extract run per-partition
+  * over batches so a real decoder amortizes model/codec init once per
+  * partition (the Spark-side shape of a pandas_udf/mapInPandas pipeline).
+  *
+  * The actual decoders are STUBBED — this container has no image/audio
+  * libraries — behind `decodeStub`, which deterministically fakes a decode
+  * from the payload header. The schema contract, partitioning, batch
+  * iteration, and null handling are real and tested.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta_json", StringType)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("ok", BooleanType)))
+
+  /** STUB decoder: derives fake dimensions deterministically from payload
+    * bytes. A real implementation would dispatch on `media_type` to an
+    * image/audio codec here — one codec instance per partition, reused
+    * across the partition's rows.
+    */
+  private[operators] def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Boolean) = {
+    if (payload == null || payload.isEmpty) (0, 0, 0, false)
+    else {
+      val b0 = java.lang.Byte.toUnsignedInt(payload(0))
+      val b1 = if (payload.length > 1) java.lang.Byte.toUnsignedInt(payload(1)) else 0
+      mediaType match {
+        case "image" => (64 + b0 % 64, 64 + b1 % 64, 1, true)
+        case "video" => (64 + b0 % 64, 64 + b1 % 64, 1 + payload.length % 300, true)
+        case "audio" => (0, 0, 1 + payload.length % 48000, true)
+        case _       => (0, 0, 0, false)
+      }
+    }
+  }
+
+  /** Decode a media DataFrame (mediaSchema) to typed features. Runs as
+    * mapPartitions: batch shape = one partition, codec init amortized.
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .mapPartitions { rows =>
+        // real pipeline: initialize codec/model once per partition here
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mt = if (r.isNullAt(1)) null else r.getString(1)
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val (w, h, f, ok) = decodeStub(mt, payload)
+          val n = if (payload == null) 0 else payload.length
+          Row(id, mt, n, w, h, f, ok)
+        }
+      }(enc)
+  }
+
+  /** Build a media table from documents: payload = utf8 bytes of text,
+    * media_type round-robins image/audio/video — deterministic fixture
+    * plumbing for tests and benchmarks.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("media_type"),
+      col("text").cast(BinaryType).as("payload"),
+      to_json(struct(col("lang"), col("source"), col("n_chars"))).as("meta_json"))
+}

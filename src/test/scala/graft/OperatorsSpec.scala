@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Assertions, Merge, Multimodal, Scd2}
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "email", "ts_us")
+      .withColumn("updated_at", timestamp_micros($"ts_us"))
+
+  test("dbt timestamp-strategy: change closes, stale ignored, new inserts") {
+    val s1 = Scd2.firstRun(batch((1L, "a@x.com", 100L), (2L, "b@x.com", 100L)),
+      Seq("user_id"), "updated_at")
+    assert(s1.filter($"dbt_valid_to".isNull).count() === 2)
+
+    val s2 = Scd2.snapshot(s1,
+      batch((1L, "a2@x.com", 200L), (2L, "old@x.com", 50L), (3L, "c@x.com", 150L)),
+      Seq("user_id"), "updated_at").cache()
+
+    assert(s2.count() === 4)
+    val u1 = s2.filter($"user_id" === 1).orderBy($"dbt_valid_from").collect()
+    assert(u1.map(_.getAs[String]("email")).toSeq === Seq("a@x.com", "a2@x.com"))
+    assert(u1.head.getAs[Any]("dbt_valid_to") != null)   // closed at v2's ts
+    assert(u1.last.getAs[Any]("dbt_valid_to") == null)   // open
+    // stale update rejected: user 2 unchanged, still open on original email
+    val u2 = s2.filter($"user_id" === 2).collect()
+    assert(u2.length === 1 && u2.head.getAs[String]("email") === "b@x.com"
+      && u2.head.getAs[Any]("dbt_valid_to") == null)
+    // new key open
+    assert(s2.filter($"user_id" === 3 && $"dbt_valid_to".isNull).count() === 1)
+  }
+
+  test("idempotent re-apply: same batch twice is a no-op") {
+    val b = batch((1L, "a@x.com", 100L))
+    val s1 = Scd2.firstRun(b, Seq("user_id"), "updated_at")
+    val s2 = Scd2.snapshot(s1, b, Seq("user_id"), "updated_at")
+    assert(s2.count() === 1 && s2.filter($"dbt_valid_to".isNull).count() === 1)
+  }
+}
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: overlap replaced, new appended, untouched kept") {
+    val existing = Seq((1, "old"), (2, "old"), (3, "old")).toDF("k", "v")
+    val incoming = Seq((2, "new"), (4, "new")).toDF("k", "v")
+    val m = Merge.upsert(existing, incoming, Seq("k")).cache()
+    assert(m.count() === 4)
+    val vs = m.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(vs === Map(1 -> "old", 2 -> "new", 3 -> "old", 4 -> "new"))
+  }
+
+  test("sync_all_columns: incoming may add columns") {
+    val existing = Seq((1, "old")).toDF("k", "v")
+    val incoming = Seq((2, "new", "extra")).toDF("k", "v", "w")
+    val m = Merge.upsert(existing, incoming, Seq("k"))
+    assert(m.columns.toSet === Set("k", "v", "w"))
+    assert(m.filter($"k" === 1).collect().head.getAs[Any]("w") == null)
+  }
+}
+
+class AssertionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq((1, "a"), (1, "b"), (2, null), (3, "c")).toDF("id", "v")
+
+  test("unique: reports duplicated keys with counts") {
+    val viol = Assertions.unique(df, Seq("id")).collect()
+    assert(viol.length === 1 && viol.head.getInt(0) === 1 && viol.head.getLong(1) === 2)
+    assert(Assertions.passed(Assertions.unique(df.filter($"id" =!= 1), Seq("id"))))
+  }
+
+  test("not_null / accepted_values / relationships") {
+    assert(Assertions.notNull(df, "v").count() === 1)
+    assert(Assertions.acceptedValues(df, "v", Seq("a", "b", "c")).count() === 1) // the null
+    val parent = Seq(1, 2).toDF("pk")
+    assert(Assertions.relationships(df, "id", parent, "pk").count() === 1)      // id=3 orphan
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing: schema, determinism, null handling") {
+    val docs = Seq((0L, "hello world", "en", "src0", 11L),
+        (1L, "audio blob", "en", "src1", 10L),
+        (2L, "video blob", "en", "src2", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "media_type", "payload", "meta_json"))
+
+    val out = Multimodal.decode(media).cache()
+    assert(out.schema === Multimodal.decodedSchema)
+    assert(out.count() === 3)
+    val img = out.filter($"media_type" === "image").collect().head
+    assert(img.getAs[Boolean]("ok") && img.getAs[Int]("width") >= 64)
+    val audio = out.filter($"media_type" === "audio").collect().head
+    assert(audio.getAs[Int]("width") === 0 && audio.getAs[Int]("n_frames") > 0)
+    // deterministic: second run identical
+    assert(Multimodal.decode(media).collect().toSet === out.collect().toSet)
+  }
+
+  test("empty payload decodes as not-ok, no crash") {
+    val media = Seq((9L, "image", Array.empty[Byte], "{}"))
+      .toDF("media_id", "media_type", "payload", "meta_json")
+    val out = Multimodal.decode(media).collect().head
+    assert(!out.getAs[Boolean]("ok") && out.getAs[Int]("n_bytes") === 0)
+  }
+}
+
+class FarmFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches BigQuery FARM_FINGERPRINT on known values") {
+    graft.expr.FarmFingerprint.register(spark)
+    val got = Seq("abc", "", "glamira").toDF("s")
+      .select(call_function("farm_fingerprint", $"s")).as[Long].collect()
+    // farmHashFingerprint64 reference values (BigQuery-compatible)
+    assert(got(0) === 2640714258260161385L)
+    assert(got(1) === com.google.common.hash.Hashing.farmHashFingerprint64()
+      .hashBytes(Array.empty[Byte]).asLong())
+    assert(got(2) === com.google.common.hash.Hashing.farmHashFingerprint64()
+      .hashBytes("glamira".getBytes("UTF-8")).asLong())
+  }
+
+  test("null propagates; non-string input rejected at analysis") {
+    graft.expr.FarmFingerprint.register(spark)
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(call_function("farm_fingerprint", $"s")).collect().head
+    assert(n.isNullAt(0))
+    intercept[Exception] {
+      Seq(1).toDF("i").select(call_function("farm_fingerprint", $"i")).collect()
+    }
+  }
+}
