@@ -42,18 +42,37 @@ object TextOps {
   private def shingleIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.shingles3(col("text"))).as("shingle"))
 
-  /** Exact pairwise Jaccard over the shingle index: (i, j, jc). */
+  /** Exact pairwise Jaccard over the shingle index: (i, j, jc). The index is
+    * persisted — it feeds the sizes aggregate and both join sides, and
+    * recomputing the md5 shingling three times dominates otherwise.
+    */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleIndex(docs)
+    val sh = shingleIndex(docs).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("i"), col("shingle"))
     val b = sh.select(col("doc_id").as("j"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    withJaccard(inter, sizes)
+  }
+
+  private def withJaccard(inter: DataFrame, sizes: DataFrame): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("na")), Seq("i"))
       .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nb")), Seq("j"))
       .withColumn("jc", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+
+  /** Exact Jaccard restricted to candidate (i, j) pairs — the verify side of
+    * LSH never rebuilds the full quadratic pair set, only candidates × their
+    * shingles.
+    */
+  private def jaccardForCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("i"), col("shingle"))
+    val b = sh.select(col("doc_id").as("j"), col("shingle"))
+    val inter = cand.join(a, Seq("i")).join(b, Seq("j", "shingle"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    withJaccard(inter, sizes)
   }
 
   /** DuckDB twin of the shingle index, as a CTE body. */
@@ -96,25 +115,26 @@ object TextOps {
     // MinHash + LSH banding + exact-Jaccard verification.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sh = shingleIndex(docs)
-        .withColumn("h", TextFns.md5Hash60(col("shingle")) % P)
-      val perms = s.range(NPERM).select(col("id").cast(IntegerType).as("perm"))
-        .withColumn("a", element_at(array((0 until NPERM).map(j => lit(aj(j))): _*), col("perm") + 1))
-        .withColumn("b", element_at(array((0 until NPERM).map(j => lit(bj(j))): _*), col("perm") + 1))
-      val mh = sh.crossJoin(broadcast(perms))
-        .groupBy(col("doc_id"), col("perm"))
-        .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
-      val bands = mh
-        .withColumn("band", floor(col("perm") / ROWS_PER_BAND).cast(IntegerType))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(md5(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
-            x => x.getField("mh").cast(StringType)))).as("sig"))
+      val shRaw = shingleIndex(docs).persist()
+      val sh = shRaw.withColumn("h", TextFns.md5Hash60(col("shingle")) % P)
+      // All 16 min-hashes in ONE aggregation pass (16 static min exprs) —
+      // no perm cross-join row blowup, single shuffle on doc_id.
+      val mhAggs = (0 until NPERM).map(j =>
+        min((lit(aj(j)) * col("h") + lit(bj(j))) % P).as(s"mh_$j"))
+      val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      val nBands = NPERM / ROWS_PER_BAND
+      val sigCols = (0 until nBands).map { b =>
+        val members = (0 until ROWS_PER_BAND).map(r => col(s"mh_${b * ROWS_PER_BAND + r}"))
+        md5(concat_ws(",", members: _*)).as(s"sig_$b")
+      }
+      val stackArgs = (0 until nBands).map(b => s"$b, sig_$b").mkString(", ")
+      val bands = mh.select((col("doc_id") +: sigCols): _*)
+        .selectExpr("doc_id", s"stack($nBands, $stackArgs) AS (band, sig)")
       val cand = bands.select(col("band"), col("sig"), col("doc_id").as("i"))
         .join(bands.select(col("band"), col("sig"), col("doc_id").as("j")), Seq("band", "sig"))
         .filter(col("i") < col("j"))
         .select(col("i"), col("j")).distinct()
-      cand.join(jaccardPairs(docs), Seq("i", "j"))
+      jaccardForCandidates(cand, shRaw)
         .filter(col("jc") >= JACCARD_T)
         .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
     }),

@@ -29,11 +29,16 @@ object VectorOps {
   private val NPLANES = 12
   private val ANN_T = 0.999
 
-  /** Exact double dot product, sequential fold (oracle-portable). */
+  /** Exact double dot product, sequential fold (oracle-portable). Uses the
+    * native FloatVecDot expression (graft.expr) — bit-identical to the
+    * zip_with/aggregate spelling but allocation-free inside codegen, which
+    * is what makes the quadratic similarity joins tractable.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
+
+  private def register(s: SparkSession): Unit =
+    graft.expr.FloatVecDot.register(s)
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -54,6 +59,7 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Norm/stat sanity pass over the embedding column.
     "emb_norms" -> ((s, dir) => {
+      register(s)
       withNorm(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("label"),
           round(col("nrm"), 6).as("l2_norm"),
@@ -63,6 +69,7 @@ object VectorOps {
     // Brute-force cosine top-k per query vector (directed: every vector gets
     // its k nearest others).
     "sim_topk_bruteforce" -> ((s, dir) => {
+      register(s)
       val emb = Tables.embeddings(s, dir)
       val a = withNorm(emb).select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
       val b = withNorm(emb).select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -78,6 +85,7 @@ object VectorOps {
 
     // Embedding near-duplicate pairs above a cosine threshold.
     "dedup_embedding_cosine" -> ((s, dir) => {
+      register(s)
       cosinePairs(Tables.embeddings(s, dir))
         .filter(col("cos") >= COS_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
@@ -92,6 +100,7 @@ object VectorOps {
     // real positives; looser thresholds need L multi-probe tables (same
     // bucket-join shape, L× signatures).
     "sim_ann_lsh" -> ((s, dir) => {
+      register(s)
       val base = Tables.embeddings(s, dir)
       val emb = base.select(col("vec_id"), col("embedding"))
         .unionByName(base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
