@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Sources and sinks (SURVEY §2.1 S4/S6/S8/S9).
+  *
+  * The reference's chunked exports, resumable uploads, and ≤9500-URI batched
+  * load jobs are artifacts of single-process Python + remote services; on
+  * Spark they collapse into partitioned parquet writes where tasks
+  * parallelize file IO. What remains meaningful at 100 TB:
+  *  - date partitioning on write → partition pruning on read (the DAY
+  *    time-partitioning of load_to_bigquery.py:61-68)
+  *  - sortWithinPartitions on the cluster keys → rowgroup locality, the
+  *    clustering-fields analog (min/max pruning inside parquet)
+  *  - idempotent overwrite per partition → the checkpoint/resume concern
+  *    becomes "re-running a partition rewrites it deterministically".
+  */
+object Sinks {
+
+  /** S6: warehouse load — date-partitioned, cluster-sorted parquet. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       clusterCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (clusterCols.isEmpty) df
+      else df.repartition(col(partitionCol))
+        .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
+    sorted.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
+
+  /** Overwrite only the partitions present in `df` (incremental reload of a
+    * re-processed trailing window without touching history).
+    */
+  def overwriteDynamicPartitions(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** S8: CSV sink with header (crash-safety = task-level write commit). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S6-read: schema-merged read across drifting files (BigQuery
+    * autodetect analog).
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+}
