@@ -20,6 +20,33 @@ object Relational {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship star-join slice (SURVEY §7.2 step 2: "line-item revenue in
+    // USD by country and month" re-expressed over the testdata star schema):
+    // fact ⋈ orders on the shuffle key, then three broadcast dim hops and a
+    // currency-style conversion before an exact decimal rollup. Only the
+    // lineitem⋈orders join shuffles; every dim is broadcast.
+    "q0_flagship_star" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val rate = (lit(1.0).cast(DecimalType(3, 1)) +
+        col("r_regionkey").cast(DecimalType(3, 1)) * lit(0.1).cast(DecimalType(3, 1)))
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      joined
+        .withColumn("rate", rate)
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * col("rate"))
+            .as("revenue_usd"))
+    }),
+
     // A-family: hash aggregate with exact decimal sums (ref: stg_customer.sql:3-14,
     // audit_null_rates; classic pricing-summary shape). Partial (map-side)
     // aggregation is automatic for sum/count — no shuffle of raw rows.
@@ -104,6 +131,20 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q0_flagship_star" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  count(*) AS n_lines,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      * (CAST(1.0 AS DECIMAL(3,1)) + CAST(r_regionkey AS DECIMAL(3,1)) * CAST(0.1 AS DECIMAL(3,1))))
+        |    AS revenue_usd
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, year(o_orderdate), month(o_orderdate)""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
