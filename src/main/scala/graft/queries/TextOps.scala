@@ -181,16 +181,19 @@ object TextOps {
       val toks = TextFns.wsTokens(col("text"))
       val nTok = size(toks)
       val stopHits = TextFns.vocabHits(toks, Langs.stopwords)
+      // quality_score composes from the RAW ratio, not the display-rounded
+      // one: rounding first manufactures exact half-way points at the 6th
+      // decimal (e.g. 0.475 + (1-0.094737)/2 = 0.9276315) where engines'
+      // double-rounding tie behavior diverges.
       Tables.documents(s, dir).select(
           col("doc_id"),
           length(col("text")).as("n_chars_actual"),
           nTok.as("n_tokens"),
           round(length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nTok, 6)
             .as("avg_token_len"),
-          round(stopHits.cast(DoubleType) / nTok, 6).as("stopword_ratio"))
-        .withColumn("quality_score",
-          round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
-            (lit(1.0) - col("stopword_ratio")) * 0.5, 6))
+          round(stopHits.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
+          round(least(nTok / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - stopHits.cast(DoubleType) / nTok) * 0.5, 6).as("quality_score"))
     }),
 
     // Token counting: whitespace + BPE-ish regex pieces + distinct words.
@@ -314,7 +317,7 @@ object TextOps {
         |  round(n_nonspace / n_tokens, 6) AS avg_token_len,
         |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
         |  round(least(n_tokens / 100.0, 1.0) * 0.5 +
-        |    (1.0 - round(CAST(stop_hits AS DOUBLE) / n_tokens, 6)) * 0.5, 6) AS quality_score
+        |    (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens) * 0.5, 6) AS quality_score
         |FROM base""".stripMargin.replace("STOPHITS", stopHits)
     },
 
