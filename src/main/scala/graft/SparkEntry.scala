@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.VectorOps.queries
+      graft.queries.VectorOps.queries ++
+      graft.queries.GlamiraShaped.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Scalars.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.TextOps.oracleSql ++
-      graft.queries.VectorOps.oracleSql
+      graft.queries.VectorOps.oracleSql ++
+      graft.queries.GlamiraShaped.oracleSql
 }

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{Keys, LocaleNumeric}
+
+/** The Glamira pipeline semantics under the DRIVER's oracle gate.
+  *
+  * `GlamiraPipelineSpec` proves the library on hand-built fixtures; these
+  * queries prove the same staging/fact semantics against DuckDB at test
+  * scale: a countly_summary-shaped table (nested cart_products with
+  * options, locale-junk prices, fake-null user ids, ambiguous currencies,
+  * TLD-bearing URLs) is synthesized DETERMINISTICALLY from `events` in both
+  * engines, then pushed through
+  *  - `glamira_stg_order`: the double outer UNNEST WITH OFFSET + SAFE_CASTs
+  *    + locale price parse + surrogate item_key (stg_order.sql semantics,
+  *    with the portable md5-64 key standing in for FARM_FINGERPRINT so the
+  *    oracle can recompute it), and
+  *  - `glamira_fact_currency`: the currency map / ambiguity classification /
+  *    URL-TLD inference / latest-FX USD conversion (mart_fact_order.sql
+  *    semantics).
+  */
+object GlamiraShaped {
+
+  private val TLDS = Seq("co.uk", "de", "se", "fr", "dk", "com")
+  private val CCYS = Seq("€", "$", "kr", "usd", "XYZ")
+
+  // ---- Spark-side synthesis of the nested summary table ------------------
+
+  private def cartProducts: Column = {
+    val ncp = col("event_id") % 3
+    val item = (k: Column) => {
+      val nopt = (col("event_id") + k) % 3
+      val opts = when(nopt === 0, lit(null).cast(ArrayType(StructType(Seq(
+          StructField("option_id", StringType), StructField("option_label", StringType))))))
+        .otherwise(transform(sequence(lit(0), (nopt - 1).cast(IntegerType)), j => struct(
+          ((col("event_id") + k * 10 + j) % 50).cast(StringType).as("option_id"),
+          concat(lit("lbl"), j).as("option_label"))))
+      struct(
+        ((col("event_id") * 7 + k) % 2000).cast(StringType).as("product_id"),
+        (lit(1) + (col("event_id") + k) % 3).cast(StringType).as("amount"),
+        Scalars.junkPrice(
+          (col("value") * (k + 1)).cast(DecimalType(18, 2)).cast(StringType),
+          (col("event_id") + k) % 6).as("price"),
+        element_at(array(CCYS.map(lit(_)): _*),
+          ((col("event_id") + k) % 5 + 1).cast(IntegerType)).as("currency"),
+        opts.as("option"))
+    }
+    when(ncp === 0, lit(null))
+      .otherwise(transform(sequence(lit(0), (ncp - 1).cast(IntegerType)), item))
+  }
+
+  /** countly_summary-shaped frame derived from events. */
+  private def summaryShaped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      concat(lit("o"), col("event_id")).as("order_id"),
+      unix_timestamp(col("ts")).as("time_stamp"),
+      when(col("event_id") % 11 === 0, lit("null"))
+        .otherwise(col("user_id").cast(StringType)).as("user_id_db"),
+      concat(lit("https://www.shop."),
+        element_at(array(TLDS.map(lit(_)): _*), (col("user_id") % 6 + 1).cast(IntegerType)),
+        lit("/p/"), col("event_id")).as("current_url"),
+      cartProducts.as("cart_products"))
+
+  /** stg_order semantics over the shaped input. */
+  private def stgOrderShaped(s: SparkSession, dir: String): DataFrame = {
+    val lineItems = summaryShaped(s, dir)
+      .select(col("*"), posexplode_outer(col("cart_products")).as(Seq("cp_offset", "cp")))
+      .withColumn("product_id", col("cp.product_id").try_cast(LongType))
+      .withColumn("product_quantity", col("cp.amount").try_cast(LongType))
+      .withColumn("product_price", LocaleNumeric.parseLocaleNumeric(col("cp.price")))
+      .withColumn("product_currency", col("cp.currency"))
+    val options = lineItems
+      .select(col("*"), posexplode_outer(col("cp.option")).as(Seq("opt_offset", "opt")))
+      .withColumn("option_id", col("opt.option_id"))
+      .withColumn("option_label", col("opt.option_label"))
+    val preimage = concat(
+      coalesce(col("order_id"), lit("")), lit("|"),
+      coalesce(col("product_id").cast(StringType), lit("")), lit("|"),
+      coalesce(col("option_id"), lit("")), lit("|"),
+      coalesce(col("cp_offset"), lit(-1)).cast(StringType), lit("|"),
+      coalesce(col("opt_offset"), lit(-1)).cast(StringType), lit("|"),
+      coalesce(col("time_stamp"), lit(-1)).cast(StringType))
+    options
+      .withColumn("user_db_id", col("user_id_db").try_cast(LongType))
+      .withColumn("item_key", Keys.md5Key64(preimage))
+      .select(col("order_id"), col("time_stamp"), col("user_db_id"),
+        col("cp_offset"), col("opt_offset"), col("product_id"),
+        col("product_quantity"), col("product_price"), col("product_currency"),
+        col("option_id"), col("option_label"), col("current_url"), col("item_key"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)),
+
+    "glamira_fact_currency" -> ((s, dir) => {
+      val so = stgOrderShaped(s, dir)
+      val raw = col("product_currency")
+      val norm = lower(trim(raw))
+      val t = trim(raw)
+      val code = when(raw.isNull || t === "", lit(null).cast(StringType))
+        .when(norm === "usd", "USD")
+        .when(t === "€", "EUR")
+        .when(t === "$", lit(null).cast(StringType))
+        .when(norm === "kr", lit(null).cast(StringType))
+        .otherwise(lit(null).cast(StringType))
+      val status = when(raw.isNull || t === "", "UNKNOWN")
+        .when(norm === "usd", "CLEAN")
+        .when(t === "€", "CLEAN")
+        .when(t === "$", "AMBIGUOUS")
+        .when(norm === "kr", "AMBIGUOUS")
+        .otherwise("UNKNOWN")
+      val host = lower(trim(coalesce(regexp_extract(col("current_url"), "://([^/]+)", 1), lit(""))))
+      val tld = regexp_extract(host, "\\.([a-z]{2,})$", 1)
+      val amb = col("currency_status") === "AMBIGUOUS"
+      val inferred = when(col("currency_code_mapped").isNotNull, col("currency_code_mapped"))
+        .when(amb && host.endsWith("co.uk"), "GBP")
+        .when(amb && tld === "uk", "GBP")
+        .when(amb && tld === "de", "EUR")
+        .when(amb && tld === "se", "SEK")
+        .when(amb && tld === "fr", "EUR")
+        .when(amb && tld === "dk", "DKK")
+        .otherwise(lit(null).cast(StringType))
+      val statusFinal = when(col("currency_code_mapped").isNotNull, col("currency_status"))
+        .when(amb && col("inferred_currency").isNotNull, "INFERRED")
+        .otherwise(col("currency_status"))
+
+      val fx = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-21"), "EUR", 0.9),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "EUR", 0.8),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "USD", 1.0),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "GBP", 0.5),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "SEK", 10.0),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "DKK", 7.5)),
+        StructType(Seq(StructField("fx_date", DateType),
+          StructField("fx_ccy", StringType), StructField("usd_to_ccy", DoubleType))))
+      val fxLatest = fx.join(broadcast(fx.agg(max(col("fx_date")).as("mx"))),
+        col("fx_date") === col("mx")).select(col("fx_ccy"), col("usd_to_ccy"))
+
+      so.withColumn("currency_code_mapped", code)
+        .withColumn("currency_status", status)
+        .withColumn("inferred_currency", inferred)
+        .withColumn("currency_status_final", statusFinal)
+        .withColumn("currency_code", coalesce(col("currency_code_mapped"), col("inferred_currency")))
+        .join(broadcast(fxLatest), col("fx_ccy") === col("currency_code"), "left")
+        .withColumn("price_usd",
+          when(col("currency_code").isNull, lit(null).cast(DoubleType))
+            .when(col("usd_to_ccy").isNull, lit(null).cast(DoubleType))
+            .otherwise(round(col("product_price").cast(DoubleType) / col("usd_to_ccy"), 6)))
+        .select(col("item_key"), col("order_id"), col("cp_offset"), col("opt_offset"),
+          col("product_currency"), col("currency_code"),
+          col("currency_status_final").as("currency_status"),
+          col("product_price"), col("price_usd"))
+    })
+  )
+
+  // ---- DuckDB twin -------------------------------------------------------
+
+  /** Locale junk price in SQL over a base string and variant expression —
+    * the mirror of Scalars.junkPrice.
+    */
+  private def junkSql(base: String, v: String): String =
+    s"""CASE ($v)
+       |  WHEN 1 THEN replace($base, '.', ',')
+       |  WHEN 2 THEN replace($base, '.', '٫')
+       |  WHEN 3 THEN concat(' ', $base, ' ')
+       |  WHEN 4 THEN concat('1.', replace($base, '.', ','))
+       |  WHEN 5 THEN concat('1,', $base)
+       |  ELSE $base END""".stripMargin
+
+  private val tldList = TLDS.map(t => s"'$t'").mkString("[", ", ", "]")
+  private val ccyList = CCYS.map(c => s"'$c'").mkString("[", ", ", "]")
+
+  /** Shaped + double-unnested flat rows, outer semantics via the
+    * k/j < greatest(n,1) trick (NULL-marked when the array is NULL/empty).
+    * CTE chain base → cp (cart-product level) → opt (option level).
+    */
+  private val stgCte: String = {
+    val baseStr = "CAST(CAST(value * (k + 1) AS DECIMAL(18,2)) AS VARCHAR)"
+    s"""base AS (
+       |  SELECT event_id, 'o' || event_id AS order_id,
+       |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS time_stamp,
+       |    CASE WHEN event_id % 11 = 0 THEN 'null' ELSE CAST(user_id AS VARCHAR) END AS user_id_db,
+       |    concat('https://www.shop.', $tldList[CAST(user_id % 6 AS INTEGER) + 1], '/p/', event_id) AS current_url,
+       |    value, event_id % 3 AS ncp
+       |  FROM events),
+       |ks(k) AS (VALUES (0), (1)),
+       |js(j) AS (VALUES (0), (1)),
+       |cp AS (
+       |  SELECT b.*,
+       |    CASE WHEN ncp = 0 THEN NULL ELSE k END AS cp_offset,
+       |    CASE WHEN ncp = 0 THEN NULL ELSE CAST((event_id * 7 + k) % 2000 AS VARCHAR) END AS pid_str,
+       |    CASE WHEN ncp = 0 THEN NULL ELSE CAST(1 + (event_id + k) % 3 AS VARCHAR) END AS amount_str,
+       |    CASE WHEN ncp = 0 THEN NULL ELSE ${junkSql(baseStr, "(event_id + k) % 6")} END AS price_str,
+       |    CASE WHEN ncp = 0 THEN NULL ELSE $ccyList[CAST((event_id + k) % 5 AS INTEGER) + 1] END AS product_currency,
+       |    CASE WHEN ncp = 0 THEN NULL ELSE (event_id + k) % 3 END AS nopt
+       |  FROM base b JOIN ks ON k < greatest(ncp, 1)),
+       |opt AS (
+       |  SELECT c.*,
+       |    CASE WHEN nopt IS NULL OR nopt = 0 THEN NULL ELSE j END AS opt_offset,
+       |    CASE WHEN nopt IS NULL OR nopt = 0 THEN NULL
+       |         ELSE CAST((event_id + cp_offset * 10 + j) % 50 AS VARCHAR) END AS option_id,
+       |    CASE WHEN nopt IS NULL OR nopt = 0 THEN NULL ELSE concat('lbl', j) END AS option_label
+       |  FROM cp c JOIN js ON j < greatest(coalesce(nopt, 0), 1))""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = {
+    // item_key pre-image mirrors the Spark CONCAT exactly (defaults '' / -1)
+    val preimage =
+      """concat(coalesce(order_id, ''), '|',
+        |  coalesce(CAST(TRY_CAST(pid_str AS BIGINT) AS VARCHAR), ''), '|',
+        |  coalesce(option_id, ''), '|',
+        |  CAST(coalesce(cp_offset, -1) AS VARCHAR), '|',
+        |  CAST(coalesce(opt_offset, -1) AS VARCHAR), '|',
+        |  CAST(coalesce(time_stamp, -1) AS VARCHAR))""".stripMargin
+    val itemKey = s"CAST(concat('0x', substr(md5($preimage), 1, 15)) AS BIGINT)"
+
+    val stgSelect =
+      s"""SELECT order_id, time_stamp,
+         |  TRY_CAST(user_id_db AS BIGINT) AS user_db_id,
+         |  cp_offset, opt_offset,
+         |  TRY_CAST(pid_str AS BIGINT) AS product_id,
+         |  TRY_CAST(amount_str AS BIGINT) AS product_quantity,
+         |  ${LocaleNumeric.duckdbSql("price_str")} AS product_price,
+         |  product_currency, option_id, option_label, current_url,
+         |  $itemKey AS item_key
+         |FROM opt""".stripMargin
+
+    Map(
+      "glamira_stg_order" -> s"WITH $stgCte\n$stgSelect",
+
+      "glamira_fact_currency" ->
+        s"""WITH $stgCte,
+           |stg AS ($stgSelect),
+           |cur AS (
+           |  SELECT *,
+           |    CASE WHEN product_currency IS NULL OR trim(product_currency) = '' THEN NULL
+           |         WHEN lower(trim(product_currency)) = 'usd' THEN 'USD'
+           |         WHEN trim(product_currency) = '€' THEN 'EUR'
+           |         ELSE NULL END AS currency_code_mapped,
+           |    CASE WHEN product_currency IS NULL OR trim(product_currency) = '' THEN 'UNKNOWN'
+           |         WHEN lower(trim(product_currency)) = 'usd' THEN 'CLEAN'
+           |         WHEN trim(product_currency) = '€' THEN 'CLEAN'
+           |         WHEN trim(product_currency) = '$$' THEN 'AMBIGUOUS'
+           |         WHEN lower(trim(product_currency)) = 'kr' THEN 'AMBIGUOUS'
+           |         ELSE 'UNKNOWN' END AS currency_status,
+           |    lower(trim(coalesce(regexp_extract(current_url, '://([^/]+)', 1), ''))) AS url_host
+           |  FROM stg),
+           |inf AS (
+           |  SELECT *,
+           |    regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) AS url_tld,
+           |    CASE WHEN currency_code_mapped IS NOT NULL THEN currency_code_mapped
+           |         WHEN currency_status = 'AMBIGUOUS' AND url_host LIKE '%co.uk' THEN 'GBP'
+           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'uk' THEN 'GBP'
+           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'de' THEN 'EUR'
+           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'se' THEN 'SEK'
+           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'fr' THEN 'EUR'
+           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'dk' THEN 'DKK'
+           |         ELSE NULL END AS inferred_currency
+           |  FROM cur),
+           |fin AS (
+           |  SELECT *,
+           |    CASE WHEN currency_code_mapped IS NOT NULL THEN currency_status
+           |         WHEN currency_status = 'AMBIGUOUS' AND inferred_currency IS NOT NULL THEN 'INFERRED'
+           |         ELSE currency_status END AS currency_status_final,
+           |    coalesce(currency_code_mapped, inferred_currency) AS currency_code
+           |  FROM inf),
+           |fx(fx_date, fx_ccy, usd_to_ccy) AS (VALUES
+           |  (DATE '2026-01-21', 'EUR', 0.9), (DATE '2026-01-22', 'EUR', 0.8),
+           |  (DATE '2026-01-22', 'USD', 1.0), (DATE '2026-01-22', 'GBP', 0.5),
+           |  (DATE '2026-01-22', 'SEK', 10.0), (DATE '2026-01-22', 'DKK', 7.5)),
+           |fx_latest AS (
+           |  SELECT fx_ccy, CAST(usd_to_ccy AS DOUBLE) AS usd_to_ccy FROM fx
+           |  WHERE fx_date = (SELECT max(fx_date) FROM fx))
+           |SELECT item_key, order_id, cp_offset, opt_offset, product_currency,
+           |  currency_code, currency_status_final AS currency_status, product_price,
+           |  CASE WHEN currency_code IS NULL THEN NULL
+           |       WHEN usd_to_ccy IS NULL THEN NULL
+           |       ELSE round(CAST(product_price AS DOUBLE) / usd_to_ccy, 6) END AS price_usd
+           |FROM fin LEFT JOIN fx_latest ON fx_ccy = currency_code""".stripMargin
+    )
+  }
+}

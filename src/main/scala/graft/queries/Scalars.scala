@@ -15,7 +15,7 @@ object Scalars {
   /** Deterministic locale-junk price strings rebuilt identically in the
     * oracle: six variants per line keyed on l_linenumber % 6.
     */
-  private def junkPrice(base: Column, variant: Column): Column =
+  private[queries] def junkPrice(base: Column, variant: Column): Column =
     when(variant === 1, regexp_replace(base, "\\.", ","))         // 12345,67
       .when(variant === 2, regexp_replace(base, "\\.", "٫"))      // 12345٫67 (Arabic)
       .when(variant === 3, concat(lit(" "), base, lit(" ")))      // ' 12345.67 '
