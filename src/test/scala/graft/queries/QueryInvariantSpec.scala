@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Output-substance invariants the DuckDB hash-compare CANNOT see: two
+  * engines computing the same useless thing still hash-match (the original
+  * sim_ann_lsh had zero recall while matching its oracle perfectly). These
+  * pin the approximate operators to their exact ground truths.
+  */
+class QueryInvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("minhash-LSH recalls exactly the exact-Jaccard pair set") {
+    val exact = q("dedup_ngram_jaccard").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("dedup_minhash_lsh").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+  }
+
+  test("ANN finds every planted duplicate pair at cosine 1.0") {
+    val ann = q("sim_ann_lsh").collect()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(ann.length === nVecs)   // one (i, i+100000) pair per vector
+    assert(ann.forall(r => r.getAs[Long]("j") === r.getAs[Long]("i") + 100000L))
+    assert(ann.forall(_.getAs[Double]("cosine") === 1.0))
+  }
+
+  test("brute-force top-k: k rows per vector, ranked by descending cosine") {
+    val tk = q("sim_topk_bruteforce").cache()
+    val perVec = tk.groupBy($"vec_id").count().select("count").distinct().collect()
+    assert(perVec.length === 1 && perVec.head.getLong(0) === 5L)
+    val bad = tk.alias("a").join(tk.alias("b"),
+        $"a.vec_id" === $"b.vec_id" && $"a.rank" === $"b.rank" - 1)
+      .filter($"a.cosine" < $"b.cosine").count()
+    assert(bad === 0)   // cosine non-increasing in rank
+  }
+
+  test("simhash is locality-sensitive: near-dup hamming << random hamming") {
+    val sig = q("dedup_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = q("dedup_ngram_jaccard").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearAvg = pairs.map { case (i, j) => hamming(sig(i), sig(j)) }.sum.toDouble / pairs.length
+    val ids = sig.keys.toSeq.sorted
+    val randomAvg = ids.zip(ids.drop(ids.length / 2))
+      .filterNot(p => pairs.contains(p))
+      .map { case (i, j) => hamming(sig(i), sig(j)) }
+    assert(nearAvg < randomAvg.sum.toDouble / randomAvg.length / 2,
+      s"near=$nearAvg vs random=${randomAvg.sum.toDouble / randomAvg.length}")
+  }
+
+  test("glamira staging: outer-unnest rows survive and item_key is unique") {
+    val so = q("glamira_stg_order").cache()
+    assert(so.filter($"cp_offset".isNull).count() > 0)
+    assert(so.select("item_key").distinct().count() === so.count())
+    // every currency-status path reachable in the fact
+    val statuses = q("glamira_fact_currency").select("currency_status")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(statuses === Set("CLEAN", "AMBIGUOUS", "INFERRED", "UNKNOWN"))
+  }
+}
