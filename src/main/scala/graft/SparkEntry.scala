@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.GlamiraShaped.queries
+      graft.queries.GlamiraShaped.queries ++
+      graft.queries.Approx.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
