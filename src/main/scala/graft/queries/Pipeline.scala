@@ -101,6 +101,15 @@ object Pipeline {
       dup.crossJoin(nn).crossJoin(av)
     }),
 
+    // Sessionization (training-pipeline/event-analytics op): inactivity-gap
+    // sessions via lag + running sum; the streaming twin with custom state
+    // lives in graft.streaming.Sessionize (parity-tested). Gap compare in
+    // exact micros — floor-of-seconds differs between engines at boundaries.
+    "sess_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.sessionizeBatch(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id")), 30)
+    }),
+
     // QA: row-level rule engine with AND-rollup (ref: int_order_qa.sql:19-95).
     "qa_row_rules" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -164,6 +173,23 @@ object Pipeline {
         |       WHERE event_type NOT IN ('view','click','purchase','signup','error')
         |          OR event_type IS NULL)
         |SELECT * FROM dup, nn, av""".stripMargin,
+
+    "sess_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, min(event_id) AS first_event_id
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
 
     "qa_row_rules" ->
       """SELECT l_orderkey, l_linenumber,
