@@ -110,6 +110,40 @@ object Pipeline {
         Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id")), 30)
     }),
 
+    // QA: validity-flag engine — email regex, IPv4 format, private/placeholder
+    // IP exclusion, AND-rollup (ref: int_order_qa.sql:19-95,
+    // int_customer_email_qa.sql:20-30). Email/ip synthesized deterministically
+    // so every rule has passing and failing rows.
+    "qa_validity_flags" -> ((s, dir) => {
+      val email = when(col("user_id") % 7 === 0, concat(lit("u"), col("user_id"), lit("example.com")))
+        .when(col("user_id") % 7 === 1, lit(""))
+        .otherwise(concat(lit("u"), col("user_id"), lit("@example."),
+          when(col("user_id") % 2 === 0, "com").otherwise("co.uk")))
+      val ip = concat_ws(".",
+        when(col("event_id") % 5 === 0, lit("10"))
+          .when(col("event_id") % 5 === 1, lit("192"))
+          .when(col("event_id") % 5 === 2, lit("8"))
+          .when(col("event_id") % 5 === 3, lit("172"))
+          .otherwise(lit("256")),                                   // invalid octet branch
+        when(col("event_id") % 5 === 1, lit("168"))
+          .when(col("event_id") % 5 === 3, lit("20"))
+          .otherwise((col("event_id") % 200).cast(StringType)),
+        (col("user_id") % 256).cast(StringType),
+        (col("event_id") % 256).cast(StringType))
+      Tables.events(s, dir)
+        .withColumn("email", email).withColumn("ip", ip)
+        .withColumn("email_ok",
+          col("email").rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"))
+        .withColumn("ip_ok",
+          col("ip").rlike("^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$"))
+        .withColumn("is_private_ip",
+          col("ip").startsWith("10.") || col("ip").startsWith("192.168.") ||
+            col("ip").startsWith("127.") || col("ip").rlike("^172\\.(1[6-9]|2[0-9]|3[01])\\."))
+        .withColumn("is_row_valid", col("email_ok") && col("ip_ok") && !col("is_private_ip"))
+        .groupBy(col("email_ok"), col("ip_ok"), col("is_private_ip"), col("is_row_valid"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // QA: row-level rule engine with AND-rollup (ref: int_order_qa.sql:19-95).
     "qa_row_rules" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -190,6 +224,33 @@ object Pipeline {
         |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, min(event_id) AS first_event_id
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "qa_validity_flags" ->
+      """WITH d AS (
+        |  SELECT
+        |    CASE WHEN user_id % 7 = 0 THEN concat('u', user_id, 'example.com')
+        |         WHEN user_id % 7 = 1 THEN ''
+        |         ELSE concat('u', user_id, '@example.',
+        |           CASE WHEN user_id % 2 = 0 THEN 'com' ELSE 'co.uk' END) END AS email,
+        |    concat_ws('.',
+        |      CASE WHEN event_id % 5 = 0 THEN '10' WHEN event_id % 5 = 1 THEN '192'
+        |           WHEN event_id % 5 = 2 THEN '8' WHEN event_id % 5 = 3 THEN '172'
+        |           ELSE '256' END,
+        |      CASE WHEN event_id % 5 = 1 THEN '168' WHEN event_id % 5 = 3 THEN '20'
+        |           ELSE CAST(event_id % 200 AS VARCHAR) END,
+        |      CAST(user_id % 256 AS VARCHAR),
+        |      CAST(event_id % 256 AS VARCHAR)) AS ip
+        |  FROM events),
+        |f AS (
+        |  SELECT
+        |    regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') AS email_ok,
+        |    regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$') AS ip_ok,
+        |    (starts_with(ip, '10.') OR starts_with(ip, '192.168.') OR starts_with(ip, '127.')
+        |     OR regexp_matches(ip, '^172\.(1[6-9]|2[0-9]|3[01])\.')) AS is_private_ip
+        |  FROM d)
+        |SELECT email_ok, ip_ok, is_private_ip,
+        |  (email_ok AND ip_ok AND NOT is_private_ip) AS is_row_valid, count(*) AS n
+        |FROM f GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "qa_row_rules" ->
       """SELECT l_orderkey, l_linenumber,
