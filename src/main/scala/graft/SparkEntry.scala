@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
+      graft.queries.VectorOps.ivfQueries ++
       graft.queries.GlamiraShaped.queries ++
       graft.queries.Approx.queries
 
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.Pipeline.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.VectorOps.oracleSql ++
+      graft.queries.VectorOps.ivfOracleSql ++
       graft.queries.GlamiraShaped.oracleSql
 }

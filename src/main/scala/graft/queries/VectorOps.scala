@@ -128,11 +128,79 @@ object VectorOps {
     })
   )
 
+  private val NCENTROIDS = 16
+
+  /** Augmented corpus with planted duplicate vectors (vec_id + 100000). */
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+    base.select(col("vec_id"), col("embedding"))
+      .unionByName(base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  def ivfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANN via IVF: assign every vector to its nearest of NCENTROIDS seed
+    // centroids (deterministic: the first vec_ids), then join only within a
+    // cell. nprobe=1 here; at scale, probing the p nearest centroids trades
+    // recall for p× candidate volume — the same bucket-join shape. Identical
+    // vectors get identical assignments, so duplicate recall is exactly 1.
+    "sim_ann_ivf" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val cent = Tables.embeddings(s, dir).filter(col("vec_id") < NCENTROIDS)
+        .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
+        .withColumn("nc", norm(col("ce")))
+      val a = withNorm(emb)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
+      val assign = a.crossJoin(broadcast(cent))
+        .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val e = withNorm(emb).join(assign, Seq("vec_id"))
+      val l = e.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val r = e.select(col("cell"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+      l.join(r, Seq("cell")).filter(col("i") < col("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    })
+  )
+
   private val dotSql =
     "list_sum(list_transform(list_zip(%A, %B), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))"
 
   private def dSql(a: String, b: String): String =
     dotSql.replace("%A", a).replace("%B", b)
+
+  def ivfOracleSql: Map[String, String] = Map(
+    "sim_ann_ivf" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nc
+         |  FROM embeddings WHERE vec_id < $NCENTROIDS),
+         |a AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+         |  FROM aug),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT a.vec_id, cent.cid, row_number() OVER (
+         |      PARTITION BY a.vec_id
+         |      ORDER BY ${dSql("a.embedding", "cent.ce")} / (a.nrm * cent.nc) DESC, cent.cid ASC) AS rn
+         |    FROM a CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |e AS (
+         |  SELECT a.vec_id, a.embedding, a.nrm, assign.cell
+         |  FROM a JOIN assign ON a.vec_id = assign.vec_id)
+         |SELECT x.vec_id AS i, y.vec_id AS j,
+         |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
+         |FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin
+  )
 
   def oracleSql: Map[String, String] = Map(
     "emb_norms" ->

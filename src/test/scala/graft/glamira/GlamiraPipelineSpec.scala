@@ -123,6 +123,21 @@ class GlamiraPipelineSpec extends SparkSpec {
     assert(f.filter(col("order_id") === "o2").count() === 1)
   }
 
+  test("snapshot state feeds back across runs (SURVEY §7.4 risk 5)") {
+    // run 1 produced the persisted snapshot; feed it into a second graph —
+    // the SCD table must accept it as prior state and stay idempotent when
+    // the same events arrive again.
+    val snap1 = g.resolve("customer_email_scd")
+    val g2 = Glamira.graph(spark, workDir + "_run2",
+      GlamiraFixtures.summary(spark), GlamiraFixtures.productRaw(spark),
+      GlamiraFixtures.ipLocationRaw(spark), GlamiraFixtures.fxSeed(spark),
+      priorSnapshot = Some(snap1))
+    val snap2 = g2.resolve("customer_email_scd")
+    assert(snap2.count() === snap1.count())             // same batch → no-op
+    assert(snap2.filter(col("dbt_valid_to").isNull).count() ===
+      snap1.filter(col("dbt_valid_to").isNull).count())
+  }
+
   test("fact FKs resolve: product_key and location_key joined") {
     val f = g.resolve("mart_fact_order")
     val withKey = f.filter(col("order_id") === "o1" && col("product_currency") === "$")

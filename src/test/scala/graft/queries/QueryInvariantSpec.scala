@@ -22,12 +22,14 @@ class QueryInvariantSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
   }
 
-  test("ANN finds every planted duplicate pair at cosine 1.0") {
-    val ann = q("sim_ann_lsh").collect()
+  test("ANN (LSH and IVF) finds every planted duplicate pair at cosine 1.0") {
     val nVecs = graft.Tables.embeddings(spark, dir).count()
-    assert(ann.length === nVecs)   // one (i, i+100000) pair per vector
-    assert(ann.forall(r => r.getAs[Long]("j") === r.getAs[Long]("i") + 100000L))
-    assert(ann.forall(_.getAs[Double]("cosine") === 1.0))
+    for (name <- Seq("sim_ann_lsh", "sim_ann_ivf")) {
+      val ann = q(name).collect()
+      assert(ann.length === nVecs, name)   // one (i, i+100000) pair per vector
+      assert(ann.forall(r => r.getAs[Long]("j") === r.getAs[Long]("i") + 100000L), name)
+      assert(ann.forall(_.getAs[Double]("cosine") === 1.0), name)
+    }
   }
 
   test("brute-force top-k: k rows per vector, ranked by descending cosine") {
