@@ -37,6 +37,27 @@ object TextOps {
   private val JACCARD_T = 0.7
 
   private val SIMHASH_BITS = 60
+  private val SIMHASH_BANDS = 6
+  private val SIMHASH_BAND_BITS = 10
+  private val HAMMING_T = 6
+
+  /** One-pass 60-bit SimHash signatures per doc, tf-weighted: tokens are
+    * NOT deduplicated, so each occurrence votes — near-identical documents
+    * (similar counts) land close in hamming space while documents merely
+    * sharing vocabulary (different counts) spread out. With distinct tokens
+    * this corpus's small vocabulary made most docs set-identical.
+    */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextFns.rawTokens(col("text"))).as("tok"))
+      .withColumn("h", TextFns.md5Hash60(col("tok")))
+    val sums = (0 until SIMHASH_BITS).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j"))
+    val sig = (0 until SIMHASH_BITS).map(j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
 
   /** (doc_id, shingle) inverted index, distinct within doc. */
   private def shingleIndex(docs: DataFrame): DataFrame =
@@ -140,16 +161,29 @@ object TextOps {
     }),
 
     // SimHash signature: one pass, 60 conditional sums over distinct tokens.
-    "dedup_simhash" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(TextFns.rawTokens(col("text")))).as("tok"))
-        .withColumn("h", TextFns.md5Hash60(col("tok")))
-      val sums = (0 until SIMHASH_BITS).map(j =>
-        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j"))
-      val sig = (0 until SIMHASH_BITS).map(j =>
-        when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), sig.as("simhash"))
+    "dedup_simhash" -> ((s, dir) => simhashSigs(Tables.documents(s, dir))),
+
+    // SimHash near-dup pairs: bit-sampling LSH over the signature — 6 bands
+    // of 10 bits; hamming ≤ 5 guarantees a clean shared band (pigeonhole),
+    // candidates verify by exact hamming ≤ HAMMING_T. The signature join is
+    // tiny (one row per doc) — this is the constant-state alternative to the
+    // shingle-index join at 100 TB.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val sig = simhashSigs(Tables.documents(s, dir)).persist()
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SIMHASH_BANDS).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * SIMHASH_BAND_BITS)
+              .bitwiseAND((1L << SIMHASH_BAND_BITS) - 1).as("bv"))): _*)).as("bs"))
+        .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.bv"))
+      val cand = bands.select(col("band"), col("bv"), col("doc_id").as("i"), col("simhash").as("sa"))
+        .join(bands.select(col("band"), col("bv"), col("doc_id").as("j"), col("simhash").as("sb")),
+          Seq("band", "bv"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"), col("sa"), col("sb")).distinct()
+      cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= HAMMING_T)
+        .select(col("i"), col("j"), col("hamming"))
     }),
 
     // Language-ID by vocabulary-hit scoring with a deterministic priority
@@ -272,7 +306,7 @@ object TextOps {
 
     "dedup_simhash" ->
       s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),
          |hashed AS (
          |  SELECT doc_id, ${TextFns.md5Hash60Sql("tok")} AS h FROM tok),
@@ -281,6 +315,31 @@ object TextOps {
          |    $simhashSumsSql
          |  FROM hashed GROUP BY doc_id)
          |SELECT doc_id, $simhashSigSql AS simhash FROM sums""".stripMargin,
+
+    "dedup_simhash_pairs" -> {
+      val bandUnion = (0 until SIMHASH_BANDS).map(b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SIMHASH_BAND_BITS}) & ${(1L << SIMHASH_BAND_BITS) - 1} AS bv FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, ${TextFns.md5Hash60Sql("tok")} AS h FROM tok),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $simhashSumsSql
+         |  FROM hashed GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id, $simhashSigSql AS simhash FROM sums),
+         |bands AS (
+         |  $bandUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j, x.simhash AS sa, y.simhash AS sb
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= $HAMMING_T""".stripMargin
+    },
 
     "text_langid" -> {
       def sc(lang: String, vocab: Seq[String]) =
