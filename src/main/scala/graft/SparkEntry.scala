@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.VectorOps.queries ++
       graft.queries.VectorOps.ivfQueries ++
       graft.queries.GlamiraShaped.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Approx.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.TextOps.oracleSql ++
       graft.queries.VectorOps.oracleSql ++
       graft.queries.VectorOps.ivfOracleSql ++
-      graft.queries.GlamiraShaped.oracleSql
+      graft.queries.GlamiraShaped.oracleSql ++
+      graft.queries.Curation.oracleSql
 }

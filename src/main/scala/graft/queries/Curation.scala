@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Training-data curation operators: deterministic stratified sampling,
+  * train/test decontamination, TF-IDF keyword extraction.
+  *
+  * Sampling uses content hashing, not RNG: a row is in the sample iff
+  * md5(key) mod 1000 < rate·1000. That makes samples reproducible across
+  * runs/engines/cluster layouts and stable under re-partitioning — the only
+  * sampling discipline that survives a 100 TB pipeline re-run.
+  */
+object Curation {
+
+  private val strataRates: Map[String, Int] = Map(   // per-mille keep rates
+    "en" -> 500, "de" -> 300, "es" -> 300, "fr" -> 300, "zh" -> 200)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stratified deterministic sampling: per-language keep rates.
+    "sample_stratified" -> ((s, dir) => {
+      val bucket = TextFns.md5Hash60(concat(lit("sample:"), col("doc_id"))) % 1000
+      val rate = strataRates.foldLeft(lit(0)) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, r).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
+    // Decontamination: remove from the corpus every document that is an
+    // exact or near (Jaccard ≥ 0.7) duplicate of a held-out eval set —
+    // here the eval set is doc_id % 50 == 0. Output: the kept corpus ids
+    // with the reason the others were dropped available from the flags.
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+
+      // Exact contamination = identical CONTENT (md5 of the raw text). The
+      // order-insensitive canonical fingerprint is far too aggressive here:
+      // on a small vocabulary most documents share the same distinct token
+      // set and would be falsely removed (observed: 28/490 false positives).
+      val fp = (d: DataFrame) => d.select(col("doc_id"), md5(col("text")).as("fp"))
+      val exactHit = fp(corpus)
+        .join(fp(evalSet).select(col("fp")), Seq("fp"), "left_semi")
+        .select(col("doc_id"))
+
+      val sh = (d: DataFrame, idCol: String) =>
+        d.select(col("doc_id").as(idCol), explode(TextFns.shingles3(col("text"))).as("shingle"))
+      val corpusSh = sh(corpus, "i")
+      val evalSh = sh(evalSet, "j")
+      val sizes = (shd: DataFrame, idCol: String) =>
+        shd.groupBy(col(idCol)).agg(count(lit(1)).as(s"n_$idCol"))
+      val nearHit = corpusSh.join(evalSh, Seq("shingle"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+        .join(sizes(corpusSh, "i"), Seq("i"))
+        .join(sizes(evalSh, "j"), Seq("j"))
+        .filter(col("c").cast(DoubleType) / (col("n_i") + col("n_j") - col("c")) >= 0.7)
+        .select(col("i").as("doc_id")).distinct()
+
+      val contaminated = exactHit.unionByName(nearHit).distinct()
+      corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
+    // to 6 dp; ordering ties broken by token text for determinism.
+    "text_tfidf_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count()  // scalar: fixture-table count, driver-side once
+      val tf = docs.select(col("doc_id"), explode(TextFns.rawTokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      tf.join(df, Seq("tok"))
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").as("rank"), col("tok"), col("tfidf"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sample_stratified" -> {
+      val rateCase = strataRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang,
+         |    ${TextFns.md5Hash60Sql("concat('sample:', doc_id)")} % 1000 AS bucket
+         |  FROM documents)
+         |WHERE bucket < $rateCase""".stripMargin
+    },
+
+    "decontaminate" ->
+      """WITH eval_set AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+        |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |exact_hit AS (
+        |  SELECT c.doc_id FROM fp c
+        |  WHERE c.doc_id % 50 <> 0
+        |    AND EXISTS (SELECT 1 FROM fp e WHERE e.doc_id % 50 = 0 AND e.fp = c.fp)),
+        |csh AS (
+        |  SELECT doc_id AS i, unnest(list_distinct([s[k] || ' ' || s[k+1] || ' ' || s[k+2]
+        |      for k in range(1, greatest(len(s) - 1, 1))])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM corpus)),
+        |esh AS (
+        |  SELECT doc_id AS j, unnest(list_distinct([s[k] || ' ' || s[k+1] || ' ' || s[k+2]
+        |      for k in range(1, greatest(len(s) - 1, 1))])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM eval_set)),
+        |ci AS (SELECT i, count(*) AS n_i FROM csh GROUP BY i),
+        |ei AS (SELECT j, count(*) AS n_j FROM esh GROUP BY j),
+        |near_hit AS (
+        |  SELECT DISTINCT i AS doc_id FROM (
+        |    SELECT a.i, b.j, count(*) AS c FROM csh a JOIN esh b USING (shingle)
+        |    GROUP BY a.i, b.j) x
+        |  JOIN ci USING (i) JOIN ei USING (j)
+        |  WHERE CAST(c AS DOUBLE) / (n_i + n_j - c) >= 0.7)
+        |SELECT doc_id, lang, source FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)
+        |  AND doc_id NOT IN (SELECT doc_id FROM near_hit)""".stripMargin,
+
+    "text_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rank, tok, tfidf FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin
+  )
+}

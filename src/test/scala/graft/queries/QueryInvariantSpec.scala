@@ -56,6 +56,23 @@ class QueryInvariantSpec extends SparkSpec {
       s"near=$nearAvg vs random=${randomAvg.sum.toDouble / randomAvg.length}")
   }
 
+  test("decontamination removes exactly the eval-set near/exact duplicates") {
+    import spark.implicits._
+    val kept = q("decontaminate").select("doc_id").as[Long].collect().toSet
+    val corpus = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" % 50 =!= 0).select("doc_id").as[Long].collect().toSet
+    val removed = corpus -- kept
+    // ground truth: corpus docs near-dup (jaccard >= 0.7) with an eval doc
+    val pairs = q("dedup_ngram_jaccard").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.collect {
+      case (i, j) if i % 50 == 0 && j % 50 != 0 => j
+      case (i, j) if j % 50 == 0 && i % 50 != 0 => i
+    }.toSet
+    assert(removed === expected,
+      s"false positives: ${(removed -- expected).take(5)}; missed: ${(expected -- removed).take(5)}")
+  }
+
   test("glamira staging: outer-unnest rows survive and item_key is unique") {
     val so = q("glamira_stg_order").cache()
     assert(so.filter($"cp_offset".isNull).count() > 0)
