@@ -54,14 +54,16 @@ object Curation {
 
       val sh = (d: DataFrame, idCol: String) =>
         d.select(col("doc_id").as(idCol), explode(TextFns.shingles3(col("text"))).as("shingle"))
-      val corpusSh = sh(corpus, "i")
+      val corpusSh = sh(corpus, "i").persist()   // feeds the join AND the sizes agg
       val evalSh = sh(evalSet, "j")
       val sizes = (shd: DataFrame, idCol: String) =>
         shd.groupBy(col(idCol)).agg(count(lit(1)).as(s"n_$idCol"))
-      val nearHit = corpusSh.join(evalSh, Seq("shingle"))
+      // eval side is tiny (the held-out set) → broadcast both its shingle
+      // index and its sizes; the corpus never shuffles for this join.
+      val nearHit = corpusSh.join(broadcast(evalSh), Seq("shingle"))
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
         .join(sizes(corpusSh, "i"), Seq("i"))
-        .join(sizes(evalSh, "j"), Seq("j"))
+        .join(broadcast(sizes(evalSh, "j")), Seq("j"))
         .filter(col("c").cast(DoubleType) / (col("n_i") + col("n_j") - col("c")) >= 0.7)
         .select(col("i").as("doc_id")).distinct()
 

@@ -61,6 +61,18 @@ object Relational {
           count(lit(1)).as("count_order"))
     }),
 
+    // SQL API surface: the same engine drives spark.sql over registered
+    // views — one Catalyst plan whether declared via DataFrame or SQL text.
+    "sql_api_surface" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+          |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
+    }),
+
     // S1: filtered scan + narrow projection (ref: Source/step1_collect_product_urls.py:106-122).
     // Filter + projection both push down to the parquet scan.
     "s1_filtered_scan" -> ((s, dir) => {
@@ -152,6 +164,12 @@ object Relational {
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sql_api_surface" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
 
     "s1_filtered_scan" ->
       """SELECT event_id, user_id, event_type, value FROM events
