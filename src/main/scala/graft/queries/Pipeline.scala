@@ -101,6 +101,32 @@ object Pipeline {
       dup.crossJoin(nn).crossJoin(av)
     }),
 
+    // CDC-style snapshot diff: classify rows between two table versions as
+    // INSERT / DELETE / UPDATE via full-outer join on the key — the change
+    // feed a downstream incremental consumer needs when the source has no
+    // change log. One shuffle on the key; UNCHANGED rows are dropped before
+    // any further movement.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("ts"))
+      val old = ev.filter(col("ts") < lit("2024-01-20 00:00:00").cast(TimestampType))
+      val neu = ev
+        .filter(col("ts") < lit("2024-01-25 00:00:00").cast(TimestampType))  // inserts: 20th-25th
+        .filter(col("event_id") % 13 =!= 0)                                   // deletes
+        .withColumn("event_type",
+          when(col("ts") >= lit("2024-01-18 00:00:00").cast(TimestampType),
+            upper(col("event_type"))).otherwise(col("event_type")))           // updates: 18th-20th
+      val o = old.select(col("event_id"), col("event_type").as("old_type"))
+      val n = neu.select(col("event_id"), col("event_type").as("new_type"))
+      o.join(n, Seq("event_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_type").isNull, "INSERT")
+            .when(col("new_type").isNull, "DELETE")
+            .when(col("old_type") =!= col("new_type"), "UPDATE")
+            .otherwise("UNCHANGED"))
+        .filter(col("change_type") =!= "UNCHANGED")
+        .select(col("event_id"), col("change_type"), col("old_type"), col("new_type"))
+    }),
+
     // Sessionization (training-pipeline/event-analytics op): inactivity-gap
     // sessions via lag + running sum; the streaming twin with custom state
     // lives in graft.streaming.Sessionize (parity-tested). Gap compare in
@@ -207,6 +233,27 @@ object Pipeline {
         |       WHERE event_type NOT IN ('view','click','purchase','signup','error')
         |          OR event_type IS NULL)
         |SELECT * FROM dup, nn, av""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      """WITH ev AS (SELECT event_id, event_type, ts FROM events),
+        |old AS (SELECT event_id, event_type AS old_type FROM ev
+        |        WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |neu AS (SELECT event_id,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-18 00:00:00'
+        |         THEN upper(event_type) ELSE event_type END AS new_type
+        |  FROM ev
+        |  WHERE ts < TIMESTAMP '2024-01-25 00:00:00' AND event_id % 13 <> 0)
+        |SELECT coalesce(old.event_id, neu.event_id) AS event_id,
+        |  CASE WHEN old_type IS NULL THEN 'INSERT'
+        |       WHEN new_type IS NULL THEN 'DELETE'
+        |       WHEN old_type <> new_type THEN 'UPDATE'
+        |       ELSE 'UNCHANGED' END AS change_type,
+        |  old_type, new_type
+        |FROM old FULL OUTER JOIN neu ON old.event_id = neu.event_id
+        |WHERE CASE WHEN old_type IS NULL THEN 'INSERT'
+        |       WHEN new_type IS NULL THEN 'DELETE'
+        |       WHEN old_type <> new_type THEN 'UPDATE'
+        |       ELSE 'UNCHANGED' END <> 'UNCHANGED'""".stripMargin,
 
     "sess_sessionize" ->
       """WITH o AS (

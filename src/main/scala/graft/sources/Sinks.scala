@@ -51,4 +51,23 @@ object Sinks {
     */
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Compaction: rewrite a directory of many small files into ~targetFiles
+    * outputs (the small-files problem — streaming/incremental sinks
+    * accumulate tiny files whose per-file open/footer costs dominate reads
+    * at scale). Writes to a temp sibling then swaps, so a crash mid-compact
+    * never leaves the table half-rewritten.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path + "_compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
+    fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
 }

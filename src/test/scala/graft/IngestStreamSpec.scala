@@ -88,6 +88,20 @@ class SinksSpec extends SparkSpec {
     assert(after.filter($"d" === "2024-01-02").collect().head.getAs[Int]("k") === 9)
   }
 
+  test("compaction: many small files → target count, data intact, crash-safe swap") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = spark.range(0, 1000).toDF("id")
+    df.repartition(50).write.parquet(dir)   // 50 tiny files
+    def nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 40)
+    Sinks.compact(spark, dir, targetFiles = 4)
+    assert(nFiles <= 4 + 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"id")).as[Long].head() === 499500L)
+    assert(!new java.io.File(dir + "_precompact").exists())
+  }
+
   test("csv sink with header round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("csv").toString + "/c"
     Sinks.writeCsv(Seq((1, "x"), (2, "y")).toDF("id", "v"), dir)
