@@ -71,6 +71,32 @@ object AggWindows {
         .select(col("user_id"), col("event_id").as("best_event_id"), col("priority"))
     }),
 
+    // Pivot: long → wide with an explicit value list (explicit values keep
+    // the output schema static — at scale an inferred pivot needs an extra
+    // distinct pass and can explode the column count).
+    "pivot_event_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value") > 150)            // sparse: sparse so empty cells exercise the NULL-to-0 fill
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // Unpivot: wide → long via stack (the inverse; also used internally by
+    // the MinHash banding).
+    "unpivot_event_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value") > 150)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1))).na.fill(0L)
+        .selectExpr("user_id",
+          "stack(5, 'view', view, 'click', click, 'purchase', purchase, " +
+            "'signup', signup, 'error', error) AS (event_type, n)")
+        .filter(col("n") > 0)
+    }),
+
     // W2: ROW_NUMBER dedup keep-first (ref: mart_dim_location.sql:3-25).
     "w2_rownum_dedup" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id").asc)
@@ -154,6 +180,19 @@ object AggWindows {
         |  FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN 1
         |    WHEN event_type = 'signup' THEN 2 ELSE 3 END AS priority FROM events))
         |WHERE rn = 1""".stripMargin,
+
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events WHERE value > 150 GROUP BY user_id""".stripMargin,
+
+    "unpivot_event_counts" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events WHERE value > 150 GROUP BY user_id, event_type""".stripMargin,
 
     "w2_rownum_dedup" ->
       """SELECT doc_id, lang, source
