@@ -71,6 +71,26 @@ object AggWindows {
         .select(col("user_id"), col("event_id").as("best_event_id"), col("priority"))
     }),
 
+    // ROLLUP: hierarchical subtotals in one pass (grand total + per-flag +
+    // per-(flag,status)) — Spark expands grouping sets map-side, one shuffle.
+    "rollup_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).as("total_ext"))
+    }),
+
+    // NTILE: quantile bucketing with a deterministic total order (value has
+    // ties at 2 dp; event_id breaks them identically in both engines).
+    "w6_ntile_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(dec(col("value")).asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("event_type"), col("quartile"))
+        .agg(count(lit(1)).as("n"), max(dec(col("value"))).as("q_max"))
+    }),
+
     // Pivot: long → wide with an explicit value list (explicit values keep
     // the output schema static — at scale an inferred pivot needs an extra
     // distinct pass and can explode the column count).
@@ -180,6 +200,20 @@ object AggWindows {
         |  FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN 1
         |    WHEN event_type = 'signup' THEN 2 ELSE 3 END AS priority FROM events))
         |WHERE rn = 1""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "w6_ntile_quartiles" ->
+      """SELECT event_type, quartile, count(*) AS n,
+        |  max(CAST(value AS DECIMAL(18,2))) AS q_max
+        |FROM (SELECT event_type, value, ntile(4) OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY CAST(value AS DECIMAL(18,2)) ASC, event_id ASC) AS quartile
+        |  FROM events)
+        |GROUP BY event_type, quartile""".stripMargin,
 
     "pivot_event_counts" ->
       """SELECT user_id,
