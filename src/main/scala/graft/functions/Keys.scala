@@ -35,10 +35,14 @@ object Keys {
     */
   def xxhash64Key(parts: Column*): Column = xxhash64(preimage(parts))
 
+  /** DuckDB spelling of `md5Key64` over an arbitrary expression. */
+  def md5Key64Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
   /** DuckDB spelling of `md5Key64(preimage(...))` for oracle statements. */
   def duckdbSql(parts: Seq[String], default: String = ""): String = {
     val pre = parts.map(p => s"coalesce(CAST($p AS VARCHAR), '$default')")
       .mkString("concat_ws('|', ", ", ", ")")
-    s"CAST(concat('0x', substr(md5($pre), 1, 15)) AS BIGINT)"
+    md5Key64Sql(pre)
   }
 }

@@ -31,14 +31,13 @@ object TextFns {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Portable 60-bit hash: first 15 md5 hex digits as a long. The DuckDB twin
-    * is `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`.
+  /** Portable 60-bit hash — delegates to the single definition in
+    * [[Keys.md5Key64]] so the Spark and DuckDB spellings that must stay
+    * bit-identical live in exactly one place.
     */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def md5Hash60(c: Column): Column = Keys.md5Key64(c)
 
-  def md5Hash60Sql(expr: String): String =
-    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+  def md5Hash60Sql(expr: String): String = Keys.md5Key64Sql(expr)
 
   /** Occurrence count of tokens found in a fixed vocabulary list. */
   def vocabHits(tokens: Column, vocab: Seq[String]): Column =

@@ -84,4 +84,56 @@ object CurrencyRules {
     when(code.isNotNull, status)
       .when(status === "AMBIGUOUS" && inferred.isNotNull, "INFERRED")
       .otherwise(status)
+
+  // ---- DuckDB twins, generated from the SAME rule tables as the Column
+  // chains above, so the full business map sits under the oracle gate and
+  // cannot drift from the mart implementation. Branches are disjoint, so
+  // map iteration order is immaterial.
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def urlHostSql(url: String): String =
+    s"lower(trim(coalesce(regexp_extract($url, '://([^/]+)', 1), '')))"
+
+  def urlTldSql(host: String): String =
+    s"regexp_extract($host, '\\.([a-z]{2,})$$', 1)"
+
+  def currencyCodeSql(raw: String): String = {
+    val norm = s"lower(trim($raw))"
+    val t = s"trim($raw)"
+    val labeled = cleanLower.map { case (keys, code) =>
+      s"WHEN $norm IN (${keys.map(q).mkString(", ")}) THEN ${q(code)}" }
+    val syms = cleanSymbols.map { case (sym, code) =>
+      s"WHEN $t = ${q(sym)} THEN ${q(code)}" }
+    (Seq(s"CASE WHEN $raw IS NULL OR $t = '' THEN NULL") ++ labeled ++ syms ++
+      Seq(s"WHEN $t = '$$' THEN NULL", s"WHEN $norm = 'kr' THEN NULL",
+        "ELSE NULL END")).mkString("\n    ")
+  }
+
+  def currencyStatusSql(raw: String): String = {
+    val norm = s"lower(trim($raw))"
+    val t = s"trim($raw)"
+    val allLower = cleanLower.keys.flatten.map(q).mkString(", ")
+    val allSyms = cleanSymbols.keys.map(q).mkString(", ")
+    s"""CASE WHEN $raw IS NULL OR $t = '' THEN 'UNKNOWN'
+       |    WHEN $norm IN ($allLower) THEN 'CLEAN'
+       |    WHEN $t IN ($allSyms) THEN 'CLEAN'
+       |    WHEN $t = '$$' THEN 'AMBIGUOUS'
+       |    WHEN $norm = 'kr' THEN 'AMBIGUOUS'
+       |    ELSE 'UNKNOWN' END""".stripMargin
+  }
+
+  def inferredCurrencySql(code: String, status: String, host: String, tld: String): String = {
+    val amb = s"$status = 'AMBIGUOUS'"
+    val chain = tldCurrency.map { case (t, ccy) =>
+      s"WHEN $amb AND $tld = ${q(t)} THEN ${q(ccy)}" }
+    (Seq(s"CASE WHEN $code IS NOT NULL THEN $code",
+      s"WHEN $amb AND $host LIKE '%co.uk' THEN 'GBP'") ++ chain ++
+      Seq("ELSE NULL END")).mkString("\n    ")
+  }
+
+  def statusFinalSql(code: String, status: String, inferred: String): String =
+    s"""CASE WHEN $code IS NOT NULL THEN $status
+       |    WHEN $status = 'AMBIGUOUS' AND $inferred IS NOT NULL THEN 'INFERRED'
+       |    ELSE $status END""".stripMargin
 }

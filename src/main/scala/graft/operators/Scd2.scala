@@ -54,9 +54,19 @@ object Scd2 {
     val openCur = cur.filter(col("dbt_valid_to").isNull)
     val curState = openCur.select(col("_key"), col("dbt_updated_at").as("_cur_ts"))
 
+    // One new version per key per run: dbt requires the snapshot query to be
+    // unique on unique_key; if a batch carries several newer rows for one
+    // key, keep only the latest (otherwise the merge would open multiple
+    // simultaneous versions). Tie-break on updatedAt is deterministic
+    // because a later duplicate at the same instant is a no-op row.
+    val latestW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_key")).orderBy(col(updatedAt).desc)
     val incNew = inc.join(curState, Seq("_key"), "left")
       .filter(col("_cur_ts").isNull || col(updatedAt) > col("_cur_ts"))
       .drop("_cur_ts")
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(latestW))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
     val changes = incNew
       .withColumn("dbt_scd_id", scdId(uniqueKey))
       .withColumn("dbt_updated_at", col(updatedAt))

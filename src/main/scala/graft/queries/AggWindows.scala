@@ -96,11 +96,13 @@ object AggWindows {
     // distinct pass and can explode the column count).
     "pivot_event_counts" -> ((s, dir) => {
       Tables.events(s, dir)
-        .filter(col("value") > 150)            // sparse: sparse so empty cells exercise the NULL-to-0 fill
+        .filter(col("value") > 150)            // sparse slice: empty cells exercise the NULL-to-0 fill
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivoted columns — a frame-wide fill would rewrite a
+        // NULL user_id group key to 0 and diverge from the oracle's GROUP BY
+        .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
     }),
 
     // Unpivot: wide → long via stack (the inverse; also used internally by
@@ -110,7 +112,8 @@ object AggWindows {
         .filter(col("value") > 150)
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
-        .agg(count(lit(1))).na.fill(0L)
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
         .selectExpr("user_id",
           "stack(5, 'view', view, 'click', click, 'purchase', purchase, " +
             "'signup', signup, 'error', error) AS (event_type, n)")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{Keys, LocaleNumeric}
+import graft.glamira.CurrencyRules
 
 /** The Glamira pipeline semantics under the DRIVER's oracle gate.
   *
@@ -100,34 +101,6 @@ object GlamiraShaped {
     "glamira_fact_currency" -> ((s, dir) => {
       val so = stgOrderShaped(s, dir)
       val raw = col("product_currency")
-      val norm = lower(trim(raw))
-      val t = trim(raw)
-      val code = when(raw.isNull || t === "", lit(null).cast(StringType))
-        .when(norm === "usd", "USD")
-        .when(t === "€", "EUR")
-        .when(t === "$", lit(null).cast(StringType))
-        .when(norm === "kr", lit(null).cast(StringType))
-        .otherwise(lit(null).cast(StringType))
-      val status = when(raw.isNull || t === "", "UNKNOWN")
-        .when(norm === "usd", "CLEAN")
-        .when(t === "€", "CLEAN")
-        .when(t === "$", "AMBIGUOUS")
-        .when(norm === "kr", "AMBIGUOUS")
-        .otherwise("UNKNOWN")
-      val host = lower(trim(coalesce(regexp_extract(col("current_url"), "://([^/]+)", 1), lit(""))))
-      val tld = regexp_extract(host, "\\.([a-z]{2,})$", 1)
-      val amb = col("currency_status") === "AMBIGUOUS"
-      val inferred = when(col("currency_code_mapped").isNotNull, col("currency_code_mapped"))
-        .when(amb && host.endsWith("co.uk"), "GBP")
-        .when(amb && tld === "uk", "GBP")
-        .when(amb && tld === "de", "EUR")
-        .when(amb && tld === "se", "SEK")
-        .when(amb && tld === "fr", "EUR")
-        .when(amb && tld === "dk", "DKK")
-        .otherwise(lit(null).cast(StringType))
-      val statusFinal = when(col("currency_code_mapped").isNotNull, col("currency_status"))
-        .when(amb && col("inferred_currency").isNotNull, "INFERRED")
-        .otherwise(col("currency_status"))
 
       val fx = s.createDataFrame(
         java.util.Arrays.asList(
@@ -142,10 +115,14 @@ object GlamiraShaped {
       val fxLatest = fx.join(broadcast(fx.agg(max(col("fx_date")).as("mx"))),
         col("fx_date") === col("mx")).select(col("fx_ccy"), col("usd_to_ccy"))
 
-      so.withColumn("currency_code_mapped", code)
-        .withColumn("currency_status", status)
-        .withColumn("inferred_currency", inferred)
-        .withColumn("currency_status_final", statusFinal)
+      so.withColumn("currency_code_mapped", CurrencyRules.currencyCode(raw))
+        .withColumn("currency_status", CurrencyRules.currencyStatus(raw))
+        .withColumn("url_host", CurrencyRules.urlHost(col("current_url")))
+        .withColumn("url_tld", CurrencyRules.urlTld(col("url_host")))
+        .withColumn("inferred_currency", CurrencyRules.inferredCurrency(
+          col("currency_code_mapped"), col("currency_status"), col("url_host"), col("url_tld")))
+        .withColumn("currency_status_final", CurrencyRules.statusFinal(
+          col("currency_code_mapped"), col("currency_status"), col("inferred_currency")))
         .withColumn("currency_code", coalesce(col("currency_code_mapped"), col("inferred_currency")))
         .join(broadcast(fxLatest), col("fx_ccy") === col("currency_code"), "left")
         .withColumn("price_usd",
@@ -234,40 +211,27 @@ object GlamiraShaped {
     Map(
       "glamira_stg_order" -> s"WITH $stgCte\n$stgSelect",
 
+      // The currency CTEs are GENERATED from graft.glamira.CurrencyRules'
+      // own rule tables — the full production map sits under this gate and
+      // cannot drift from the mart implementation.
       "glamira_fact_currency" ->
         s"""WITH $stgCte,
            |stg AS ($stgSelect),
            |cur AS (
            |  SELECT *,
-           |    CASE WHEN product_currency IS NULL OR trim(product_currency) = '' THEN NULL
-           |         WHEN lower(trim(product_currency)) = 'usd' THEN 'USD'
-           |         WHEN trim(product_currency) = '€' THEN 'EUR'
-           |         ELSE NULL END AS currency_code_mapped,
-           |    CASE WHEN product_currency IS NULL OR trim(product_currency) = '' THEN 'UNKNOWN'
-           |         WHEN lower(trim(product_currency)) = 'usd' THEN 'CLEAN'
-           |         WHEN trim(product_currency) = '€' THEN 'CLEAN'
-           |         WHEN trim(product_currency) = '$$' THEN 'AMBIGUOUS'
-           |         WHEN lower(trim(product_currency)) = 'kr' THEN 'AMBIGUOUS'
-           |         ELSE 'UNKNOWN' END AS currency_status,
-           |    lower(trim(coalesce(regexp_extract(current_url, '://([^/]+)', 1), ''))) AS url_host
+           |    ${CurrencyRules.currencyCodeSql("product_currency")} AS currency_code_mapped,
+           |    ${CurrencyRules.currencyStatusSql("product_currency")} AS currency_status,
+           |    ${CurrencyRules.urlHostSql("current_url")} AS url_host
            |  FROM stg),
            |inf AS (
            |  SELECT *,
-           |    regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) AS url_tld,
-           |    CASE WHEN currency_code_mapped IS NOT NULL THEN currency_code_mapped
-           |         WHEN currency_status = 'AMBIGUOUS' AND url_host LIKE '%co.uk' THEN 'GBP'
-           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'uk' THEN 'GBP'
-           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'de' THEN 'EUR'
-           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'se' THEN 'SEK'
-           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'fr' THEN 'EUR'
-           |         WHEN currency_status = 'AMBIGUOUS' AND regexp_extract(url_host, '\\.([a-z]{2,})$$', 1) = 'dk' THEN 'DKK'
-           |         ELSE NULL END AS inferred_currency
+           |    ${CurrencyRules.inferredCurrencySql("currency_code_mapped", "currency_status",
+                  "url_host", CurrencyRules.urlTldSql("url_host"))} AS inferred_currency
            |  FROM cur),
            |fin AS (
            |  SELECT *,
-           |    CASE WHEN currency_code_mapped IS NOT NULL THEN currency_status
-           |         WHEN currency_status = 'AMBIGUOUS' AND inferred_currency IS NOT NULL THEN 'INFERRED'
-           |         ELSE currency_status END AS currency_status_final,
+           |    ${CurrencyRules.statusFinalSql("currency_code_mapped", "currency_status",
+                  "inferred_currency")} AS currency_status_final,
            |    coalesce(currency_code_mapped, inferred_currency) AS currency_code
            |  FROM inf),
            |fx(fx_date, fx_ccy, usd_to_ccy) AS (VALUES

@@ -31,14 +31,20 @@ object Pipeline {
     ("2026-01-22", "USD", "CAD", 1.25935),
     ("2026-01-22", "USD", "SEK", 9.14995))
 
-  private def writeSeedCsv(): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_seed_fx.csv")
+  /** Written once per JVM to a unique temp path — a fixed shared name would
+    * race between concurrent driver processes on one host. (local-mode
+    * fixture: on a real cluster the seed would live on shared storage.)
+    */
+  private lazy val seedCsvPath: String = {
+    val p = java.nio.file.Files.createTempFile("graft_seed_fx", ".csv")
     val body = "fx_date,base_code,currency_code,usd_to_ccy\n" +
       fxRows.map { case (d, b, c, r) => s"$d,$b,$c,$r" }.mkString("\n")
     java.nio.file.Files.writeString(p, body)
+    p.toFile.deleteOnExit()
     p.toString
   }
+
+  private def writeSeedCsv(): String = seedCsvPath
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9: seed CSV with explicit typed schema (ref: seeds/fx_to_usd_22_01_26.csv,

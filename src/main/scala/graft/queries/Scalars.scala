@@ -116,8 +116,10 @@ object Scalars {
         .when(col("lang") === "fr", "EUR")
         .when(col("lang") === "zh", "CNY")
         .otherwise(lit(null).cast(StringType))
+      // try_cast, not cast: a non-digit final character must fall through to
+      // 'XXX' like the oracle's TRY_CAST, not abort the job under ANSI mode
       val inferred = coalesce(col("currency"),
-        when(substring(col("source"), -1, 1).cast(IntegerType) % 2 === 0, "USD")
+        when(substring(col("source"), -1, 1).try_cast(IntegerType) % 2 === 0, "USD")
           .otherwise("XXX"))
       Tables.documents(s, dir)
         .withColumn("currency", currency)

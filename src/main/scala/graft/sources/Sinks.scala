@@ -60,14 +60,24 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val tmp = path + "_compacting"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // A leftover backup means a previous compact crashed mid-swap; refuse to
+    // proceed (and above all: never delete it) until it is reconciled.
+    if (fs.exists(bak))
+      sys.error(s"compact: stale backup $bak exists — recover it before re-compacting")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    // rename returns false instead of throwing — check every step, and only
+    // drop the backup after the new data is in place.
+    if (!fs.rename(dst, bak))
+      sys.error(s"compact: could not move $dst aside to $bak")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(bak, dst) // roll back so readers keep a table
+      sys.error(s"compact: could not move $tmp into place; original restored")
+    }
     fs.delete(bak, true)
   }
 }

@@ -24,8 +24,11 @@ object EventStream {
     StructField("props", StringType)))
 
   /** Watermarked tumbling-window aggregate: events per (window, type) with
-    * exact decimal value sums. Late data beyond 10 minutes is dropped by
-    * the watermark; state is bounded.
+    * exact decimal value sums. In append-mode deployments the 10-minute
+    * watermark drops later data and bounds state; `runAvailableNow` below
+    * deliberately runs it in COMPLETE mode for batch-parity demos, where the
+    * watermark does not evict state — don't use that mode on an unbounded
+    * stream.
     */
   def windowedCounts(events: DataFrame): DataFrame =
     events

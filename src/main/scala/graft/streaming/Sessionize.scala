@@ -79,7 +79,13 @@ object Sessionize {
               val t = micros(e.ts)
               cur match {
                 case Some(s) if t - s.end <= gapUs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // extend in BOTH directions: an in-watermark out-of-order
+                  // event earlier than the open session's start must pull the
+                  // start back, and first_event_id is min(event_id) exactly
+                  // as the batch twin aggregates it
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1,
+                    firstEventId = math.min(s.firstEventId, e.event_id)))
                 case Some(s) =>
                   closed += emit(s)
                   cur = Some(SessionState(t, t, 1, e.event_id))

@@ -100,6 +100,13 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 1000)
     assert(back.agg(org.apache.spark.sql.functions.sum($"id")).as[Long].head() === 499500L)
     assert(!new java.io.File(dir + "_precompact").exists())
+
+    // a stale backup from a crashed run must make compact refuse, not
+    // silently destroy the only rollback copy
+    new java.io.File(dir + "_precompact").mkdirs()
+    val e = intercept[RuntimeException](Sinks.compact(spark, dir, 2))
+    assert(e.getMessage.contains("stale backup"))
+    new java.io.File(dir + "_precompact").delete()
   }
 
   test("csv sink with header round-trips") {

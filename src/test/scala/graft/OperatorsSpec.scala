@@ -34,6 +34,18 @@ class Scd2Spec extends SparkSpec {
     assert(s2.filter($"user_id" === 3 && $"dbt_valid_to".isNull).count() === 1)
   }
 
+  test("one batch with several newer rows per key opens exactly one version") {
+    val s1 = Scd2.firstRun(batch((1L, "a@x.com", 100L)), Seq("user_id"), "updated_at")
+    val s2 = Scd2.snapshot(s1,
+      batch((1L, "mid@x.com", 120L), (1L, "new@x.com", 150L)),
+      Seq("user_id"), "updated_at").cache()
+    assert(s2.count() === 2)   // original (closed) + latest incoming only
+    val open = s2.filter($"dbt_valid_to".isNull).collect()
+    assert(open.length === 1 && open.head.getAs[String]("email") === "new@x.com")
+    val closed = s2.filter($"dbt_valid_to".isNotNull).collect()
+    assert(closed.length === 1 && closed.head.getAs[String]("email") === "a@x.com")
+  }
+
   test("idempotent re-apply: same batch twice is a no-op") {
     val b = batch((1L, "a@x.com", 100L))
     val s1 = Scd2.firstRun(b, Seq("user_id"), "updated_at")
