@@ -13,7 +13,10 @@ class DeterminismSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
 
-  private val dir = "/root/testdata/sf0.001"
+  // default smoke scale; set GRAFT_DETERMINISM_SF=/root/testdata/sf0.01 for
+  // the deeper (slower) sweep — scale-dependent nondeterminism exists (the
+  // text_quality rounding tie only appeared at sf0.1)
+  private val dir = sys.env.getOrElse("GRAFT_DETERMINISM_SF", "/root/testdata/sf0.001")
 
   test("all queries produce identical results on re-execution") {
     val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
