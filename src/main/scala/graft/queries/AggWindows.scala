@@ -71,6 +71,19 @@ object AggWindows {
         .select(col("user_id"), col("event_id").as("best_event_id"), col("priority"))
     }),
 
+    // Tumbling time-window aggregate in BATCH mode — the same window()
+    // construct the streaming surface uses, oracle-checked here. Spark's
+    // windows are epoch-aligned (1970-01-01 UTC), which the oracle mirrors
+    // with integer-micros bucket arithmetic.
+    "time_window_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+        .select(col("window.start").as("bucket_start"), col("event_type"),
+          col("n"), col("sum_value"))
+    }),
+
     // ROLLUP: hierarchical subtotals in one pass (grand total + per-flag +
     // per-(flag,status)) — Spark expands grouping sets map-side, one shuffle.
     "rollup_revenue" -> ((s, dir) => {
@@ -203,6 +216,13 @@ object AggWindows {
         |  FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN 1
         |    WHEN event_type = 'signup' THEN 2 ELSE 3 END AS priority FROM events))
         |WHERE rn = 1""".stripMargin,
+
+    "time_window_agg" ->
+      """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % CAST(21600000000 AS BIGINT)) AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
 
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
