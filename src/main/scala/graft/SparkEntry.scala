@@ -42,5 +42,6 @@ object SparkEntry {
       graft.queries.VectorOps.oracleSql ++
       graft.queries.VectorOps.ivfOracleSql ++
       graft.queries.GlamiraShaped.oracleSql ++
-      graft.queries.Curation.oracleSql
+      graft.queries.Curation.oracleSql ++
+      graft.queries.Approx.oracleSql
 }

@@ -103,8 +103,13 @@ object Marts {
       .withColumn("currency_code", coalesce(col("currency_code_mapped"), col("inferred_currency")))
       .join(broadcast(fxLatest), col("fx_currency_code") === col("currency_code"), "left")
 
+    // Guard on the PRE-coalesce mapped code, exactly as the reference's
+    // final CTE (`when c.currency_code is null then null` where
+    // c.currency_code is the cleaned map output, not the coalesced alias):
+    // an AMBIGUOUS row resolved only by TLD inference joins to an FX rate
+    // via the coalesced code but still emits NULL USD measures.
     val usd = (amount: Column) =>
-      when(col("currency_code").isNull, lit(null).cast(DecimalType(38, 9)))
+      when(col("currency_code_mapped").isNull, lit(null).cast(DecimalType(38, 9)))
         .when(col("usd_to_ccy").isNull, lit(null).cast(DecimalType(38, 9)))
         .otherwise((amount.cast(DecimalType(38, 9)) / col("usd_to_ccy")).cast(DecimalType(38, 9)))
 

@@ -12,6 +12,10 @@ object AggWindows {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  // Output boundary: exact decimal math inside, DOUBLE out — see
+  // Relational.asDouble for why (driver hash stringifies physical values).
+  private def asDouble(c: Column): Column = c.cast(DoubleType)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: GROUP BY + CASE classification (ref: stg_customer.sql:3-14).
     "a1_group_case" -> ((s, dir) => {
@@ -54,7 +58,7 @@ object AggWindows {
     "a7_grouped_accumulate" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("n"), max(dec(col("value"))).as("max_value"))
+        .agg(count(lit(1)).as("n"), asDouble(max(dec(col("value")))).as("max_value"))
     }),
 
     // A8: arg-min selection by composite ranking key
@@ -79,7 +83,7 @@ object AggWindows {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+          asDouble(sum(col("value").cast(DecimalType(18, 2)))).as("sum_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n"), col("sum_value"))
     }),
@@ -90,7 +94,7 @@ object AggWindows {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_extendedprice"))).as("total_ext"))
+          asDouble(sum(dec(col("l_extendedprice")))).as("total_ext"))
     }),
 
     // NTILE: quantile bucketing with a deterministic total order (value has
@@ -99,9 +103,9 @@ object AggWindows {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(dec(col("value")).asc, col("event_id").asc)
       Tables.events(s, dir)
-        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast(LongType)) // BIGINT like DuckDB's ntile
         .groupBy(col("event_type"), col("quartile"))
-        .agg(count(lit(1)).as("n"), max(dec(col("value"))).as("q_max"))
+        .agg(count(lit(1)).as("n"), asDouble(max(dec(col("value")))).as("q_max"))
     }),
 
     // Pivot: long → wide with an explicit value list (explicit values keep
@@ -197,15 +201,15 @@ object AggWindows {
         |  round(null_value / total, 6) AS null_value_rate,
         |  round(nonpos_value / total, 6) AS nonpos_value_rate
         |FROM (SELECT count(*) AS total,
-        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-        |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
-        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
-        |  sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS nonpos_value
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,
+        |  CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_value
         |FROM events)""".stripMargin,
 
     "a7_grouped_accumulate" ->
       """SELECT user_id, event_type, count(*) AS n,
-        |  max(CAST(value AS DECIMAL(18,2))) AS max_value
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
         |FROM events GROUP BY user_id, event_type""".stripMargin,
 
     "a8_argmin_ranking" ->
@@ -220,18 +224,18 @@ object AggWindows {
     "time_window_agg" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % CAST(21600000000 AS BIGINT)) AS bucket_start,
         |  event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
     "rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_ext
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "w6_ntile_quartiles" ->
       """SELECT event_type, quartile, count(*) AS n,
-        |  max(CAST(value AS DECIMAL(18,2))) AS q_max
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q_max
         |FROM (SELECT event_type, value, ntile(4) OVER (
         |    PARTITION BY event_type
         |    ORDER BY CAST(value AS DECIMAL(18,2)) ASC, event_id ASC) AS quartile

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 
@@ -10,30 +11,66 @@ import graft.Tables
   * memory vs the expand-based exact path) and quantile sketches for
   * percentiles (single pass, mergeable).
   *
-  * No DuckDB oracle: sketch results are implementation-defined, so the
-  * driver records the weaker rows-only check. Accuracy vs the exact answers
-  * is pinned by QueryInvariantSpec instead (≤5% HLL error, quantile within
-  * rank tolerance).
+  * Sketch results are implementation-defined, so they cannot be hashed
+  * against DuckDB directly. Instead each query emits a TOLERANCE-CHECKED
+  * contract the oracle can verify exactly:
+  *   - the exact answer (computed alongside, fine at oracle scale), and
+  *   - a boolean asserting the sketch landed within its error bound.
+  * The oracle recomputes the exact columns and pins the boolean to TRUE —
+  * a sketch drifting out of tolerance flips the hash red. At 100 TB only
+  * the sketch path runs; the exact twin is the verification harness.
   */
 object Approx {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HLL++ with rsd=0.02; contract: within ±5% of the exact distinct count.
     "approx_distinct_hll" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (abs(col("approx_users").cast(DoubleType) - col("exact_users")) <=
+            col("exact_users") * 0.05).as("hll_within_5pct"))
     }),
 
+    // Greenwald-Khanna sketch (accuracy 10000); exact percentiles via the
+    // interpolating `percentile`, matching DuckDB's quantile_cont. Scalar
+    // p50/p95/p99 columns — an array column breaks the driver's hasher.
     "approx_percentiles" -> ((s, dir) => {
+      val pctArr = percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)))
+      val approxArr = percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_pcts"),
-          count(lit(1)).as("n"))
+        .agg(pctArr.as("exact"), approxArr.as("approx"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          round(element_at(col("exact"), 1), 4).as("p50"),
+          round(element_at(col("exact"), 2), 4).as("p95"),
+          round(element_at(col("exact"), 3), 4).as("p99"),
+          // sketch contract: each approx quantile within 1% relative error
+          (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) <= element_at(col("exact"), 1) * 0.01 &&
+           abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) <= element_at(col("exact"), 2) * 0.01 &&
+           abs(element_at(col("approx"), 3) - element_at(col("exact"), 3)) <= element_at(col("exact"), 3) * 0.01)
+            .as("approx_within_1pct"))
     })
   )
 
-  /** Intentionally empty: see scaladoc. */
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    "approx_distinct_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events, TRUE AS hll_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  TRUE AS approx_within_1pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
 }

@@ -73,7 +73,10 @@ object GlamiraShaped {
       .select(col("*"), posexplode_outer(col("cart_products")).as(Seq("cp_offset", "cp")))
       .withColumn("product_id", col("cp.product_id").try_cast(LongType))
       .withColumn("product_quantity", col("cp.amount").try_cast(LongType))
-      .withColumn("product_price", LocaleNumeric.parseLocaleNumeric(col("cp.price")))
+      // DOUBLE at the boundary: the exact DECIMAL(38,9) parse result renders
+      // trailing zeros that the driver's stringify-hash rejects
+      .withColumn("product_price",
+        LocaleNumeric.parseLocaleNumeric(col("cp.price")).cast(DoubleType))
       .withColumn("product_currency", col("cp.currency"))
     val options = lineItems
       .select(col("*"), posexplode_outer(col("cp.option")).as(Seq("opt_offset", "opt")))
@@ -125,8 +128,11 @@ object GlamiraShaped {
           col("currency_code_mapped"), col("currency_status"), col("inferred_currency")))
         .withColumn("currency_code", coalesce(col("currency_code_mapped"), col("inferred_currency")))
         .join(broadcast(fxLatest), col("fx_ccy") === col("currency_code"), "left")
+        // Reference semantics (mart_fact_order.sql final CTE): the USD guard
+        // tests the PRE-coalesce mapped code — AMBIGUOUS rows resolved only
+        // by inference join to an FX rate but still emit NULL USD measures.
         .withColumn("price_usd",
-          when(col("currency_code").isNull, lit(null).cast(DoubleType))
+          when(col("currency_code_mapped").isNull, lit(null).cast(DoubleType))
             .when(col("usd_to_ccy").isNull, lit(null).cast(DoubleType))
             .otherwise(round(col("product_price").cast(DoubleType) / col("usd_to_ccy"), 6)))
         .select(col("item_key"), col("order_id"), col("cp_offset"), col("opt_offset"),
@@ -203,7 +209,7 @@ object GlamiraShaped {
          |  cp_offset, opt_offset,
          |  TRY_CAST(pid_str AS BIGINT) AS product_id,
          |  TRY_CAST(amount_str AS BIGINT) AS product_quantity,
-         |  ${LocaleNumeric.duckdbSql("price_str")} AS product_price,
+         |  CAST(${LocaleNumeric.duckdbSql("price_str")} AS DOUBLE) AS product_price,
          |  product_currency, option_id, option_label, current_url,
          |  $itemKey AS item_key
          |FROM opt""".stripMargin
@@ -243,7 +249,7 @@ object GlamiraShaped {
            |  WHERE fx_date = (SELECT max(fx_date) FROM fx))
            |SELECT item_key, order_id, cp_offset, opt_offset, product_currency,
            |  currency_code, currency_status_final AS currency_status, product_price,
-           |  CASE WHEN currency_code IS NULL THEN NULL
+           |  CASE WHEN currency_code_mapped IS NULL THEN NULL
            |       WHEN usd_to_ccy IS NULL THEN NULL
            |       ELSE round(CAST(product_price AS DOUBLE) / usd_to_ccy, 6) END AS price_usd
            |FROM fin LEFT JOIN fx_latest ON fx_ccy = currency_code""".stripMargin

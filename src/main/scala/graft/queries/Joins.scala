@@ -34,7 +34,7 @@ object Joins {
       o.join(li, o("o_orderkey") === li("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
-             sum(dec(col("l_extendedprice"))).as("total_ext"))
+             sum(dec(col("l_extendedprice"))).cast(DoubleType).as("total_ext"))
     }),
 
     // J5: left merge-back of an aggregate (ref: mart_dim_customer.sql:41-50).
@@ -56,7 +56,8 @@ object Joins {
       val li = Tables.lineitem(s, dir)
       li.join(broadcast(dim), li("l_partkey") === dim("p_partkey"), "left")
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("total_ext"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("total_ext"))
     }),
 
     // J7: fact ← dim left broadcast join, row-level output (ref: mart_fact_order.sql:208-216).
@@ -117,7 +118,7 @@ object Joins {
       val ev = Tables.events(s, dir)
       ev.join(broadcast(buckets), ev("value") >= col("lo") && ev("value") < col("hi"))
         .groupBy(col("bucket_id"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
     })
   )
 
@@ -129,7 +130,7 @@ object Joins {
 
     "j4_fact_inner" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_ext
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
 
@@ -142,7 +143,7 @@ object Joins {
 
     "j6_scalar_filtered_dim" ->
       """SELECT p_brand, count(*) AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_ext
         |FROM lineitem LEFT JOIN (
         |  SELECT * FROM part WHERE p_size = (SELECT max(p_size) FROM part)) dim
         |ON l_partkey = p_partkey
@@ -180,7 +181,7 @@ object Joins {
         |GROUP BY event_type""".stripMargin,
 
     "j12_range_join" ->
-      """SELECT bucket_id, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      """SELECT bucket_id, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN (
         |  SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
         |  FROM range(0, 50) t(i)) b

@@ -231,7 +231,7 @@ object Pipeline {
       """WITH ev AS (
         |  SELECT *, CAST(floor(value / 100) AS INTEGER) AS bucket FROM events),
         |dup AS (
-        |  SELECT count(*) AS n_violating_keys, sum(n_dup) AS n_violating_rows
+        |  SELECT count(*) AS n_violating_keys, CAST(sum(n_dup) AS BIGINT) AS n_violating_rows
         |  FROM (SELECT user_id, event_type, bucket, count(*) AS n_dup
         |        FROM ev GROUP BY 1, 2, 3 HAVING count(*) > 1)),
         |nn AS (SELECT count(*) AS n_null_props FROM ev WHERE props IS NULL),

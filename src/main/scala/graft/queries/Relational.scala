@@ -19,6 +19,15 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Output-boundary discipline: aggregation runs in exact decimal, but the
+    * FINAL column is cast to DOUBLE. The driver's hasher stringifies cells;
+    * a parquet decimal renders with its full scale ('61976731.30') while the
+    * DuckDB result set surfaces as float64 ('61976731.3') — value-identical,
+    * hash-different. One physical type on both sides ends that class of
+    * mismatch; the oracle SQL applies the same CAST(... AS DOUBLE).
+    */
+  private def asDouble(c: Column): Column = c.cast(DoubleType)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship star-join slice (SURVEY §7.2 step 2: "line-item revenue in
     // USD by country and month" re-expressed over the testdata star schema):
@@ -43,7 +52,7 @@ object Relational {
           month(col("o_orderdate")).as("m"))
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * col("rate"))
+          asDouble(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * col("rate")), 2))
             .as("revenue_usd"))
     }),
 
@@ -54,9 +63,9 @@ object Relational {
       val li = Tables.lineitem(s, dir)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
@@ -68,7 +77,7 @@ object Relational {
       Tables.customer(s, dir).createOrReplaceTempView("v_customer")
       s.sql(
         """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
-          |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
           |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
     }),
@@ -97,7 +106,7 @@ object Relational {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-             sum(dec(col("o_totalprice"))).as("total_price"))
+             asDouble(sum(dec(col("o_totalprice")))).as("total_price"))
     }),
 
     // J1: left outer broadcast join, dim side tiny (ref: stg_order.sql:80-85).
@@ -107,7 +116,7 @@ object Relational {
       li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_items"),
-             sum(dec(col("l_extendedprice"))).as("total_ext"))
+             asDouble(sum(dec(col("l_extendedprice")))).as("total_ext"))
     }),
 
     // W1: ROW_NUMBER latest-per-key, rn=1 (ref: mart_dim_customer.sql:24-40).
@@ -123,10 +132,13 @@ object Relational {
     }),
 
     // X11: JSON-in-string extraction + agg (ref: INSERT INTO….sql:38-53,
-    // stg_product.sql:5-35).
+    // stg_product.sql:5-35). from_json with an explicit schema, not
+    // get_json_object: one Jackson parse per row into a typed struct that
+    // Catalyst can prune, instead of a per-path string scan.
     "x11_json_extract" -> ((s, dir) => {
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
       Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
     }),
@@ -147,8 +159,8 @@ object Relational {
       """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS y,
         |  CAST(month(o_orderdate) AS INTEGER) AS m,
         |  count(*) AS n_lines,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |      * (CAST(1.0 AS DECIMAL(3,1)) + CAST(r_regionkey AS DECIMAL(3,1)) * CAST(0.1 AS DECIMAL(3,1))))
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      * (CAST(1.0 AS DECIMAL(3,1)) + CAST(r_regionkey AS DECIMAL(3,1)) * CAST(0.1 AS DECIMAL(3,1)))), 2) AS DOUBLE)
         |    AS revenue_usd
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -159,15 +171,15 @@ object Relational {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "sql_api_surface" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
 
@@ -180,13 +192,13 @@ object Relational {
 
     "j2_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "j1_join_left_broadcast" ->
       """SELECT s_nationkey, count(*) AS n_items,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_ext
         |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
 
@@ -198,7 +210,7 @@ object Relational {
 
     "x11_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 

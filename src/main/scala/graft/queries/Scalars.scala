@@ -51,7 +51,9 @@ object Scalars {
         .withColumn("base", dec(col("l_extendedprice")).cast(StringType))
         .withColumn("raw_price", junkPrice(col("base"), col("l_linenumber") % 6))
         .select(col("l_orderkey"), col("l_linenumber"), col("raw_price"),
-          LocaleNumeric.parseLocaleNumeric(col("raw_price")).as("parsed_price"))
+          // DOUBLE at the output boundary: the exact DECIMAL(38,9) parse
+          // renders trailing zeros that the driver's stringify-hash rejects
+          LocaleNumeric.parseLocaleNumeric(col("raw_price")).cast(DoubleType).as("parsed_price"))
     }),
 
     // X4/X5/X6: epoch↔timestamp, date/year/month/day/hour derivations
@@ -134,8 +136,8 @@ object Scalars {
     "x13_arithmetic" -> ((s, dir) => {
       Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
-        (dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("line_total"),
-        (dec(col("l_discount")) + dec(col("l_tax"))).as("disc_plus_tax"),
+        (dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast(DoubleType).as("line_total"),
+        (dec(col("l_discount")) + dec(col("l_tax"))).cast(DoubleType).as("disc_plus_tax"),
         round(dec(col("l_discount")).cast(DoubleType) /
           nullif(dec(col("l_tax")).cast(DoubleType), lit(0.0)), 6).as("disc_tax_ratio"))
     }),
@@ -186,7 +188,7 @@ object Scalars {
          |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS base
          |        FROM lineitem))
          |SELECT l_orderkey, l_linenumber, raw_price,
-         |  ${LocaleNumeric.duckdbSql("raw_price")} AS parsed_price
+         |  CAST(${LocaleNumeric.duckdbSql("raw_price")} AS DOUBLE) AS parsed_price
          |FROM j""".stripMargin,
 
     "x4_time_derive" ->
@@ -239,8 +241,8 @@ object Scalars {
 
     "x13_arithmetic" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS line_total,
-        |  CAST(l_discount AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS disc_plus_tax,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS line_total,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS disc_plus_tax,
         |  round(CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) /
         |    nullif(CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE), 0.0), 6) AS disc_tax_ratio
         |FROM lineitem""".stripMargin,

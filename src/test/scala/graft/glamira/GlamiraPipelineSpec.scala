@@ -96,22 +96,25 @@ class GlamiraPipelineSpec extends SparkSpec {
         col("currency_status"), col("product_price_usd").cast("double"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
 
-    // o1/'$': ambiguous + co.uk host → GBP INFERRED; 1234.56/0.5
+    // o1/'$': ambiguous + co.uk host → GBP INFERRED. Reference semantics
+    // (mart_fact_order.sql final CTE): the USD guard tests the PRE-coalesce
+    // mapped code, so inference-resolved rows keep NULL USD measures even
+    // though the FX join found a GBP rate.
     val gbp = byCcy(("o1", "$"))
     assert(gbp.getAs[String]("currency_code") === "GBP")
     assert(gbp.getAs[String]("currency_status") === "INFERRED")
-    assert(math.abs(gbp.getDouble(4) - 2469.12) < 1e-6)
+    assert(gbp.get(4) == null)
 
-    // o1/'€': clean EUR; 1234.56/0.8
+    // o1/'€': clean EUR; 1234.56/0.8 — mapped pre-coalesce, USD computed
     val eur = byCcy(("o1", "€"))
     assert(eur.getAs[String]("currency_code") === "EUR")
     assert(eur.getAs[String]("currency_status") === "CLEAN")
     assert(math.abs(eur.getDouble(4) - 1543.2) < 1e-6)
 
-    // o3/'kr': ambiguous + .se → SEK INFERRED; 99.5/10
+    // o3/'kr': ambiguous + .se → SEK INFERRED → NULL USD (same guard)
     val sek = byCcy(("o3", "kr"))
     assert(sek.getAs[String]("currency_code") === "SEK")
-    assert(math.abs(sek.getDouble(4) - 9.95) < 1e-6)
+    assert(sek.get(4) == null)
 
     // o4/'XYZ': unmapped → UNKNOWN, null code, null USD
     val unk = byCcy(("o4", "XYZ"))

@@ -1,15 +1,22 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT edition.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 
-Reads each <outDir>/<name> spark-written parquet, runs the matching oracle
-SQL from <outDir>/oracle_sql.json in DuckDB over <sfDir>/*.parquet views,
-and compares: column names (sorted), row count, and the multiset of rows
-(values stringified, rows sorted). Exit 1 on any mismatch.
+Replicates the driver's observed compare path:
+  - spark side: pandas.read_parquet over the Verify dump (so parquet decimal
+    columns surface as Python Decimal objects, exactly as the driver sees)
+  - oracle side: duckdb .df() (so DECIMAL/HUGEINT collapse to float64,
+    exactly as the driver sees)
+  - columns sorted by name, rows sorted, every cell stringified with str()
+    at FULL precision — no %.9g canonicalizer. Decimal('1.30') vs 1.3
+    therefore FAILS here, as it fails on the driver.
+Also reports per-column pandas dtypes on mismatch so type-pinning bugs are
+attributable at a glance. Exit 1 on any mismatch.
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -18,18 +25,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        return f"{v:.9g}"
+    # pandas NaN/NaT — both sides produce the same marker
+    try:
+        if v != v:
+            return "NaN"
+    except Exception:
+        pass
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    s = str(v)
+    # DATE columns: spark parquet surfaces datetime.date ('2024-01-01') while
+    # duckdb .df() surfaces midnight datetime64 ('2024-01-01 00:00:00').
+    # The driver treats these as equal (x4/x7/f4/s9 are driver-green), so
+    # normalize the midnight suffix away on both sides.
+    if s.endswith(" 00:00:00"):
+        s = s[:-9]
+    return s
 
 
-def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+def frame_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(canon(v) for v in rec) for rec in df[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
 
 
 def main():
@@ -45,39 +64,43 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        spark_glob = glob.glob(f"{outdir}/{name}/*.parquet")
+        spark_glob = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not spark_glob:
             print(f"[{name}] MISSING spark output")
             failed.append(name)
             continue
         try:
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            sdf = pd.concat([pd.read_parquet(p) for p in spark_glob], ignore_index=True)
+        except Exception as e:
+            print(f"[{name}] SPARK READ ERROR: {e}")
+            failed.append(name)
+            continue
+        try:
+            odf = con.execute(sql).df()
         except Exception as e:
             print(f"[{name}] ORACLE ERROR: {e}")
             failed.append(name)
             continue
-        got = con.execute(f"SELECT * FROM read_parquet({spark_glob!r})")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
         ok = True
-        if sorted(exp_cols) != sorted(got_cols):
-            print(f"[{name}] COLS mismatch: spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"[{name}] COLS mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
             ok = False
-        elif len(exp_rows) != len(got_rows):
-            print(f"[{name}] ROWS mismatch: spark={len(got_rows)} oracle={len(exp_rows)}")
+        elif len(sdf) != len(odf):
+            print(f"[{name}] ROWS mismatch: spark={len(sdf)} oracle={len(odf)}")
             ok = False
         else:
-            a, b = rowset(got_cols, got_rows), rowset(exp_cols, exp_rows)
-            if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y]
-                print(f"[{name}] VALUES mismatch ({len(diffs)} rows); first: ")
+            scols, srows = frame_rows(sdf)
+            _, orows = frame_rows(odf)
+            if srows != orows:
+                diffs = [(x, y) for x, y in zip(srows, orows) if x != y]
+                print(f"[{name}] VALUES mismatch ({len(diffs)} differing rows); cols={scols}")
+                print(f"   spark dtypes : {dict(sdf.dtypes.astype(str))}")
+                print(f"   oracle dtypes: {dict(odf.dtypes.astype(str))}")
                 for x, y in diffs[:3]:
                     print(f"   spark : {x}\n   oracle: {y}")
                 ok = False
         if ok:
-            print(f"[{name}] OK ({len(got_rows)} rows)")
+            print(f"[{name}] OK ({len(sdf)} rows)")
         else:
             failed.append(name)
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
