@@ -35,10 +35,30 @@ object Bench {
       spark.catalog.clearCache() // release per-query persist()s; not timed
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Double.toString, not %f: the f-interpolator is locale-sensitive (a
+    // comma decimal separator would corrupt the JSON under some locales)
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
+    // Full per-query detail → stderr (and a sidecar file for PLANS/SCALE
+    // analysis); stdout gets ONE compact JSON line. The driver parses the
+    // last ~2000 chars of stdout, so the line is capped to the headline
+    // subset — the full dict for 80+ queries would overflow the window and
+    // come back unparseable (the round-1/2 "parsed: null" failure).
+    System.err.println(s"[bench-full] ${fmt(results)}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"sf":"$sfDir","queries":${fmt(results)}}""")
+    catch { case _: Throwable => () }
+    val headline = Set(
+      "q0_flagship_star", "q1_agg", "j2_join_inner", "j4_fact_inner",
+      "w1_latest_per_key", "x11_json_extract", "x3_locale_numeric",
+      "glamira_stg_order", "glamira_fact_currency", "dedup_exact",
+      "dedup_minhash_lsh", "sim_ann_lsh", "sim_ann_ivf",
+      "text_tfidf_terms", "sess_sessionize", "rollup_revenue")
+    val qs = fmt(results.filter(r => headline(r._1)))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

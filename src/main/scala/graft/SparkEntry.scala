@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.VectorOps.ivfQueries ++
       graft.queries.GlamiraShaped.queries ++
       graft.queries.Curation.queries ++
-      graft.queries.Approx.queries
+      graft.queries.Approx.queries ++
+      graft.queries.SinkRoundTrip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.VectorOps.ivfOracleSql ++
       graft.queries.GlamiraShaped.oracleSql ++
       graft.queries.Curation.oracleSql ++
-      graft.queries.Approx.oracleSql
+      graft.queries.Approx.oracleSql ++
+      graft.queries.SinkRoundTrip.oracleSql
 }

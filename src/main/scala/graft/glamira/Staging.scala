@@ -80,6 +80,17 @@ object Staging {
       .withColumn("line_total_amount",
         col("product_quantity").cast(DecimalType(38, 9)) * col("product_price"))
       .join(locations, Seq("ip"), "left")
+      // project to the reference's exact output list (stg_order.sql:87-131):
+      // the unnest offsets feed the item_key pre-image but are NOT part of
+      // the staging contract — downstream consumers must key on item_key
+      .select(col("item_key"), col("location_key"), col("order_id"),
+        col("time_stamp"), col("event_ts"), col("local_time"), col("collection"),
+        col("ip"), col("user_agent"), col("resolution"), col("user_db_id"),
+        col("device_id"), col("api_version"), col("store_id"),
+        col("show_recommendation"), col("current_url"), col("referrer_url"),
+        col("email_address"), col("product_id"), col("product_quantity"),
+        col("product_price"), col("product_currency"), col("option_id"),
+        col("option_label"), col("line_total_amount"))
   }
 
   /** stg_customer (stg_customer.sql): fake-null user classification, email

@@ -42,6 +42,15 @@ object Skew {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    // Probe-preserving join types only. The build side is replicated once
+    // per salt, so a right/full outer join would emit `salts` null-extended
+    // duplicates for every unmatched build row — silently wrong results,
+    // not just a bad plan. (left/semi/anti are safe: each probe row carries
+    // exactly one salt, and every build key exists under every salt.)
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+    require(allowed(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched build rows " +
+        s"(build is replicated ${salts}x); use inner/left/semi/anti")
     val saltedProbe = probe.withColumn("_salt", rowSalt(salts))
     val replicated = build
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))

@@ -76,14 +76,18 @@ object Curation {
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val nDocs = docs.count()  // scalar: fixture-table count, driver-side once
+      // corpus size as a broadcast 1-row aggregate, not a driver-side
+      // .count(): keeps the whole query lazy/declarative — no eager action
+      // (and no second scan scheduling barrier) in the query path at 100 TB
+      val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
       val tf = docs.select(col("doc_id"), explode(TextFns.rawTokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok").asc)
       tf.join(df, Seq("tok"))
-        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn").as("rank"), col("tok"), col("tfidf"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{Keys, LocaleNumeric}
-import graft.glamira.CurrencyRules
+import graft.glamira.{CurrencyRules, Marts}
 
 /** The Glamira pipeline semantics under the DRIVER's oracle gate.
   *
@@ -98,8 +98,112 @@ object GlamiraShaped {
         col("option_id"), col("option_label"), col("current_url"), col("item_key"))
   }
 
+  // ---- dim_customer inputs synthesized deterministically from events -----
+
+  /** stg_customer stand-in: one row per user; raw emails carry mixed case,
+    * padding, NULLs (11-multiples) and blanks (13-multiples) so the
+    * filter + lower/trim normalization has real work.
+    */
+  private def stgCustomerShaped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").as("user_db_id")).distinct()
+      .withColumn("email_address",
+        when(col("user_db_id") % 11 === 0, lit(null).cast(StringType))
+          .when(col("user_db_id") % 13 === 0, lit("  "))
+          .otherwise(concat(lit("  U"), col("user_db_id"), lit("@Example.COM "))))
+
+  /** customer_email_scd stand-in: signup/purchase events carry an email that
+    * flips between two variants, so latest-per-(email,user) resolution and
+    * the reference's user-level fan-out both occur.
+    */
+  private def scdSnapshotShaped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isin("signup", "purchase"))
+      .select(col("user_id").as("user_db_id"),
+        concat(lit("u"), col("user_id"),
+          when(col("event_id") % 4 === 0, "+alt").otherwise(""),
+          lit("@scd.com")).as("email_address"),
+        col("ts").as("time"))
+
+  /** mart_dim_customer semantics via the production Marts implementation,
+    * with the portable md5-64 key substituted for FARM_FINGERPRINT so the
+    * oracle can recompute it (farm bit-parity is gated separately by x1).
+    */
+  private def dimCustomerShaped(s: SparkSession, dir: String): DataFrame =
+    Marts.martDimCustomer(stgCustomerShaped(s, dir), scdSnapshotShaped(s, dir))
+      .select(col("user_db_id"), col("email_address_final"), col("last_seen_ts"),
+        Keys.md5Key64(col("email_address_final")).as("customer_key"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)),
+
+    "glamira_dim_customer" -> ((s, dir) => dimCustomerShaped(s, dir)),
+
+    // Full mart_fact_order shape (ref mart_fact_order.sql:186-224): currency
+    // pipeline → latest-FX join → time derivations → original + USD measures
+    // (guarded on the PRE-coalesce mapped code) → broadcast dim joins for
+    // customer_key (on checkout email vs resolved email) and product_key.
+    "glamira_fact_order" -> ((s, dir) => {
+      val so = stgOrderShaped(s, dir)
+      val raw = col("product_currency")
+
+      val fx = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-21"), "EUR", 0.9),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "EUR", 0.8),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "USD", 1.0),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "GBP", 0.5),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "SEK", 10.0),
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "DKK", 7.5)),
+        StructType(Seq(StructField("fx_date", DateType),
+          StructField("fx_ccy", StringType), StructField("usd_to_ccy", DoubleType))))
+      val fxLatest = fx.join(broadcast(fx.agg(max(col("fx_date")).as("mx"))),
+        col("fx_date") === col("mx")).select(col("fx_ccy"), col("usd_to_ccy"))
+
+      val dimCust = dimCustomerShaped(s, dir)
+        .select(col("customer_key"), col("email_address_final"))
+      val dimProd = so.filter(col("product_id").isNotNull)
+        .select(col("product_id").as("dim_product_id")).distinct()
+        .withColumn("product_key",
+          Keys.md5Key64(concat(lit("p:"), col("dim_product_id"))))
+
+      val eventTs = timestamp_seconds(col("time_stamp"))
+      // checkout email: scd variant for most users, staging variant for
+      // 3-multiples — so the dim join has hits and deliberate misses
+      val email = when(col("user_db_id").isNull, lit(null).cast(StringType))
+        .otherwise(concat(lit("u"), col("user_db_id"),
+          when(col("user_db_id") % 3 === 0, "@example.com").otherwise("@scd.com")))
+
+      val usd = (amount: Column) =>
+        when(col("currency_code_mapped").isNull, lit(null).cast(DoubleType))
+          .when(col("usd_to_ccy").isNull, lit(null).cast(DoubleType))
+          .otherwise(round(amount / col("usd_to_ccy"), 6))
+
+      so.withColumn("currency_code_mapped", CurrencyRules.currencyCode(raw))
+        .withColumn("currency_status", CurrencyRules.currencyStatus(raw))
+        .withColumn("url_host", CurrencyRules.urlHost(col("current_url")))
+        .withColumn("url_tld", CurrencyRules.urlTld(col("url_host")))
+        .withColumn("inferred_currency", CurrencyRules.inferredCurrency(
+          col("currency_code_mapped"), col("currency_status"), col("url_host"), col("url_tld")))
+        .withColumn("currency_status_final", CurrencyRules.statusFinal(
+          col("currency_code_mapped"), col("currency_status"), col("inferred_currency")))
+        .withColumn("currency_code", coalesce(col("currency_code_mapped"), col("inferred_currency")))
+        .join(broadcast(fxLatest), col("fx_ccy") === col("currency_code"), "left")
+        .withColumn("email_address", email)
+        .withColumn("line_total_amount",
+          col("product_price") * col("product_quantity").cast(DoubleType))
+        .withColumn("product_price_usd", usd(col("product_price")))
+        .withColumn("line_total_amount_usd", usd(col("line_total_amount")))
+        .join(broadcast(dimCust), col("email_address") === col("email_address_final"), "left")
+        .join(broadcast(dimProd), col("product_id") === col("dim_product_id"), "left")
+        .select(col("item_key"), col("order_id"), col("user_db_id"),
+          eventTs.as("event_ts"), to_date(eventTs).as("event_date"),
+          col("product_id"), col("product_key"), col("customer_key"),
+          col("currency_code"), col("currency_status_final").as("currency_status"),
+          col("product_quantity"), col("product_price"), col("line_total_amount"),
+          col("product_price_usd"), col("line_total_amount_usd"))
+    }),
 
     "glamira_fact_currency" -> ((s, dir) => {
       val so = stgOrderShaped(s, dir)
@@ -214,45 +318,119 @@ object GlamiraShaped {
          |  $itemKey AS item_key
          |FROM opt""".stripMargin
 
+    // The currency CTEs are GENERATED from graft.glamira.CurrencyRules'
+    // own rule tables — the full production map sits under this gate and
+    // cannot drift from the mart implementation.
+    val currencyCtes =
+      s"""cur AS (
+         |  SELECT *,
+         |    ${CurrencyRules.currencyCodeSql("product_currency")} AS currency_code_mapped,
+         |    ${CurrencyRules.currencyStatusSql("product_currency")} AS currency_status,
+         |    ${CurrencyRules.urlHostSql("current_url")} AS url_host
+         |  FROM stg),
+         |inf AS (
+         |  SELECT *,
+         |    ${CurrencyRules.inferredCurrencySql("currency_code_mapped", "currency_status",
+                "url_host", CurrencyRules.urlTldSql("url_host"))} AS inferred_currency
+         |  FROM cur),
+         |fin AS (
+         |  SELECT *,
+         |    ${CurrencyRules.statusFinalSql("currency_code_mapped", "currency_status",
+                "inferred_currency")} AS currency_status_final,
+         |    coalesce(currency_code_mapped, inferred_currency) AS currency_code
+         |  FROM inf),
+         |fx(fx_date, fx_ccy, usd_to_ccy) AS (VALUES
+         |  (DATE '2026-01-21', 'EUR', 0.9), (DATE '2026-01-22', 'EUR', 0.8),
+         |  (DATE '2026-01-22', 'USD', 1.0), (DATE '2026-01-22', 'GBP', 0.5),
+         |  (DATE '2026-01-22', 'SEK', 10.0), (DATE '2026-01-22', 'DKK', 7.5)),
+         |fx_latest AS (
+         |  SELECT fx_ccy, CAST(usd_to_ccy AS DOUBLE) AS usd_to_ccy FROM fx
+         |  WHERE fx_date = (SELECT max(fx_date) FROM fx))""".stripMargin
+
+    // mart_dim_customer twin: filter/normalize raw emails, resolve latest
+    // per (email,user) from the SCD stand-in (rn=1 by time DESC over the
+    // pair ≡ GROUP BY pair MAX(time) — only the partition keys survive),
+    // merge back on user (fan-out on multi-email users), md5-64 key.
+    val dimCustCtes =
+      s"""ce AS (
+         |  SELECT user_db_id, lower(trim(email_raw)) AS email_address
+         |  FROM (
+         |    SELECT DISTINCT user_id AS user_db_id,
+         |      CASE WHEN user_id % 11 = 0 THEN NULL
+         |           WHEN user_id % 13 = 0 THEN '  '
+         |           ELSE concat('  U', user_id, '@Example.COM ') END AS email_raw
+         |    FROM events WHERE user_id IS NOT NULL)
+         |  WHERE email_raw IS NOT NULL AND trim(email_raw) <> ''),
+         |ee AS (
+         |  SELECT user_id AS user_db_id,
+         |    lower(trim(concat('u', user_id,
+         |      CASE WHEN event_id % 4 = 0 THEN '+alt' ELSE '' END, '@scd.com'))) AS email_address,
+         |    ts AS time
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IN ('signup', 'purchase')),
+         |latest AS (
+         |  SELECT email_address, user_db_id, max(time) AS last_seen_ts
+         |  FROM ee GROUP BY 1, 2),
+         |dim_cust AS (
+         |  SELECT ce.user_db_id,
+         |    coalesce(l.email_address, ce.email_address) AS email_address_final,
+         |    l.last_seen_ts,
+         |    ${Keys.md5Key64Sql("coalesce(l.email_address, ce.email_address)")} AS customer_key
+         |  FROM ce LEFT JOIN latest l ON ce.user_db_id = l.user_db_id)""".stripMargin
+
     Map(
       "glamira_stg_order" -> s"WITH $stgCte\n$stgSelect",
 
-      // The currency CTEs are GENERATED from graft.glamira.CurrencyRules'
-      // own rule tables — the full production map sits under this gate and
-      // cannot drift from the mart implementation.
+      "glamira_dim_customer" ->
+        s"""WITH $dimCustCtes
+           |SELECT user_db_id, email_address_final, last_seen_ts, customer_key
+           |FROM dim_cust""".stripMargin,
+
       "glamira_fact_currency" ->
         s"""WITH $stgCte,
            |stg AS ($stgSelect),
-           |cur AS (
-           |  SELECT *,
-           |    ${CurrencyRules.currencyCodeSql("product_currency")} AS currency_code_mapped,
-           |    ${CurrencyRules.currencyStatusSql("product_currency")} AS currency_status,
-           |    ${CurrencyRules.urlHostSql("current_url")} AS url_host
-           |  FROM stg),
-           |inf AS (
-           |  SELECT *,
-           |    ${CurrencyRules.inferredCurrencySql("currency_code_mapped", "currency_status",
-                  "url_host", CurrencyRules.urlTldSql("url_host"))} AS inferred_currency
-           |  FROM cur),
-           |fin AS (
-           |  SELECT *,
-           |    ${CurrencyRules.statusFinalSql("currency_code_mapped", "currency_status",
-                  "inferred_currency")} AS currency_status_final,
-           |    coalesce(currency_code_mapped, inferred_currency) AS currency_code
-           |  FROM inf),
-           |fx(fx_date, fx_ccy, usd_to_ccy) AS (VALUES
-           |  (DATE '2026-01-21', 'EUR', 0.9), (DATE '2026-01-22', 'EUR', 0.8),
-           |  (DATE '2026-01-22', 'USD', 1.0), (DATE '2026-01-22', 'GBP', 0.5),
-           |  (DATE '2026-01-22', 'SEK', 10.0), (DATE '2026-01-22', 'DKK', 7.5)),
-           |fx_latest AS (
-           |  SELECT fx_ccy, CAST(usd_to_ccy AS DOUBLE) AS usd_to_ccy FROM fx
-           |  WHERE fx_date = (SELECT max(fx_date) FROM fx))
+           |$currencyCtes
            |SELECT item_key, order_id, cp_offset, opt_offset, product_currency,
            |  currency_code, currency_status_final AS currency_status, product_price,
            |  CASE WHEN currency_code_mapped IS NULL THEN NULL
            |       WHEN usd_to_ccy IS NULL THEN NULL
            |       ELSE round(CAST(product_price AS DOUBLE) / usd_to_ccy, 6) END AS price_usd
-           |FROM fin LEFT JOIN fx_latest ON fx_ccy = currency_code""".stripMargin
+           |FROM fin LEFT JOIN fx_latest ON fx_ccy = currency_code""".stripMargin,
+
+      // Full mart_fact_order.sql:186-224 twin: USD measures guarded on the
+      // pre-coalesce mapped code + dim_customer/dim_product merge-backs.
+      "glamira_fact_order" ->
+        s"""WITH $stgCte,
+           |stg AS ($stgSelect),
+           |$currencyCtes,
+           |$dimCustCtes,
+           |dim_prod AS (
+           |  SELECT DISTINCT product_id AS dim_product_id,
+           |    ${Keys.md5Key64Sql("concat('p:', CAST(product_id AS VARCHAR))")} AS product_key
+           |  FROM stg WHERE product_id IS NOT NULL),
+           |fact AS (
+           |  SELECT fin.*, usd_to_ccy,
+           |    make_timestamp(time_stamp * 1000000) AS event_ts,
+           |    CAST(make_timestamp(time_stamp * 1000000) AS DATE) AS event_date,
+           |    CASE WHEN user_db_id IS NULL THEN NULL
+           |         ELSE concat('u', user_db_id,
+           |           CASE WHEN user_db_id % 3 = 0 THEN '@example.com' ELSE '@scd.com' END)
+           |    END AS email_address,
+           |    product_price * CAST(product_quantity AS DOUBLE) AS line_total_amount
+           |  FROM fin LEFT JOIN fx_latest ON fx_ccy = currency_code)
+           |SELECT item_key, order_id, fact.user_db_id, event_ts, event_date,
+           |  product_id, product_key, customer_key,
+           |  currency_code, currency_status_final AS currency_status,
+           |  product_quantity, product_price, line_total_amount,
+           |  CASE WHEN currency_code_mapped IS NULL THEN NULL
+           |       WHEN usd_to_ccy IS NULL THEN NULL
+           |       ELSE round(product_price / usd_to_ccy, 6) END AS product_price_usd,
+           |  CASE WHEN currency_code_mapped IS NULL THEN NULL
+           |       WHEN usd_to_ccy IS NULL THEN NULL
+           |       ELSE round(line_total_amount / usd_to_ccy, 6) END AS line_total_amount_usd
+           |FROM fact
+           |LEFT JOIN dim_cust ON fact.email_address = dim_cust.email_address_final
+           |LEFT JOIN dim_prod ON fact.product_id = dim_prod.dim_product_id""".stripMargin
     )
   }
 }

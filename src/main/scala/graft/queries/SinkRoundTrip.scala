@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.Sinks
+
+/** Driver-gated sink round-trips (SURVEY §2.1 S4/S6/S8): each query WRITES
+  * through the production sink, READS the files back, and returns a result
+  * the DuckDB oracle recomputes from the original table — so the gate
+  * covers the full write → storage-layout → read path, not just the
+  * transform. (Ref: ETL/export_to_gcs.py:191-195 chunked parquet export,
+  * ETL/load_to_bigquery.py:37-94 partitioned+clustered load, CSV export.)
+  *
+  * Sink dirs are unique per JVM (concurrent driver processes on one host
+  * must not race on a shared path); results depend only on table content.
+  */
+object SinkRoundTrip {
+
+  private lazy val baseDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sink_rt")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4: chunked parquet writer — fixed chunk count like the reference's
+    // row-sliced export files, then a read-back aggregate over all chunks.
+    "s4_parquet_roundtrip" -> ((s, dir) => {
+      val out = s"$baseDir/s4"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+    }),
+
+    // S6: date-partitioned + cluster-sorted warehouse load, then a
+    // partition-FILTERED read-back — the pruning path a 100 TB table lives
+    // or dies by (only the one date directory is scanned).
+    "s6_partitioned_roundtrip" -> ((s, dir) => {
+      val out = s"$baseDir/s6"
+      val withDate = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).as("event_date"))
+      Sinks.writePartitioned(withDate, out, "event_date", Seq("user_id"))
+      Sinks.readMerged(s, out)
+        .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-05")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("event_date").cast(DateType).as("event_date"))
+    }),
+
+    // S8: CSV sink with header → typed read-back (integer/string columns:
+    // CSV is not a lossless float carrier, the reference exports ids too).
+    "s8_csv_roundtrip" -> ((s, dir) => {
+      val out = s"$baseDir/s8"
+      Sinks.writeCsv(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type")), out)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).as("user_id_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s4_parquet_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "s6_partitioned_roundtrip" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'""".stripMargin,
+
+    "s8_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -73,16 +73,43 @@ object Sessionize {
             Iterator(emit(s))
           } else {
             val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var cur = state.getOption
             val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
+            var cur = state.getOption
+            // The backward merge is BOUNDED: an in-watermark out-of-order
+            // event within one gap of the open session's start pulls the
+            // start back (batch semantics), but an event more than a gap
+            // earlier belongs to its own EARLIER session — merging it would
+            // glue sessions the batch twin keeps apart, with no bound on how
+            // far back the open session could stretch.
+            val (early, rest) = cur match {
+              case Some(s) => sorted.partition(e => micros(e.ts) < s.start - gapUs)
+              case None => (Seq.empty[Event], sorted)
+            }
+            // Chain-sessionize the early events among themselves; every
+            // chain closes here — by construction the last one still ends
+            // more than a gap before the open session's start.
+            var earlyCur: Option[SessionState] = None
+            early.foreach { e =>
+              val t = micros(e.ts)
+              earlyCur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  earlyCur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    firstEventId = math.min(s.firstEventId, e.event_id)))
+                case Some(s) =>
+                  closed += emit(s)
+                  earlyCur = Some(SessionState(t, t, 1, e.event_id))
+                case None =>
+                  earlyCur = Some(SessionState(t, t, 1, e.event_id))
+              }
+            }
+            earlyCur.foreach(s => closed += emit(s))
+            rest.foreach { e =>
               val t = micros(e.ts)
               cur match {
                 case Some(s) if t - s.end <= gapUs =>
-                  // extend in BOTH directions: an in-watermark out-of-order
-                  // event earlier than the open session's start must pull the
-                  // start back, and first_event_id is min(event_id) exactly
-                  // as the batch twin aggregates it
+                  // events are ascending among themselves, so only the state
+                  // session can sit later than t; the partition above already
+                  // bounded how far back t may reach
                   cur = Some(s.copy(start = math.min(s.start, t),
                     end = math.max(s.end, t), n = s.n + 1,
                     firstEventId = math.min(s.firstEventId, e.event_id)))

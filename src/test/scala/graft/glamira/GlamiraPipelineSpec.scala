@@ -19,24 +19,26 @@ class GlamiraPipelineSpec extends SparkSpec {
     // o4: 1 cp × 1 option = 1; o5: 1 cp × 1 option = 1; o6 filtered out
     assert(so.count() === 7)
     assert(so.filter(col("order_id") === "o6").count() === 0)
-    // NULL cart_products row keeps base cols, null product fields, null offsets
+    // NULL cart_products row keeps base cols, null product/option fields
+    // (offsets feed the item_key pre-image but are projected out of the
+    // output, matching the reference's stg_order.sql column list)
     val o2 = so.filter(col("order_id") === "o2").collect().head
-    assert(o2.getAs[Any]("product_id") == null && o2.getAs[Any]("cp_offset") == null)
-    // option offsets observed for o1's first product
-    val o1offsets = so.filter(col("order_id") === "o1" && col("cp_offset") === 0)
-      .select("opt_offset").collect().map(_.get(0)).toSet
-    assert(o1offsets === Set(0, 1))
+    assert(o2.getAs[Any]("product_id") == null && o2.getAs[Any]("option_id") == null)
+    // both options of o1's first product survive the double unnest
+    val o1opts = so.filter(col("order_id") === "o1" && col("product_id") === 11)
+      .select("option_id").collect().map(_.get(0)).toSet
+    assert(o1opts === Set("sz", "cl"))
   }
 
   test("stg_order: locale prices parsed branch-for-branch") {
     val so = g.resolve("stg_order")
     val prices = so.filter(col("product_price").isNotNull)
-      .select(col("order_id"), col("cp_offset"), col("product_price").cast("double"))
-      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    assert(prices(("o1", 0)) === 1234.56)  // '1.234,56' european
-    assert(prices(("o1", 1)) === 1234.56)  // '1,234.56' us
-    assert(prices(("o3", 0)) === 99.5)     // '99٫5' arabic separator
-    assert(prices(("o4", 0)) === 1234.56)  // '1 234.56' space-grouped
+      .select(col("order_id"), col("product_id"), col("product_price").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prices(("o1", 11L)) === 1234.56)  // '1.234,56' european
+    assert(prices(("o1", 12L)) === 1234.56)  // '1,234.56' us
+    assert(prices(("o3", 13L)) === 99.5)     // '99٫5' arabic separator
+    assert(prices(("o4", 14L)) === 1234.56)  // '1 234.56' space-grouped
   }
 
   test("stg_order: item_key unique, non-null, offset defaults in pre-image") {
