@@ -80,18 +80,12 @@ object Marts {
   def martFactOrder(stgOrder: DataFrame, fxSeed: DataFrame,
                     dimCustomer: DataFrame, dimProduct: DataFrame): DataFrame = {
     val raw = col("product_currency")
-    val host = CurrencyRules.urlHost(col("current_url"))
-    val cleaned = stgOrder
-      .withColumn("product_currency_raw", trim(raw))
-      .withColumn("url_host", host)
-      .withColumn("url_tld", CurrencyRules.urlTld(col("url_host")))
-      .withColumn("currency_code_mapped", CurrencyRules.currencyCode(raw))
-      .withColumn("currency_status", CurrencyRules.currencyStatus(raw))
-    val inferred = cleaned
-      .withColumn("inferred_currency", CurrencyRules.inferredCurrency(
-        col("currency_code_mapped"), col("currency_status"), col("url_host"), col("url_tld")))
-      .withColumn("currency_status_final", CurrencyRules.statusFinal(
-        col("currency_code_mapped"), col("currency_status"), col("inferred_currency")))
+    // currency map + TLD inference as two broadcast hash joins (see
+    // CurrencyRules.applyCurrencyJoins) — the CASE-chain Column functions
+    // remain the semantic source of truth and the oracle generator
+    val inferred = CurrencyRules.applyCurrencyJoins(
+      stgOrder.withColumn("product_currency_raw", trim(raw)),
+      raw, col("current_url"))
 
     val maxDate = fxSeed.agg(max(col("fx_date")).as("mx"))
     val fxLatest = fxSeed.join(broadcast(maxDate), col("fx_date") === col("mx"))

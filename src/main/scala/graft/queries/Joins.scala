@@ -119,6 +119,33 @@ object Joins {
       ev.join(broadcast(buckets), ev("value") >= col("lo") && ev("value") < col("hi"))
         .groupBy(col("bucket_id"))
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+    }),
+
+    // J13: IRREGULAR-interval lookup at scale — the true IP2Location shape
+    // (ref: Source/connection_to_mongodb.py:96-121, `ip_int BETWEEN ip_from
+    // AND ip_to` over variable-width ranges). A raw theta-join is a
+    // BroadcastNestedLoopJoin: every probe row tests every interval. The
+    // scalable plan is grid-cell expansion: each interval is exploded to the
+    // fixed-width grid cells it overlaps (tiny table × few cells), the probe
+    // computes its cell arithmetically, the join is a broadcast EQUI-join on
+    // the cell, and the exact BETWEEN is a cheap post-filter. Non-overlapping
+    // intervals ⇒ at most one survivor per probe row.
+    "j13_interval_lookup" -> ((s, dir) => {
+      val cell = 16000L
+      val intervals = s.range(0, 22).select(
+        col("id").as("interval_id"),
+        (col("id") * col("id") * 1000L).as("ip_from"),
+        ((col("id") + 1) * (col("id") + 1) * 1000L - 1L).as("ip_to"))
+      val expanded = intervals.withColumn("grid_cell",
+        explode(sequence(floor(col("ip_from") / cell), floor(col("ip_to") / cell))))
+      val ev = Tables.events(s, dir)
+        .withColumn("ip_int", floor(col("value") * 1000).cast(LongType))
+        .withColumn("grid_cell", floor(col("ip_int") / cell))
+      ev.join(broadcast(expanded), Seq("grid_cell"))
+        .filter(col("ip_int").between(col("ip_from"), col("ip_to")))
+        .groupBy(col("interval_id"), col("ip_from"), col("ip_to"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ip_int")).as("min_ip"), max(col("ip_int")).as("max_ip"))
     })
   )
 
@@ -186,6 +213,19 @@ object Joins {
         |  SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
         |  FROM range(0, 50) t(i)) b
         |ON value >= lo AND value < hi
-        |GROUP BY bucket_id""".stripMargin
+        |GROUP BY bucket_id""".stripMargin,
+
+    // the oracle uses the PLAIN theta-join — proving the grid-expanded
+    // equi-join plan returns exactly the naive BETWEEN semantics
+    "j13_interval_lookup" ->
+      """SELECT interval_id, ip_from, ip_to, count(*) AS n,
+        |  min(ip_int) AS min_ip, max(ip_int) AS max_ip
+        |FROM (SELECT CAST(floor(value * 1000) AS BIGINT) AS ip_int FROM events
+        |      WHERE value IS NOT NULL) e
+        |JOIN (SELECT i AS interval_id, i * i * 1000 AS ip_from,
+        |             (i + 1) * (i + 1) * 1000 - 1 AS ip_to
+        |      FROM range(0, 22) t(i)) iv
+        |ON ip_int BETWEEN ip_from AND ip_to
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }

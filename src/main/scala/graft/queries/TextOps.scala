@@ -137,7 +137,21 @@ object TextOps {
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val shRaw = shingleIndex(docs).persist()
-      val sh = shRaw.withColumn("h", TextFns.md5Hash60(col("shingle")) % P)
+      // Hot-shingle document-frequency cap (signature input ONLY): a shingle
+      // appearing in >max(100, 10% of corpus) docs is boilerplate — it only
+      // connects already-connected near-dups, and at 100 TB its bucket rows
+      // quadratically dominate the band join. Capping the SIGNATURE input
+      // can only affect candidate recall; the exact-Jaccard verify below
+      // still runs on the FULL shingle sets, so no surviving pair's score
+      // changes. df and the corpus count are computed declaratively (one
+      // shuffle on shingle, a broadcast 1-row aggregate — no driver action).
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val docFreq = shRaw.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val sh = shRaw
+        .join(docFreq, Seq("shingle"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") <= greatest(lit(100), col("n_docs") * 0.1))
+        .withColumn("h", TextFns.md5Hash60(col("shingle")) % P)
       // All 16 min-hashes in ONE aggregation pass (16 static min exprs) —
       // no perm cross-join row blowup, single shuffle on doc_id.
       val mhAggs = (0 until NPERM).map(j =>

@@ -101,23 +101,8 @@ object VectorOps {
     // bucket-join shape, L× signatures).
     "sim_ann_lsh" -> ((s, dir) => {
       register(s)
-      val base = Tables.embeddings(s, dir)
-      val emb = base.select(col("vec_id"), col("embedding"))
-        .unionByName(base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      // planes(p, d, w): w ∈ {+1,-1} from md5 parity of "p:d"
-      val planes = s.range(NPLANES).select(col("id").cast(IntegerType).as("p"))
-        .crossJoin(s.range(64).select(col("id").cast(IntegerType).as("d")))
-        .withColumn("w",
-          (conv(substring(md5(concat_ws(":", col("p"), col("d"))), 1, 15), 16, 10)
-            .cast(LongType) % 2 * 2 - 1).cast(DoubleType))
-      val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      val sigs = comps.join(broadcast(planes), Seq("d"))
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("x").cast(DoubleType) * col("w")).as("proj"))
-        .groupBy(col("vec_id"))
-        .agg(concat_ws("", transform(array_sort(collect_list(struct(col("p"),
-          when(col("proj") > 0, lit(1)).otherwise(lit(0)).as("bit")))),
-          x => x.getField("bit").cast(StringType))).as("bucket"))
+      val emb = augmented(s, dir)
+      val sigs = lshSigs(s, emb)
       val e = withNorm(emb).join(sigs, Seq("vec_id"))
       val a = e.select(col("bucket"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
       val b = e.select(col("bucket"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -125,8 +110,60 @@ object VectorOps {
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // Multi-probe LSH: each vector additionally probes every bucket at
+    // hamming distance 1 from its own signature (12 one-bit flips + the
+    // exact bucket). Candidate volume grows ×(NPLANES+1) but recall extends
+    // from hamming-0 to hamming-≤1 collisions — the standard trade when
+    // adding L independent tables is too expensive. Probe side joins
+    // against EXACT signatures, so the join stays an equi-join on the
+    // bucket string; exact-cosine verification unchanged.
+    "sim_ann_lsh_multiprobe" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val sigs = lshSigs(s, emb)
+      val probes = sigs
+        .select(col("vec_id"), col("bucket"),
+          explode(sequence(lit(0), lit(NPLANES))).as("f"))
+        .withColumn("probe",
+          when(col("f") === 0, col("bucket"))
+            .otherwise(concat(
+              col("bucket").substr(lit(1), col("f") - 1),
+              when(col("bucket").substr(col("f"), lit(1)) === "0", "1").otherwise("0"),
+              col("bucket").substr(col("f") + 1, lit(NPLANES)))))
+      val cand = probes.select(col("probe").as("bucket"), col("vec_id").as("i"))
+        .join(sigs.select(col("bucket"), col("vec_id").as("j")), Seq("bucket"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      val n = withNorm(emb)
+      cand
+        .join(n.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na")), Seq("i"))
+        .join(n.select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     })
   )
+
+  /** Random-hyperplane signatures: w ∈ {+1,-1} from md5 parity of "p:d",
+    * projections via one shuffle on (vec_id, p), bit-string bucket.
+    */
+  private def lshSigs(s: SparkSession, emb: DataFrame): DataFrame = {
+    val planes = s.range(NPLANES).select(col("id").cast(IntegerType).as("p"))
+      .crossJoin(s.range(64).select(col("id").cast(IntegerType).as("d")))
+      .withColumn("w",
+        (conv(substring(md5(concat_ws(":", col("p"), col("d"))), 1, 15), 16, 10)
+          .cast(LongType) % 2 * 2 - 1).cast(DoubleType))
+    val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+    comps.join(broadcast(planes), Seq("d"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("x").cast(DoubleType) * col("w")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("p"),
+        when(col("proj") > 0, lit(1)).otherwise(lit(0)).as("bit")))),
+        x => x.getField("bit").cast(StringType))).as("bucket"))
+  }
 
   private val NCENTROIDS = 16
 
@@ -137,25 +174,52 @@ object VectorOps {
       .unionByName(base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
   }
 
+  /** Nearest-centroid assignment by cosine (spherical k-means step):
+    * broadcast the centroid table, argmax via row_number with cid tie-break.
+    */
+  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
+    withNorm(emb).crossJoin(broadcast(cent))
+      .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
   def ivfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ANN via IVF: assign every vector to its nearest of NCENTROIDS seed
-    // centroids (deterministic: the first vec_ids), then join only within a
-    // cell. nprobe=1 here; at scale, probing the p nearest centroids trades
-    // recall for p× candidate volume — the same bucket-join shape. Identical
-    // vectors get identical assignments, so duplicate recall is exactly 1.
+    // ANN via IVF with k-means centroids: deterministic seeds (the first
+    // vec_ids) refined by one Lloyd step — assign all vectors to their
+    // nearest seed, recompute each cell's component-wise mean declaratively
+    // (explode → groupBy(cell, dim) → re-assemble ordered array), then the
+    // FINAL assignment and the within-cell pair join use the refined
+    // centroids. nprobe=1; at scale, probing the p nearest centroids trades
+    // recall for p× candidate volume — the same bucket-join shape. The
+    // gate's robustness does not depend on float drift in the means:
+    // identical vectors assign identically under ANY centroid set, and only
+    // identical (planted) pairs clear the 0.999 threshold.
     "sim_ann_ivf" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val cent = Tables.embeddings(s, dir).filter(col("vec_id") < NCENTROIDS)
+      val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < NCENTROIDS)
         .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
         .withColumn("nc", norm(col("ce")))
-      val a = withNorm(emb)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
-      val assign = a.crossJoin(broadcast(cent))
-        .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
+      val assign0 = assignCells(emb, seeds)
+      // Lloyd step: component-wise means per cell, ordered back into arrays.
+      // Empty cells simply vanish (their members re-assign elsewhere) — the
+      // standard k-means degenerate-cell behavior.
+      val refined = emb.join(assign0, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          t => t.getField("m")).as("ce"))
+        // back to float32: vec_dot is an array<float> kernel, and quantizing
+        // the centroid costs nothing at nprobe granularity (oracle applies
+        // the identical DOUBLE→REAL rounding)
+        .select(col("cell").as("cid"), col("ce").cast(ArrayType(FloatType)).as("ce"))
+        .withColumn("nc", norm(col("ce")))
+      val assign = assignCells(emb, refined)
       val e = withNorm(emb).join(assign, Seq("vec_id"))
       val l = e.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
       val r = e.select(col("cell"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -178,7 +242,7 @@ object VectorOps {
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
-         |cent AS (
+         |cent0 AS (
          |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
          |    sqrt(${dSql("embedding", "embedding")}) AS nc
          |  FROM embeddings WHERE vec_id < $NCENTROIDS),
@@ -186,6 +250,26 @@ object VectorOps {
          |  SELECT vec_id, embedding,
          |    sqrt(${dSql("embedding", "embedding")}) AS nrm
          |  FROM aug),
+         |assign0 AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT a.vec_id, cent0.cid, row_number() OVER (
+         |      PARTITION BY a.vec_id
+         |      ORDER BY ${dSql("a.embedding", "cent0.ce")} / (a.nrm * cent0.nc) DESC, cent0.cid ASC) AS rn
+         |    FROM a CROSS JOIN cent0)
+         |  WHERE rn = 1),
+         |comps AS (
+         |  SELECT assign0.cell, generate_subscripts(a.embedding, 1) AS d,
+         |    unnest(a.embedding) AS x
+         |  FROM a JOIN assign0 ON a.vec_id = assign0.vec_id),
+         |means AS (
+         |  SELECT cell, d, avg(CAST(x AS DOUBLE)) AS m
+         |  FROM comps GROUP BY cell, d),
+         |cent1 AS (
+         |  SELECT cell AS cid,
+         |    list_transform(list(m ORDER BY d), v -> CAST(v AS REAL)) AS ce
+         |  FROM means GROUP BY cell),
+         |cent AS (
+         |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM cent1),
          |assign AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT a.vec_id, cent.cid, row_number() OVER (
@@ -237,32 +321,58 @@ object VectorOps {
          |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $COS_T""".stripMargin,
 
     "sim_ann_lsh" ->
-      s"""WITH aug AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
-         |planes AS (
-         |  SELECT p, d,
-         |    CAST((CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 15)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE) AS w
-         |  FROM (SELECT unnest(range(0, $NPLANES)) AS p), (SELECT unnest(range(0, 64)) AS d)),
-         |comps AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         |    unnest(embedding) AS x
-         |  FROM aug),
-         |projs AS (
-         |  SELECT vec_id, p, sum(CAST(x AS DOUBLE) * w) AS proj
-         |  FROM comps JOIN planes USING (d) GROUP BY vec_id, p),
-         |sigs AS (
-         |  SELECT vec_id,
-         |    string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-         |  FROM projs GROUP BY vec_id),
-         |n AS (
-         |  SELECT e.vec_id, e.embedding, s.bucket,
-         |    sqrt(${dSql("e.embedding", "e.embedding")}) AS nrm
-         |  FROM aug e JOIN sigs s ON e.vec_id = s.vec_id)
+      s"""WITH $lshSigCtes
          |SELECT a.vec_id AS i, b.vec_id AS j,
          |  round(${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
          |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $ANN_T""".stripMargin,
+
+    "sim_ann_lsh_multiprobe" ->
+      s"""WITH $lshSigCtes,
+         |probes AS (
+         |  SELECT vec_id,
+         |    CASE WHEN f = 0 THEN bucket
+         |         ELSE substr(bucket, 1, f - 1)
+         |           || (CASE WHEN substr(bucket, f, 1) = '0' THEN '1' ELSE '0' END)
+         |           || substr(bucket, f + 1, $NPLANES)
+         |    END AS probe
+         |  FROM sigs, (SELECT unnest(range(0, ${NPLANES + 1})) AS f)),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS i, s.vec_id AS j
+         |  FROM probes p JOIN sigs s ON p.probe = s.bucket AND p.vec_id < s.vec_id)
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |  round(${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |FROM cand
+         |JOIN n a ON cand.i = a.vec_id
+         |JOIN n b ON cand.j = b.vec_id
          |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $ANN_T""".stripMargin
   )
+
+  /** Shared CTE chain for the LSH oracles: augmented corpus → planes →
+    * component projections → bit-string signatures → normed vectors.
+    */
+  private lazy val lshSigCtes: String =
+    s"""aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+       |planes AS (
+       |  SELECT p, d,
+       |    CAST((CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 15)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE) AS w
+       |  FROM (SELECT unnest(range(0, $NPLANES)) AS p), (SELECT unnest(range(0, 64)) AS d)),
+       |comps AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |    unnest(embedding) AS x
+       |  FROM aug),
+       |projs AS (
+       |  SELECT vec_id, p, sum(CAST(x AS DOUBLE) * w) AS proj
+       |  FROM comps JOIN planes USING (d) GROUP BY vec_id, p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM projs GROUP BY vec_id),
+       |n AS (
+       |  SELECT e.vec_id, e.embedding, s.bucket,
+       |    sqrt(${dSql("e.embedding", "e.embedding")}) AS nrm
+       |  FROM aug e JOIN sigs s ON e.vec_id = s.vec_id)""".stripMargin
 }
