@@ -36,6 +36,17 @@ class SkewSpec extends SparkSpec {
       .withColumn("_salt", pmod(monotonically_increasing_id(), lit(8)))
       .select("_salt").distinct().count()
     assert(saltSpread > 1)
+
+    // left joins preserve probe rows; right/full would duplicate every
+    // unmatched build row once per salt and must be rejected up front
+    val leftGot = Skew.saltedJoin(skewed, dim, Seq("k"), salts = 8, joinType = "left")
+    assert(leftGot.count() === skewed.join(dim, Seq("k"), "left").count())
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), salts = 8, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), salts = 8, joinType = "right")
+    }
   }
 
   test("bucketed join: no shuffle exchange on either side") {
