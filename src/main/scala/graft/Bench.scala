@@ -27,14 +27,23 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // release per-query persist()s; not timed
-      name -> dt
-    }
+    // Two passes, min per query: a single-shot timing on local[32] swings
+    // ±3× from JIT/GC/page-cache luck (rounds 1 vs 2 "regressed" and
+    // "improved" dozens of queries on byte-identical code). The first pass
+    // is the warm-up, the min is the reported cost; round-over-round deltas
+    // on mins are attributable to code, not noise.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // release per-query persist()s; not timed
+        name -> dt
+      }
+    val results = (1 to passes).map(_ => onePass())
+      .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
     // Double.toString, not %f: the f-interpolator is locale-sensitive (a
     // comma decimal separator would corrupt the JSON under some locales)
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
@@ -58,7 +67,7 @@ object Bench {
       "text_tfidf_terms", "sess_sessionize", "rollup_revenue")
     val qs = fmt(results.filter(r => headline(r._1)))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,12 +24,17 @@ class QueryInvariantSpec extends SparkSpec {
 
   test("ANN (LSH and IVF) finds every planted duplicate pair at cosine 1.0") {
     val nVecs = graft.Tables.embeddings(spark, dir).count()
-    for (name <- Seq("sim_ann_lsh", "sim_ann_ivf")) {
+    for (name <- Seq("sim_ann_lsh", "sim_ann_lsh_multiprobe", "sim_ann_ivf")) {
       val ann = q(name).collect()
       assert(ann.length === nVecs, name)   // one (i, i+100000) pair per vector
       assert(ann.forall(r => r.getAs[Long]("j") === r.getAs[Long]("i") + 100000L), name)
       assert(ann.forall(_.getAs[Double]("cosine") === 1.0), name)
     }
+    // multi-probe candidates are a superset of the single-table buckets,
+    // so its result set can only grow
+    val single = q("sim_ann_lsh").collect().map(_.toString).toSet
+    val multi = q("sim_ann_lsh_multiprobe").collect().map(_.toString).toSet
+    assert(single.subsetOf(multi))
   }
 
   test("brute-force top-k: k rows per vector, ranked by descending cosine") {
