@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.GlamiraShaped.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Approx.queries ++
-      graft.queries.SinkRoundTrip.queries
+      graft.queries.SinkRoundTrip.queries ++
+      graft.queries.StreamGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.GlamiraShaped.oracleSql ++
       graft.queries.Curation.oracleSql ++
       graft.queries.Approx.oracleSql ++
-      graft.queries.SinkRoundTrip.oracleSql
+      graft.queries.SinkRoundTrip.oracleSql ++
+      graft.queries.StreamGate.oracleSql
 }

@@ -72,6 +72,33 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Greedy boundary-aligned sequence packing into fixed context windows —
+    // the training-shard assignment op. The global running token count is a
+    // DISTRIBUTED prefix sum, not a single-partition window: per-range
+    // partial cumsums in parallel, the ~n/B per-range totals get their own
+    // (tiny) running offset, and a broadcast join recombines — exact
+    // integer math, so it equals the oracle's naive global cumulative sum
+    // while every big window stays partitioned.
+    "curation_pack_sequences" -> ((s, dir) => {
+      val ctx = 4096L
+      val rangeSize = 100L
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), size(TextFns.rawTokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("part", floor(col("doc_id") / rangeSize))
+      val wIn = Window.partitionBy(col("part")).orderBy(col("doc_id"))
+      val withLocal = toks.withColumn("cum_local", sum(col("n_tokens")).over(wIn))
+      val wParts = Window.orderBy(col("part"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = toks.groupBy(col("part")).agg(sum(col("n_tokens")).as("part_total"))
+        .withColumn("part_offset", coalesce(sum(col("part_total")).over(wParts), lit(0L)))
+        .select(col("part"), col("part_offset"))
+      withLocal.join(broadcast(offsets), Seq("part"))
+        .withColumn("cum_before", col("cum_local") + col("part_offset") - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("cum_before") / ctx).as("shard_id"),
+          (col("cum_before") % ctx).as("offset_in_shard"))
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
@@ -147,6 +174,20 @@ object Curation {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
         |  FROM scored)
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+
+    // the oracle packs with the NAIVE global cumulative sum — proving the
+    // distributed two-level prefix sum recombines to the same assignment
+    "curation_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(cum_before AS DOUBLE) / 4096) AS BIGINT) AS shard_id,
+        |  cum_before % 4096 AS offset_in_shard
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_before
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents))""".stripMargin
   )
 }
