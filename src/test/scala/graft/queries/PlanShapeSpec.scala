@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape gates: the scale claims in SCALE.md as assertions, so a
+  * regression that silently degrades a broadcast to a shuffle, an
+  * equi-join to a nested loop, or pushdown to a full scan fails the build
+  * rather than only changing a PLANS.md diff.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("flagship star: every dim hop broadcasts, no nested loop, no cartesian") {
+    val p = plan("q0_flagship_star")
+    assert(count(p, "BroadcastHashJoin") >= 4, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("interval lookup compiles to an equi-join on the grid cell, not a nested loop") {
+    val p = plan("j13_interval_lookup")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("filtered scan pushes predicates and prunes columns at the parquet reader") {
+    val p = plan("s1_filtered_scan")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p.take(1200))
+    // projection reaches the scan: only the 4 selected columns are read
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(Seq("event_id:", "user_id:", "event_type:", "value:")
+      .forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("props:") && !readSchema.contains("ts:"), readSchema)
+  }
+
+  test("fact_order: dim merge-backs all broadcast; no shuffle join anywhere") {
+    val p = plan("glamira_fact_order")
+    assert(count(p, "BroadcastHashJoin") >= 5, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("exact dedup: single shuffle on the content hash") {
+    val p = plan("dedup_exact")
+    // partial agg → one Exchange → final agg; AQE wraps but adds no extra shuffle
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(1200))
+  }
+
+  test("top-k sort compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("o1_topk_sort")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+}
