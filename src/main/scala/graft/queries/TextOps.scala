@@ -273,6 +273,21 @@ object TextOps {
           octet_length(col("payload")).as("n_bytes"),
           md5(col("payload")).as("payload_md5"),
           substring(col("text"), 1, 8).as("header_preview"))
+    }),
+
+    // Multimodal decode + frame sampling under the gate: the REAL
+    // mapPartitions decode path (graft.operators.Multimodal.decode — codec
+    // init amortized per partition; decoder deterministically stubbed, no
+    // codecs in this container) runs inside the query, then 4 evenly-spaced
+    // frame indices per video — the frame-sample op of a vision-data
+    // pipeline. The oracle recomputes the stub arithmetic in SQL.
+    "multimodal_frames" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      graft.operators.Multimodal.decode(media)
+        .filter(col("media_type") === "video" && col("ok"))
+        .select(col("media_id"), col("n_frames"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("frame_idx", floor(col("k") * col("n_frames") / 4).cast(LongType))
     })
   )
 
@@ -412,7 +427,17 @@ object TextOps {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS payload_md5,
         |  substr(text, 1, 8) AS header_preview
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // stub-decode arithmetic: video n_frames = 1 + payload_bytes % 300;
+    // media_type 'video' ⇔ doc_id % 3 = 2 (mediaFromDocuments round-robin)
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + octet_length(encode(text)) % 300 AS INTEGER) AS n_frames,
+        |  CAST(k AS INTEGER) AS k,
+        |  CAST(floor(k * (1 + octet_length(encode(text)) % 300) / 4) AS BIGINT) AS frame_idx
+        |FROM documents, (SELECT unnest(range(0, 4)) AS k)
+        |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0""".stripMargin
   )
 
   /** Deterministic demo vocabularies (the fixture corpus is synthetic). */
