@@ -174,6 +174,40 @@ object TextOps {
         .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
     }),
 
+    // Connected components over the near-dup pair graph — the canonical-
+    // document selection step production dedup needs after pair detection
+    // (keep component_id == doc_id, drop the rest). Min-label propagation,
+    // 10 fixed iterations: dup components are near-cliques from banding, so
+    // diameter ≪ 10; each iteration is a tiny join over the PAIR set (orders
+    // of magnitude smaller than the corpus). The label table is eagerly
+    // localCheckpoint'ed per iteration — every step references the previous
+    // labels twice, so an unbroken lineage doubles the Catalyst plan per
+    // iteration (2^10 nodes froze analysis); checkpointing resets the plan
+    // for the cost of materializing a few hundred rows per step.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = jaccardPairs(Tables.documents(s, dir))
+        .filter(col("jc") >= JACCARD_T)
+        .select(col("i"), col("j"))
+      val edges = pairs.unionByName(
+        pairs.select(col("j").as("i"), col("i").as("j"))).localCheckpoint()
+      var labels = edges.select(col("i").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to 10) {
+        val nbr = edges
+          .join(labels, edges("j") === labels("node"))
+          .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nbr_min"))
+        labels = labels.join(nbr, labels("node") === col("n2"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint()
+      }
+      val w = Window.partitionBy(col("component_id"))
+      labels
+        .select(col("node").as("doc_id"), col("label").as("component_id"))
+        .withColumn("component_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("component_id"))
+    }),
+
     // SimHash signature: one pass, 60 conditional sums over distinct tokens.
     "dedup_simhash" -> ((s, dir) => simhashSigs(Tables.documents(s, dir))),
 
@@ -308,6 +342,26 @@ object TextOps {
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardSql
          |SELECT i, j, round(jc, 6) AS jaccard FROM jac WHERE jc >= $JACCARD_T""".stripMargin,
+
+    // components via recursive transitive closure — the declarative ground
+    // truth of the Spark side's bounded label propagation
+    "dedup_components" ->
+      s"""WITH RECURSIVE $jaccardSql,
+         |edges AS (
+         |  SELECT i, j FROM jac WHERE jc >= $JACCARD_T
+         |  UNION ALL
+         |  SELECT j AS i, i AS j FROM jac WHERE jc >= $JACCARD_T),
+         |reach(a, b) AS (
+         |  SELECT i AS a, j AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.j AS b FROM reach r JOIN edges e ON r.b = e.i),
+         |comp AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS component_id
+         |  FROM reach GROUP BY a)
+         |SELECT doc_id, component_id,
+         |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
+         |  doc_id = component_id AS is_canonical
+         |FROM comp""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       val permVals = (0 until NPERM).map(j => s"(${j}, ${aj(j)}, ${bj(j)})").mkString(", ")
