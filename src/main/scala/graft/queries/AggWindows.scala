@@ -108,6 +108,21 @@ object AggWindows {
         .agg(count(lit(1)).as("n"), asDouble(max(dec(col("value")))).as("q_max"))
     }),
 
+    // W7: fractional-rank windows — percent_rank ((rank-1)/(n-1)) and
+    // cume_dist (rows ≤ current / n) over a deterministic total order.
+    // Both engines compute the identical double from the same integer
+    // operands, so no rounding is needed at the boundary.
+    "w7_percent_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(dec(col("value")).asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("pct_rank") >= 0.99)
+        .select(col("event_id"), col("event_type"), col("pct_rank"), col("cume"))
+    }),
+
     // Pivot: long → wide with an explicit value list (explicit values keep
     // the output schema static — at scale an inferred pivot needs an extra
     // distinct pass and can explode the column count).
@@ -241,6 +256,16 @@ object AggWindows {
         |    ORDER BY CAST(value AS DECIMAL(18,2)) ASC, event_id ASC) AS quartile
         |  FROM events)
         |GROUP BY event_type, quartile""".stripMargin,
+
+    "w7_percent_windows" ->
+      """SELECT event_id, event_type, pct_rank, cume
+        |FROM (SELECT event_id, event_type,
+        |    percent_rank() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(value AS DECIMAL(18,2)) ASC, event_id ASC) AS pct_rank,
+        |    cume_dist() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(value AS DECIMAL(18,2)) ASC, event_id ASC) AS cume
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE pct_rank >= 0.99""".stripMargin,
 
     "pivot_event_counts" ->
       """SELECT user_id,

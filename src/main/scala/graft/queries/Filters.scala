@@ -125,7 +125,20 @@ object Filters {
 
     // X14: SELECT * EXCEPT(col) (ref: mart_fact_order.sql:210,219).
     "x14_drop_except" -> ((s, dir) =>
-      Tables.orders(s, dir).drop("o_orderpriority"))
+      Tables.orders(s, dir).drop("o_orderpriority")),
+
+    // O5: INTERSECT / EXCEPT set semantics (distinct on both sides) — the
+    // cohort algebra (viewed-and-bought vs viewed-never-bought). Both
+    // compile to aggregate + join, no row-by-row comparison.
+    "o5_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val viewers = ev.filter(col("event_type") === "view" && col("user_id").isNotNull)
+        .select(col("user_id"))
+      val buyers = ev.filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"))
+      viewers.intersect(buyers).withColumn("set_op", lit("viewed_and_bought"))
+        .unionByName(viewers.except(buyers).withColumn("set_op", lit("viewed_never_bought")))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -206,6 +219,19 @@ object Filters {
 
     "x14_drop_except" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "o5_set_ops" ->
+      """WITH viewers AS (
+        |  SELECT user_id FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |buyers AS (
+        |  SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT user_id, 'viewed_and_bought' AS set_op
+        |FROM (SELECT user_id FROM viewers INTERSECT SELECT user_id FROM buyers)
+        |UNION ALL
+        |SELECT user_id, 'viewed_never_bought' AS set_op
+        |FROM (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM buyers)""".stripMargin
   )
 }
