@@ -14,10 +14,11 @@ import graft.functions.TextFns
   *
   * Scale notes (100 TB design):
   *  - the shingle inverted index (doc_id, shingle) is the only large shuffle;
-  *    it partitions by shingle. In production, shingles with document
-  *    frequency above a cap are dropped before the self-join (they only
-  *    connect already-connected near-dups and quadratically blow up the
-  *    join) — at test SF no cap is needed.
+  *    it partitions by shingle. Shingles with document frequency above
+  *    max(100, 10% of corpus) are dropped from the MinHash SIGNATURE input
+  *    (implemented in dedup_minhash_lsh): they only connect
+  *    already-connected near-dups and quadratically blow up the band
+  *    buckets; verification still uses the full shingle sets.
   *  - MinHash-LSH replaces the quadratic shingle self-join with a per-band
   *    bucket join: candidates ∝ colliding docs only. Verification re-checks
   *    exact Jaccard so false positives cost only the verify join.

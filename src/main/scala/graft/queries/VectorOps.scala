@@ -16,11 +16,13 @@ import graft.Tables
   * cosines are ~1e-3, far above accumulated fold error ~1e-13).
   *
   * Scale notes (100 TB design): brute-force top-k is the quadratic ground
-  * truth — O(n²) pairs shuffle. The LSH path (`sim_ann_lsh`) is the scale
-  * story: random-hyperplane signatures bucket the vectors so the pair join
-  * only materializes within-bucket candidates; recall is tunable by probing
-  * multiple hash tables. An IVF variant would k-means the corpus and probe
-  * nearest centroids — same bucket-join shape.
+  * truth — O(n²) pairs shuffle. The LSH paths are the scale story:
+  * random-hyperplane signatures bucket the vectors so the pair join only
+  * materializes within-bucket candidates; `sim_ann_lsh_multiprobe` extends
+  * recall to hamming-≤1 buckets via one-bit signature flips. The IVF path
+  * (`sim_ann_ivf`) k-means the corpus (deterministic seeds + one Lloyd
+  * refinement) and joins within nearest-centroid cells — same bucket-join
+  * shape, nprobe as the recall lever.
   */
 object VectorOps {
 
