@@ -97,6 +97,18 @@ object AggWindows {
           asDouble(sum(dec(col("l_extendedprice")))).as("total_ext"))
     }),
 
+    // CUBE: all 2^k grouping combinations in one pass, with GROUPING flags
+    // disambiguating real NULL keys from subtotal rows — the other half of
+    // the grouping-sets family next to ROLLUP.
+    "cube_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_extendedprice")))).as("total_ext"),
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))
+    }),
+
     // NTILE: quantile bucketing with a deterministic total order (value has
     // ties at 2 dp; event_id breaks them identically in both engines).
     "w6_ntile_quartiles" -> ((s, dir) => {
@@ -247,6 +259,13 @@ object AggWindows {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_ext
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_ext,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "w6_ntile_quartiles" ->
       """SELECT event_type, quartile, count(*) AS n,
