@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -146,6 +147,44 @@ object Joins {
         .groupBy(col("interval_id"), col("ip_from"), col("ip_to"))
         .agg(count(lit(1)).as("n"),
           min(col("ip_int")).as("min_ip"), max(col("ip_int")).as("max_ip"))
+    }),
+
+    // J14: AS-OF join — each event takes the most recent FX rate at or
+    // before its date (the time-series join Spark has no native operator
+    // for; DuckDB's native ASOF JOIN is the oracle). The scalable spelling
+    // is union + last-non-null window: tag rates and events into ONE
+    // relation, sort within each currency by (date, rates-first), and let
+    // `last(rate, ignoreNulls)` carry the latest rate forward — a single
+    // shuffle on the currency key, no per-event range probe, no interval
+    // explosion, state bounded by one partition's rows.
+    "j14_asof_join" -> ((s, dir) => {
+      val ccys = array(lit("USD"), lit("EUR"), lit("GBP"))
+      // deterministic rate series: every 3rd day of 2024-01, per currency
+      val rates = s.range(0, 7).select(col("id"))
+        .crossJoin(s.range(0, 3).select(col("id").as("c")))
+        .select(
+          element_at(ccys, (col("c") + 1).cast(IntegerType)).as("ccy"),
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")), (col("id") * 3).cast(IntegerType)).as("rate_date"),
+          ((col("id") + 1) * 10 + col("c")).cast(DoubleType).as("rate"))
+      val evs = Tables.events(s, dir).select(
+        col("event_id"),
+        element_at(ccys, (col("event_id") % 3 + 1).cast(IntegerType)).as("ccy"),
+        to_date(col("ts")).as("d"))
+      val tagged = rates.select(col("ccy"), col("rate_date").as("d"),
+          col("rate_date"), col("rate"), lit(null).cast(LongType).as("event_id"),
+          lit(0).as("is_event"))
+        .unionByName(evs.select(col("ccy"), col("d"),
+          lit(null).cast(DateType).as("rate_date"), lit(null).cast(DoubleType).as("rate"),
+          col("event_id"), lit(1).as("is_event")))
+      val w = Window.partitionBy(col("ccy"))
+        .orderBy(col("d").asc, col("is_event").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("asof_rate_date", last(col("rate_date"), ignoreNulls = true).over(w))
+        .withColumn("asof_rate", last(col("rate"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("ccy"), col("d").as("event_date"),
+          col("asof_rate_date"), col("asof_rate"))
     })
   )
 
@@ -226,6 +265,24 @@ object Joins {
         |             (i + 1) * (i + 1) * 1000 - 1 AS ip_to
         |      FROM range(0, 22) t(i)) iv
         |ON ip_int BETWEEN ip_from AND ip_to
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window spelling
+    "j14_asof_join" ->
+      """WITH ccys(c, ccy) AS (VALUES (0, 'USD'), (1, 'EUR'), (2, 'GBP')),
+        |rates AS (
+        |  SELECT ccy,
+        |    DATE '2024-01-01' + INTERVAL (i * 3) DAY AS rate_date,
+        |    CAST((i + 1) * 10 + c AS DOUBLE) AS rate
+        |  FROM range(0, 7) t(i), ccys),
+        |evs AS (
+        |  SELECT event_id,
+        |    CASE event_id % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'GBP' END AS ccy,
+        |    CAST(ts AS DATE) AS event_date
+        |  FROM events)
+        |SELECT e.event_id, e.ccy, e.event_date,
+        |  CAST(r.rate_date AS DATE) AS asof_rate_date, r.rate AS asof_rate
+        |FROM evs e ASOF LEFT JOIN rates r
+        |  ON e.ccy = r.ccy AND e.event_date >= r.rate_date""".stripMargin
   )
 }
