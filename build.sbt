@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver JSON-parses the tail of `sbt runMain`'s stdout. sbt's default
+// LoggedOutput wraps every forked-process line as "[info] ..." which defeats
+// that parse (BENCH "parsed": null). StdoutOutput passes the child's stdout
+// through verbatim. runMain shares `run / runner`, so scoping to `run`
+// covers both.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -136,12 +136,22 @@ object Staging {
 
   /** stg_product (stg_product.sql): JSON flatten with multi-path id
     * coalesce, typed weights, FARM_FINGERPRINT product_key, sentinel filter.
+    * The payload is parsed ONCE per row (`from_json` into a struct, field
+    * reads off the struct) — the previous 13 independent `get_json_object`
+    * calls each re-ran a full Jackson parse per row, ~13× the parse cost on
+    * the product table at scale. Mirrors the gated x11_json_extract shape.
     */
   def stgProduct(productRaw: DataFrame): DataFrame = {
     ff(productRaw.sparkSession)
-    def jv(path: String): Column = get_json_object(col("product_json"), s"$$.product.$path")
+    val productSchema = StructType(Seq(StructField("product", StructType(Seq(
+      "product_id", "productId", "id", "_id", "gender", "category_name",
+      "name", "product_type", "store_code", "attribute_set", "category",
+      "material_design", "sku", "none_metal_weight", "fixed_silver_weight",
+      "gold_weight").map(StructField(_, StringType))))))
+    def jv(field: String): Column = col("_p").getField("product").getField(field)
     val typed = productRaw
       .filter(col("product_json").isNotNull)
+      .withColumn("_p", from_json(col("product_json"), productSchema))
       .select(
         coalesce(jv("product_id"), jv("productId"), jv("id"), jv("_id")).as("product_id_str"),
         jv("gender").as("gender"),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via min-label propagation with
+  * pointer jumping.
+  *
+  * Each pass does two label improvements and then checks a fixpoint:
+  *   1. neighbor step: label(v) := min(label(v), min over edges (v,u) of
+  *      label(u)) — the classic propagation, shrinks the distance to the
+  *      component minimum by one hop per pass;
+  *   2. shortcut step (pointer jumping): label(v) := min(label(v),
+  *      label(label(v))) — labels are themselves node ids, so chasing one
+  *      pointer halves the remaining distance. Together the passes converge
+  *      in O(log diameter), so the iteration cap is a safety rail, not a
+  *      correctness bound (a fixed-iteration loop silently mislabels any
+  *      component whose eccentricity from its min node exceeds the cap —
+  *      e.g. a long near-dup chain A~B~C~… at larger corpus scale).
+  *
+  * Every iteration `localCheckpoint()`s the label table: each step references
+  * the previous labels several times, and an unbroken lineage doubles the
+  * Catalyst plan per iteration (2^n analysis blow-up). The materialized table
+  * is one row per node *that has an edge* — orders of magnitude smaller than
+  * the corpus in a dedup setting. The convergence probe reuses exactly that
+  * materialized table (a limit-1 scan for a changed label), so it is a
+  * control-flow decision, not a driver-side data funnel.
+  */
+object Components {
+
+  /** Labels every node appearing in `edgesIn` (columns `i`, `j`, undirected —
+    * symmetrized internally) with the minimum node id of its component.
+    * Returns (node, label). Throws if the fixpoint is not reached within
+    * `maxIter` passes (with pointer jumping that would take a component of
+    * diameter > 2^maxIter).
+    */
+  def connectedComponents(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = edgesIn.select(col("i"), col("j"))
+      .unionByName(edgesIn.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
+    var labels = edges.select(col("i").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("j") === labels("node"))
+        .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("node") === col("n2"), "left")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val ptr = labels.select(col("node").as("pn"), col("label").as("plabel"))
+      val next = stepped.join(ptr, stepped("label") === col("pn"), "left")
+        .select(stepped("node"), stepped("prev"),
+          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIter passes (diameter > 2^$maxIter?)")
+    labels
+  }
+}

@@ -177,31 +177,17 @@ object TextOps {
 
     // Connected components over the near-dup pair graph — the canonical-
     // document selection step production dedup needs after pair detection
-    // (keep component_id == doc_id, drop the rest). Min-label propagation,
-    // 10 fixed iterations: dup components are near-cliques from banding, so
-    // diameter ≪ 10; each iteration is a tiny join over the PAIR set (orders
-    // of magnitude smaller than the corpus). The label table is eagerly
-    // localCheckpoint'ed per iteration — every step references the previous
-    // labels twice, so an unbroken lineage doubles the Catalyst plan per
-    // iteration (2^10 nodes froze analysis); checkpointing resets the plan
-    // for the cost of materializing a few hundred rows per step.
+    // (keep component_id == doc_id, drop the rest). Min-label propagation
+    // with pointer jumping, iterated to a CHECKED fixpoint (see
+    // operators.Components): convergence is O(log diameter), so a long
+    // near-dup chain at 100× corpus scale cannot silently mislabel the way
+    // a fixed iteration count would. Each pass is a tiny join over the PAIR
+    // set (orders of magnitude smaller than the corpus).
     "dedup_components" -> ((s, dir) => {
       val pairs = jaccardPairs(Tables.documents(s, dir))
         .filter(col("jc") >= JACCARD_T)
         .select(col("i"), col("j"))
-      val edges = pairs.unionByName(
-        pairs.select(col("j").as("i"), col("i").as("j"))).localCheckpoint()
-      var labels = edges.select(col("i").as("node")).distinct()
-        .withColumn("label", col("node"))
-      for (_ <- 1 to 10) {
-        val nbr = edges
-          .join(labels, edges("j") === labels("node"))
-          .groupBy(edges("i").as("n2")).agg(min(col("label")).as("nbr_min"))
-        labels = labels.join(nbr, labels("node") === col("n2"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .localCheckpoint()
-      }
+      val labels = graft.operators.Components.connectedComponents(pairs)
       val w = Window.partitionBy(col("component_id"))
       labels
         .select(col("node").as("doc_id"), col("label").as("component_id"))

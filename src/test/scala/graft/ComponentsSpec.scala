@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diameter-15 chain converges to the chain minimum") {
+    // 0-1-2-...-15: eccentricity from the min node is 15, which a fixed
+    // 10-iteration propagation (the pre-round-4 implementation) mislabels —
+    // nodes 11..15 would still carry labels > 0.
+    val chain = (0L until 15L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Components.connectedComponents(chain)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(got.length === 16)
+    assert(got.forall(_._2 === 0L), s"non-min labels: ${got.filterNot(_._2 == 0L).toSeq}")
+  }
+
+  test("diameter-40 chain plus disjoint clique and isolated pair") {
+    val chain = (100L until 140L).map(k => (k, k + 1))
+    val clique = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    val pair = Seq((900L, 901L))
+    val edges = (chain ++ clique ++ pair).toDF("i", "j")
+    val labels = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((100L to 140L).forall(labels(_) == 100L))
+    assert((0L until 5L).forall(labels(_) == 0L))
+    assert(labels(900L) === 900L && labels(901L) === 900L)
+    assert(labels.size === 41 + 5 + 2)
+  }
+
+  test("edge direction does not matter (symmetrized internally)") {
+    val reversed = Seq((3L, 2L), (2L, 1L), (1L, 0L)).toDF("i", "j")
+    val labels = Components.connectedComponents(reversed)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet === Set(0L))
+  }
+
+  test("empty edge set yields empty labels without iterating forever") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Components.connectedComponents(empty).count() === 0L)
+  }
+}
