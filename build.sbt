@@ -16,7 +16,6 @@ run / fork := true
 // that parse (BENCH "parsed": null). StdoutOutput passes the child's stdout
 // through verbatim. runMain shares `run / runner`, so scoping to `run`
 // covers both.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -33,8 +33,8 @@ object Bench {
     // is the warm-up, the min is the reported cost; round-over-round deltas
     // on mins are attributable to code, not noise.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
-    def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -42,8 +42,18 @@ object Bench {
         spark.catalog.clearCache() // release per-query persist()s; not timed
         name -> dt
       }
-    val results = (1 to passes).map(_ => onePass())
-      .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
+    val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val first = onePass(allQs)
+    // Re-run only queries whose first pass cost >= 0.2 s: sub-0.2 s timings
+    // are dominated by fixed planning overhead a second sample cannot
+    // de-noise, and skipping them halves bench wall-time at zero signal
+    // loss as the query count grows.
+    val rerun = first.filter(_._2 >= 0.2).map(_._1).toSet
+    var results = first
+    for (_ <- 2 to passes if rerun.nonEmpty) {
+      val again = onePass(allQs.filter(q => rerun(q._1))).toMap
+      results = results.map { case (n, t) => n -> math.min(t, again.getOrElse(n, t)) }
+    }
     // Double.toString, not %f: the f-interpolator is locale-sensitive (a
     // comma decimal separator would corrupt the JSON under some locales)
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
@@ -65,6 +75,10 @@ object Bench {
       "glamira_stg_order", "glamira_fact_currency", "dedup_exact",
       "dedup_minhash_lsh", "sim_ann_lsh", "sim_ann_ivf",
       "text_tfidf_terms", "sess_sessionize", "rollup_revenue")
+    // a renamed/removed headline query must fail loudly, not silently drop
+    // out of the stdout JSON the driver parses
+    val missing = headline -- results.map(_._1).toSet
+    require(missing.isEmpty, s"bench headline names not in query set: $missing")
     val qs = fmt(results.filter(r => headline(r._1)))
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")

@@ -135,10 +135,40 @@ object GlamiraShaped {
       .select(col("user_db_id"), col("email_address_final"), col("last_seen_ts"),
         Keys.md5Key64(col("email_address_final")).as("customer_key"))
 
+  /** ip_location-shaped rows derived from events: ~997 ips collapse onto 37
+    * (country, region, city) triples, so mart_dim_location's per-key dedup
+    * has real work. All rows sharing a location_key share every attribute
+    * (they derive from the same modulus), so which ip wins rn=1 cannot
+    * change the projected output. md5-64 key stands in for FARM_FINGERPRINT
+    * (same substitution as dimCustomerShaped; farm parity gated by x1).
+    */
+  private def stgLocationShaped(s: SparkSession, dir: String): DataFrame = {
+    val m = col("event_id") % 37
+    Tables.events(s, dir).select(
+        concat(lit("ip"), col("event_id") % 997).as("ip"),
+        element_at(array(Seq("US", "DE", "SE", "FR", "DK").map(lit(_)): _*),
+          (m % 5 + 1).cast(IntegerType)).as("country_code"),
+        concat(lit("Country"), m % 5).as("country_name"),
+        concat(lit("R"), m % 7).as("region"),
+        concat(lit("City"), m).as("city"))
+      .withColumn("location_key", Keys.md5Key64(concat(
+        lower(trim(col("country_code"))), lit("|"),
+        lower(trim(col("region"))), lit("|"),
+        lower(trim(col("city"))))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)),
 
     "glamira_dim_customer" -> ((s, dir) => dimCustomerShaped(s, dir)),
+
+    // mart_dim_date.sql: the full calendar spine, via the production mart.
+    "glamira_dim_date" -> ((s, _) => Marts.martDimDate(s)),
+
+    // mart_dim_location.sql: per-location_key dedup by lowest ip, via the
+    // production mart over the shaped ip_location stand-in.
+    "glamira_dim_location" -> ((s, dir) =>
+      Marts.martDimLocation(stgLocationShaped(s, dir))),
 
     // Full mart_fact_order shape (ref mart_fact_order.sql:186-224): currency
     // pipeline → latest-FX join → time derivations → original + USD measures
@@ -369,6 +399,27 @@ object GlamiraShaped {
 
     Map(
       "glamira_stg_order" -> s"WITH $stgCte\n$stgSelect",
+
+      "glamira_dim_date" ->
+        """SELECT CAST(d AS DATE) AS date,
+          |  CAST(year(d) AS INTEGER) AS year, CAST(month(d) AS INTEGER) AS month
+          |FROM (SELECT unnest(generate_series(DATE '2015-01-01', DATE '2050-12-31',
+          |  INTERVAL 1 DAY)) AS d)""".stripMargin,
+
+      "glamira_dim_location" -> {
+        val keyPre = "lower(trim(country_code)) || '|' || lower(trim(region)) || '|' || lower(trim(city))"
+        s"""WITH ms AS (
+           |  SELECT DISTINCT event_id % 37 AS m FROM events),
+           |attrs AS (
+           |  SELECT ['US', 'DE', 'SE', 'FR', 'DK'][CAST(m % 5 AS INTEGER) + 1] AS country_code,
+           |    'Country' || CAST(m % 5 AS VARCHAR) AS country_name,
+           |    'R' || CAST(m % 7 AS VARCHAR) AS region,
+           |    'City' || CAST(m AS VARCHAR) AS city
+           |  FROM ms)
+           |SELECT ${Keys.md5Key64Sql(keyPre)} AS location_key,
+           |  country_code, country_name, region, city
+           |FROM attrs""".stripMargin
+      },
 
       "glamira_dim_customer" ->
         s"""WITH $dimCustCtes

@@ -142,6 +142,20 @@ object Pipeline {
         Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id")), 30)
     }),
 
+    // Skew tooling under the gate: two-phase salted aggregation on a
+    // deliberately hot key (~70% of rows on one value) must equal the plain
+    // GROUP BY the oracle runs. Sums accumulate in exact DECIMAL and cross
+    // the output boundary as DOUBLE (double-order nondeterminism + the
+    // driver's stringify-hash both forbid anything else).
+    "skew_salted_agg" -> ((s, dir) => {
+      val hot = Tables.events(s, dir)
+        .withColumn("k",
+          when(col("event_id") % 10 < 7, lit("hot")).otherwise(col("event_type")))
+        .withColumn("v", dec(col("value")))
+      graft.operators.Skew.saltedCountSum(hot, Seq("k"), "v", salts = 16)
+        .select(col("k"), col("n"), col("sum_v").cast(DoubleType).as("sum_value"))
+    }),
+
     // QA: validity-flag engine — email regex, IPv4 format, private/placeholder
     // IP exclusion, AND-rollup (ref: int_order_qa.sql:19-95,
     // int_customer_email_qa.sql:20-30). Email/ip synthesized deterministically
@@ -277,6 +291,13 @@ object Pipeline {
         |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, min(event_id) AS first_event_id
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT CASE WHEN event_id % 10 < 7 THEN 'hot' ELSE event_type END AS k,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1""".stripMargin,
 
     "qa_validity_flags" ->
       """WITH d AS (

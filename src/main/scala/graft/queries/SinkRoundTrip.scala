@@ -14,13 +14,15 @@ import graft.sources.Sinks
   * transform. (Ref: ETL/export_to_gcs.py:191-195 chunked parquet export,
   * ETL/load_to_bigquery.py:37-94 partitioned+clustered load, CSV export.)
   *
-  * Sink dirs are unique per JVM (concurrent driver processes on one host
-  * must not race on a shared path); results depend only on table content.
+  * Sink dirs are unique per INVOCATION (createTempDirectory per query call,
+  * as StreamGate does): a JVM-wide shared dir would let two sessions in one
+  * JVM — parallel test suites, say — race on the same output path.
+  * Results depend only on table content.
   */
 object SinkRoundTrip {
 
-  private lazy val baseDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_sink_rt")
+  private def freshDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_sink_rt_$tag")
     p.toFile.deleteOnExit()
     p.toString
   }
@@ -29,7 +31,7 @@ object SinkRoundTrip {
     // S4: chunked parquet writer — fixed chunk count like the reference's
     // row-sliced export files, then a read-back aggregate over all chunks.
     "s4_parquet_roundtrip" -> ((s, dir) => {
-      val out = s"$baseDir/s4"
+      val out = freshDir("s4")
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .repartition(8)
@@ -44,7 +46,7 @@ object SinkRoundTrip {
     // partition-FILTERED read-back — the pruning path a 100 TB table lives
     // or dies by (only the one date directory is scanned).
     "s6_partitioned_roundtrip" -> ((s, dir) => {
-      val out = s"$baseDir/s6"
+      val out = freshDir("s6")
       val withDate = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           to_date(col("ts")).as("event_date"))
@@ -58,7 +60,7 @@ object SinkRoundTrip {
     // S8: CSV sink with header → typed read-back (integer/string columns:
     // CSV is not a lossless float carrier, the reference exports ids too).
     "s8_csv_roundtrip" -> ((s, dir) => {
-      val out = s"$baseDir/s8"
+      val out = freshDir("s8")
       Sinks.writeCsv(
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type")), out)

@@ -2,23 +2,36 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, Sessionize}
 
 /** The Structured Streaming engine under the driver's DuckDB oracle gate:
-  * the query below actually EXECUTES a streaming job (readStream →
-  * watermarked windowed aggregate → AvailableNow memory sink) and returns
-  * its result table, which the oracle recomputes with batch SQL. This is
-  * the batch/stream unification claim made testable — same logic, same
-  * answer, two execution engines, one hash gate.
+  * each query below actually EXECUTES a streaming job (readStream →
+  * watermarked transform → AvailableNow memory sink) and returns its result
+  * table, which the oracle recomputes with batch SQL. This is the
+  * batch/stream unification claim made testable — same logic, same answer,
+  * two execution engines, one hash gate.
   *
   * AvailableNow over a static backlog drops nothing at the watermark
   * (single logical batch), so the result is deterministic and equal to the
-  * batch window aggregate.
+  * batch twin.
   */
 object StreamGate {
+
+  /** A timed-out streaming query must be stopped and surfaced as an error:
+    * reading the memory-sink table while the query still runs would compare
+    * a partial result, and the leaked active query would make the next
+    * invocation of the same queryName fail.
+    */
+  private def awaitOrFail(q: StreamingQuery, ms: Long): Unit =
+    if (!q.awaitTermination(ms)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' did not terminate within ${ms}ms")
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) => {
@@ -29,10 +42,50 @@ object StreamGate {
           col("value"), col("props"))
         .write.mode("overwrite").parquet(in)
       val q = EventStream.runAvailableNow(s, in, ckpt, "stream_window_agg_sink")
-      q.awaitTermination(300000)
+      awaitOrFail(q, 300000)
       s.table("stream_window_agg_sink")
         .select(col("window_start"), col("event_type"), col("n"),
           col("sum_value").cast(DoubleType).as("sum_value"))
+    }),
+
+    // The STATEFUL streaming engine under the gate: flatMapGroupsWithState
+    // sessionization (one open-session state per user, event-time timeout).
+    // A per-user flush sentinel 30 days after that user's last event closes
+    // every real session in-stream; the sentinel's own 1-event session then
+    // surfaces via the EVENT-TIME TIMEOUT path (the trailing no-data batch
+    // advances the watermark past most sentinels' timeouts), so both emit
+    // paths of the state machine execute. Sentinel sessions are
+    // distinguishable (first_event_id = Long.MaxValue) and filtered from
+    // the result, leaving EXACTLY the batch sessionization of the real
+    // events for the oracle to recompute declaratively.
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val in = java.nio.file.Files.createTempDirectory("graft_sess_in").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ck").toString
+      val base = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val flush = base.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("mx"))
+        .select(col("user_id"),
+          (col("mx") + expr("interval 30 days")).as("ts"),
+          lit(Long.MaxValue).as("event_id"))
+      base.unionByName(flush).write.mode("overwrite").parquet(in)
+      val stream = s.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG")
+        .parquet(in)
+        .withWatermark("ts", "0 seconds")
+        .as[Sessionize.Event]
+      val q = Sessionize.sessionizeStream(stream, 30)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_sessionize_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s.table("stream_sessionize_sink")
+        .filter(col("first_event_id") =!= Long.MaxValue)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("first_event_id"))
     })
   )
 
@@ -43,6 +96,27 @@ object StreamGate {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // batch twin of the stateful sessionizer: lag-gap + running-sum session
+    // ids, per-session rollup (same recipe as sess_sessionize; the flush
+    // sentinel sessions never surface on the streaming side, so the oracle
+    // sessionizes the REAL events only).
+    "stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events WHERE user_id IS NOT NULL),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, min(event_id) AS first_event_id
+        |FROM s GROUP BY user_id, session_idx""".stripMargin
   )
 }

@@ -124,20 +124,7 @@ object VectorOps {
     "sim_ann_lsh_multiprobe" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val sigs = lshSigs(s, emb)
-      val probes = sigs
-        .select(col("vec_id"), col("bucket"),
-          explode(sequence(lit(0), lit(NPLANES))).as("f"))
-        .withColumn("probe",
-          when(col("f") === 0, col("bucket"))
-            .otherwise(concat(
-              col("bucket").substr(lit(1), col("f") - 1),
-              when(col("bucket").substr(col("f"), lit(1)) === "0", "1").otherwise("0"),
-              col("bucket").substr(col("f") + 1, lit(NPLANES)))))
-      val cand = probes.select(col("probe").as("bucket"), col("vec_id").as("i"))
-        .join(sigs.select(col("bucket"), col("vec_id").as("j")), Seq("bucket"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j")).distinct()
+      val cand = multiprobeCandidates(lshSigs(s, emb))
       val n = withNorm(emb)
       cand
         .join(n.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na")), Seq("i"))
@@ -147,6 +134,34 @@ object VectorOps {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     })
   )
+
+  /** Distinct within-bucket candidate pairs (i < j) from exact signatures. */
+  private def lshCandidates(sigs: DataFrame): DataFrame =
+    sigs.select(col("bucket"), col("vec_id").as("i"))
+      .join(sigs.select(col("bucket"), col("vec_id").as("j")), Seq("bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+
+  /** Multi-probe candidates: each vector probes its exact bucket plus every
+    * bucket at hamming distance 1 (NPLANES one-bit flips); probes join
+    * against EXACT signatures so the join stays an equi-join on the bucket
+    * string.
+    */
+  private def multiprobeCandidates(sigs: DataFrame): DataFrame = {
+    val probes = sigs
+      .select(col("vec_id"), col("bucket"),
+        explode(sequence(lit(0), lit(NPLANES))).as("f"))
+      .withColumn("probe",
+        when(col("f") === 0, col("bucket"))
+          .otherwise(concat(
+            col("bucket").substr(lit(1), col("f") - 1),
+            when(col("bucket").substr(col("f"), lit(1)) === "0", "1").otherwise("0"),
+            col("bucket").substr(col("f") + 1, lit(NPLANES)))))
+    probes.select(col("probe").as("bucket"), col("vec_id").as("i"))
+      .join(sigs.select(col("bucket"), col("vec_id").as("j")), Seq("bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
 
   /** Random-hyperplane signatures: w ∈ {+1,-1} from md5 parity of "p:d",
     * projections via one shuffle on (vec_id, p), bit-string bucket.
@@ -188,6 +203,30 @@ object VectorOps {
       .select(col("vec_id"), col("cid").as("cell"))
   }
 
+  /** Deterministic IVF cell assignments: k-means seeds = the first vec_ids,
+    * one Lloyd refinement (assign → component-wise means → re-assign).
+    * Empty cells simply vanish (their members re-assign elsewhere) — the
+    * standard k-means degenerate-cell behavior. Centroids re-quantize to
+    * float32: vec_dot is an array<float> kernel, and the oracle applies the
+    * identical DOUBLE→REAL rounding.
+    */
+  private def ivfAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
+    val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < NCENTROIDS)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", norm(col("ce")))
+    val assign0 = assignCells(emb, seeds)
+    val refined = emb.join(assign0, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(avg(col("x").cast(DoubleType)).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        t => t.getField("m")).as("ce"))
+      .select(col("cell").as("cid"), col("ce").cast(ArrayType(FloatType)).as("ce"))
+      .withColumn("nc", norm(col("ce")))
+    assignCells(emb, refined)
+  }
+
   def ivfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ANN via IVF with k-means centroids: deterministic seeds (the first
     // vec_ids) refined by one Lloyd step — assign all vectors to their
@@ -202,26 +241,7 @@ object VectorOps {
     "sim_ann_ivf" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < NCENTROIDS)
-        .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
-        .withColumn("nc", norm(col("ce")))
-      val assign0 = assignCells(emb, seeds)
-      // Lloyd step: component-wise means per cell, ordered back into arrays.
-      // Empty cells simply vanish (their members re-assign elsewhere) — the
-      // standard k-means degenerate-cell behavior.
-      val refined = emb.join(assign0, Seq("vec_id"))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(avg(col("x").cast(DoubleType)).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          t => t.getField("m")).as("ce"))
-        // back to float32: vec_dot is an array<float> kernel, and quantizing
-        // the centroid costs nothing at nprobe granularity (oracle applies
-        // the identical DOUBLE→REAL rounding)
-        .select(col("cell").as("cid"), col("ce").cast(ArrayType(FloatType)).as("ce"))
-        .withColumn("nc", norm(col("ce")))
-      val assign = assignCells(emb, refined)
+      val assign = ivfAssignments(s, dir, emb)
       val e = withNorm(emb).join(assign, Seq("vec_id"))
       val l = e.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
       val r = e.select(col("cell"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -229,8 +249,42 @@ object VectorOps {
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // Candidate recall of every ANN path against the quadratic cosine
+    // ground truth (COS_T truth set over the augmented corpus), UNDER the
+    // oracle gate: a bucket-parameter regression (broken banding, wrong
+    // probe expansion, degenerate centroids) changes n_found and fails the
+    // hash compare, and the recall_ok boolean pins the design floor the way
+    // the approx_* tolerance gates do. The truth side is the labeled
+    // quadratic twin — this is a metric fixture, not a production path.
+    "ann_recall" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val truth = cosinePairs(emb).filter(col("cos") >= COS_T)
+        .select(col("i"), col("j")).persist()
+      val sigs = lshSigs(s, emb).persist()
+      val assign = ivfAssignments(s, dir, emb)
+      val ivfCand = assign.select(col("cell"), col("vec_id").as("i"))
+        .join(assign.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      def recallRow(method: String, cand: DataFrame, thr: Double): DataFrame =
+        truth.join(cand, Seq("i", "j"), "left_semi")
+          .agg(count(lit(1)).as("n_found"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .select(lit(method).as("method"), col("n_true"), col("n_found"),
+            round(col("n_found").cast(DoubleType) / col("n_true"), 6).as("recall"),
+            (col("n_found").cast(DoubleType) / col("n_true") >= thr).as("recall_ok"))
+      recallRow("ivf", ivfCand, RECALL_IVF_T)
+        .unionByName(recallRow("lsh", lshCandidates(sigs), RECALL_LSH_T))
+        .unionByName(recallRow("lsh_multiprobe", multiprobeCandidates(sigs), RECALL_MP_T))
     })
   )
+
+  private val RECALL_LSH_T = 0.8
+  private val RECALL_MP_T = 0.8
+  private val RECALL_IVF_T = 0.8
 
   private val dotSql =
     "list_sum(list_transform(list_zip(%A, %B), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))"
@@ -285,7 +339,76 @@ object VectorOps {
          |SELECT x.vec_id AS i, y.vec_id AS j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
          |FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin
+         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the ann_recall twin replays the full LSH signature chain AND the IVF
+    // centroid chain, then counts truth ∩ candidates per method
+    "ann_recall" ->
+      s"""WITH $lshSigCtes,
+         |truth AS (
+         |  SELECT x.vec_id AS i, y.vec_id AS j
+         |  FROM n x JOIN n y ON x.vec_id < y.vec_id
+         |  WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $COS_T),
+         |tc AS (SELECT count(*) AS n_true FROM truth),
+         |lsh_cand AS (
+         |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         |  FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |probes AS (
+         |  SELECT vec_id,
+         |    CASE WHEN f = 0 THEN bucket
+         |         ELSE substr(bucket, 1, f - 1)
+         |           || (CASE WHEN substr(bucket, f, 1) = '0' THEN '1' ELSE '0' END)
+         |           || substr(bucket, f + 1, $NPLANES)
+         |    END AS probe
+         |  FROM sigs, (SELECT unnest(range(0, ${NPLANES + 1})) AS f)),
+         |mp_cand AS (
+         |  SELECT DISTINCT p.vec_id AS i, s.vec_id AS j
+         |  FROM probes p JOIN sigs s ON p.probe = s.bucket AND p.vec_id < s.vec_id),
+         |cent0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nc
+         |  FROM embeddings WHERE vec_id < $NCENTROIDS),
+         |assign0 AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT n.vec_id, cent0.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${dSql("n.embedding", "cent0.ce")} / (n.nrm * cent0.nc) DESC, cent0.cid ASC) AS rn
+         |    FROM n CROSS JOIN cent0)
+         |  WHERE rn = 1),
+         |icomps AS (
+         |  SELECT assign0.cell, generate_subscripts(n.embedding, 1) AS d,
+         |    unnest(n.embedding) AS x
+         |  FROM n JOIN assign0 ON n.vec_id = assign0.vec_id),
+         |means AS (
+         |  SELECT cell, d, avg(CAST(x AS DOUBLE)) AS m
+         |  FROM icomps GROUP BY cell, d),
+         |cent1 AS (
+         |  SELECT cell AS cid,
+         |    list_transform(list(m ORDER BY d), v -> CAST(v AS REAL)) AS ce
+         |  FROM means GROUP BY cell),
+         |cent AS (
+         |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM cent1),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT n.vec_id, cent.cid, row_number() OVER (
+         |      PARTITION BY n.vec_id
+         |      ORDER BY ${dSql("n.embedding", "cent.ce")} / (n.nrm * cent.nc) DESC, cent.cid ASC) AS rn
+         |    FROM n CROSS JOIN cent)
+         |  WHERE rn = 1),
+         |ivf_cand AS (
+         |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |found(method, thr, n_found) AS (
+         |  SELECT 'ivf', $RECALL_IVF_T,
+         |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j)
+         |  UNION ALL SELECT 'lsh', $RECALL_LSH_T,
+         |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j)
+         |  UNION ALL SELECT 'lsh_multiprobe', $RECALL_MP_T,
+         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j))
+         |SELECT method, (SELECT n_true FROM tc) AS n_true, n_found,
+         |  round(CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc), 6) AS recall,
+         |  CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc) >= thr AS recall_ok
+         |FROM found""".stripMargin
   )
 
   def oracleSql: Map[String, String] = Map(
