@@ -37,6 +37,11 @@ object TextOps {
   private def bj(j: Int): Long = 5L * j + 7
   private val JACCARD_T = 0.7
 
+  // Shared Java/RE2 regex subset (no lookaround, no backrefs) so Spark and
+  // DuckDB compile the identical pattern.
+  private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PHONE_RE = "\\+1-555-[0-9]{4}"
+
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 6
   private val SIMHASH_BAND_BITS = 10
@@ -284,6 +289,51 @@ object TextOps {
           .as("fingerprint"))
     }),
 
+    // PII scrub (training-data curation): deterministic emails / phone
+    // strings are synthesized onto the corpus (the synthetic text carries
+    // none), then regex-redacted and counted. Pure codegen'd regexp ops —
+    // a map-only pass with no shuffle at any scale.
+    "text_pii_redact" -> ((s, dir) => {
+      val body = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@mail.example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .withColumn("body", body)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("body"), lit(EMAIL_RE), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("body"), lit(PHONE_RE), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("body"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>")).as("redacted_md5"))
+    }),
+
+    // Repetition metrics (Gopher-style quality filters): duplicate-token
+    // fraction and most-frequent-bigram fraction per document. One explode
+    // + two aggregations; the bigram count table shuffles on (doc_id,
+    // bigram) and everything after is constant state per doc.
+    "text_repetition" -> ((s, dir) => {
+      val toks = TextFns.rawTokens(lower(col("text")))
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        toks.as("toks"))
+      val bigrams = base.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2), i =>
+            concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("bg"))
+      val stats = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("total_bg"))
+      base.join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens"), 6)
+            .as("dup_token_frac"),
+          round(col("top_c").cast(DoubleType) / col("total_bg"), 6).as("top_bigram_frac"))
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The text
     // is re-encoded as the stand-in payload; real decode is the stubbed
     // mapPartitions path in graft.operators.Multimodal.
@@ -456,6 +506,43 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpeish_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_words
         |FROM documents""".stripMargin,
+
+    "text_pii_redact" -> {
+      // SQL single-quoted strings don't treat backslash as an escape, so the
+      // Java pattern text passes to RE2 verbatim
+      val emailSql = EMAIL_RE
+      s"""WITH d AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' contact u' || doc_id || '@mail.example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS body
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(body, '$emailSql')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(body, '$PHONE_RE')) AS INTEGER) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(body, '$emailSql', '<EMAIL>', 'g'),
+         |    '$PHONE_RE', '<PHONE>', 'g')) AS redacted_md5
+         |FROM d""".stripMargin
+    },
+
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b2 AS (
+        |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+        |  FROM base),
+        |bgs AS (
+        |  SELECT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+        |  FROM base WHERE len(toks) >= 2),
+        |counts AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2),
+        |stats AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total_bg FROM counts GROUP BY 1)
+        |SELECT b2.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(n_distinct AS INTEGER) AS n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+        |  round(CAST(top_c AS DOUBLE) / total_bg, 6) AS top_bigram_frac
+        |FROM b2 LEFT JOIN stats ON b2.doc_id = stats.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
