@@ -21,6 +21,8 @@ object Curation {
   private val strataRates: Map[String, Int] = Map(   // per-mille keep rates
     "en" -> 500, "de" -> 300, "es" -> 300, "fr" -> 300, "zh" -> 200)
 
+  private val DOMAIN_CAP = 10
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified deterministic sampling: per-language keep rates.
     "sample_stratified" -> ((s, dir) => {
@@ -32,6 +34,21 @@ object Curation {
         .withColumn("bucket", bucket)
         .filter(col("bucket") < rate)
         .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
+    // Per-domain cap (corpus balancing): keep at most DOMAIN_CAP docs per
+    // source, priority = content-hash order — deterministic across
+    // runs/engines/topology like all sampling here, no RNG. One window
+    // shuffle on source; at 100 TB a heavily-skewed source is the classic
+    // hot partition, so the production form pre-aggregates per-source
+    // counts and only windows sources over the cap.
+    "curation_domain_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text")).asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("pick_rank", row_number().over(w))
+        .filter(col("pick_rank") <= DOMAIN_CAP)
+        .select(col("doc_id"), col("source"), col("pick_rank"))
     }),
 
     // Decontamination: remove from the corpus every document that is an
@@ -131,6 +148,14 @@ object Curation {
          |  FROM documents)
          |WHERE bucket < $rateCase""".stripMargin
     },
+
+    "curation_domain_cap" ->
+      s"""SELECT doc_id, source, CAST(rn AS INTEGER) AS pick_rank
+         |FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC) AS rn
+         |  FROM documents)
+         |WHERE rn <= $DOMAIN_CAP""".stripMargin,
 
     "decontaminate" ->
       """WITH eval_set AS (SELECT * FROM documents WHERE doc_id % 50 = 0),

@@ -86,6 +86,34 @@ object StreamGate {
         .filter(col("first_event_id") =!= Long.MaxValue)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("first_event_id"))
+    }),
+
+    // Streaming exact dedup: the corpus plus planted full duplicates flows
+    // through streaming dropDuplicates on the content hash — the
+    // in-stream form of dedup_exact. Output carries only columns constant
+    // within a duplicate group (hash + length), so WHICH arrival wins is
+    // immaterial and the result is deterministic. A broken dedup emits
+    // extra rows and fails the row-count gate. At scale the production
+    // form is dropDuplicatesWithinWatermark so state ages out; the
+    // bounded-backlog gate keeps plain dropDuplicates.
+    "stream_dedup" -> ((s, dir) => {
+      val in = java.nio.file.Files.createTempDirectory("graft_sdedup_in").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_ck").toString
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(in)
+      val q = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(in)
+        .select(md5(col("text")).as("content_hash"),
+          length(col("text")).as("text_len"))
+        .dropDuplicates("content_hash")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_dedup_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s.table("stream_dedup_sink")
     })
   )
 
@@ -117,6 +145,13 @@ object StreamGate {
         |  FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, min(event_id) AS first_event_id
-        |FROM s GROUP BY user_id, session_idx""".stripMargin
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    // the planted duplicates collapse onto their originals' hashes, so the
+    // batch twin is simply DISTINCT over the base corpus
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash,
+        |  CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents""".stripMargin
   )
 }

@@ -102,6 +102,25 @@ object TextOps {
     withJaccard(inter, sizes)
   }
 
+  /** MinHash band signatures from a hashed shingle index (doc_id, h):
+    * all 16 min-hashes in ONE aggregation pass (16 static min exprs — no
+    * perm cross-join row blowup, single shuffle on doc_id), then 8 banded
+    * md5 signatures unpivoted to (doc_id, band, sig).
+    */
+  private def minhashBands(shWithH: DataFrame): DataFrame = {
+    val mhAggs = (0 until NPERM).map(j =>
+      min((lit(aj(j)) * col("h") + lit(bj(j))) % P).as(s"mh_$j"))
+    val mh = shWithH.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val nBands = NPERM / ROWS_PER_BAND
+    val sigCols = (0 until nBands).map { b =>
+      val members = (0 until ROWS_PER_BAND).map(r => col(s"mh_${b * ROWS_PER_BAND + r}"))
+      md5(concat_ws(",", members: _*)).as(s"sig_$b")
+    }
+    val stackArgs = (0 until nBands).map(b => s"$b, sig_$b").mkString(", ")
+    mh.select((col("doc_id") +: sigCols): _*)
+      .selectExpr("doc_id", s"stack($nBands, $stackArgs) AS (band, sig)")
+  }
+
   /** DuckDB twin of the shingle index, as a CTE body. */
   private val shingleSql =
     """SELECT doc_id,
@@ -158,19 +177,7 @@ object TextOps {
         .crossJoin(broadcast(nDocs))
         .filter(col("df") <= greatest(lit(100), col("n_docs") * 0.1))
         .withColumn("h", TextFns.md5Hash60(col("shingle")) % P)
-      // All 16 min-hashes in ONE aggregation pass (16 static min exprs) —
-      // no perm cross-join row blowup, single shuffle on doc_id.
-      val mhAggs = (0 until NPERM).map(j =>
-        min((lit(aj(j)) * col("h") + lit(bj(j))) % P).as(s"mh_$j"))
-      val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-      val nBands = NPERM / ROWS_PER_BAND
-      val sigCols = (0 until nBands).map { b =>
-        val members = (0 until ROWS_PER_BAND).map(r => col(s"mh_${b * ROWS_PER_BAND + r}"))
-        md5(concat_ws(",", members: _*)).as(s"sig_$b")
-      }
-      val stackArgs = (0 until nBands).map(b => s"$b, sig_$b").mkString(", ")
-      val bands = mh.select((col("doc_id") +: sigCols): _*)
-        .selectExpr("doc_id", s"stack($nBands, $stackArgs) AS (band, sig)")
+      val bands = minhashBands(sh)
       val cand = bands.select(col("band"), col("sig"), col("doc_id").as("i"))
         .join(bands.select(col("band"), col("sig"), col("doc_id").as("j")), Seq("band", "sig"))
         .filter(col("i") < col("j"))
@@ -178,6 +185,30 @@ object TextOps {
       jaccardForCandidates(cand, shRaw)
         .filter(col("jc") >= JACCARD_T)
         .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
+    }),
+
+    // Incremental near-dup detection — the index-reuse pattern production
+    // dedup runs every day: the NEW batch (doc_id % 4 == 0 stands in for
+    // today's arrivals) bands against the EXISTING corpus (the rest). At
+    // 100 TB the existing side's band signatures are a PERSISTED index:
+    // only the new batch computes signatures, the candidate join is
+    // new-bands × index (never corpus × corpus), and verification touches
+    // only candidates' shingles. No df cap here so the oracle chain is the
+    // plain minhash pipeline; the production path composes the same cap as
+    // dedup_minhash_lsh.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = shingleIndex(docs).persist()
+      val bands = minhashBands(sh.withColumn("h", TextFns.md5Hash60(col("shingle")) % P))
+      val cand = bands.filter(col("doc_id") % 4 === 0)
+        .select(col("band"), col("sig"), col("doc_id").as("i"))
+        .join(bands.filter(col("doc_id") % 4 =!= 0)
+          .select(col("band"), col("sig"), col("doc_id").as("j")), Seq("band", "sig"))
+        .select(col("i"), col("j")).distinct()
+      jaccardForCandidates(cand, sh)
+        .filter(col("jc") >= JACCARD_T)
+        .select(col("i").as("new_doc_id"), col("j").as("existing_doc_id"),
+          round(col("jc"), 6).as("jaccard"))
     }),
 
     // Connected components over the near-dup pair graph — the canonical-
@@ -362,6 +393,25 @@ object TextOps {
     })
   )
 
+  /** Shared DuckDB twin of [[minhashBands]]: perms → hashed shingles →
+    * per-perm min-hash → banded signatures. Expects an `sh` CTE in scope.
+    */
+  private lazy val minhashBandsSql: String = {
+    val permVals = (0 until NPERM).map(j => s"(${j}, ${aj(j)}, ${bj(j)})").mkString(", ")
+    s"""perms(perm, a, b) AS (VALUES $permVals),
+       |hashed AS (
+       |  SELECT doc_id, shingle,
+       |    ${TextFns.md5Hash60Sql("shingle")} % $P AS h
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, perm, min((a * h + b) % $P) AS mh
+       |  FROM hashed CROSS JOIN perms GROUP BY doc_id, perm),
+       |bands AS (
+       |  SELECT doc_id, perm // $ROWS_PER_BAND AS band,
+       |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS sig
+       |  FROM mh GROUP BY doc_id, perm // $ROWS_PER_BAND)""".stripMargin
+  }
+
   private def simhashSumsSql: String =
     (0 until SIMHASH_BITS).map(j =>
       s"sum((((h >> $j) & 1) * 2) - 1) AS s_$j").mkString(",\n    ")
@@ -400,29 +450,30 @@ object TextOps {
          |  doc_id = component_id AS is_canonical
          |FROM comp""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val permVals = (0 until NPERM).map(j => s"(${j}, ${aj(j)}, ${bj(j)})").mkString(", ")
+    "dedup_minhash_lsh" ->
       s"""WITH $jaccardSql,
-         |perms(perm, a, b) AS (VALUES $permVals),
-         |hashed AS (
-         |  SELECT doc_id, shingle,
-         |    ${TextFns.md5Hash60Sql("shingle")} % $P AS h
-         |  FROM sh),
-         |mh AS (
-         |  SELECT doc_id, perm, min((a * h + b) % $P) AS mh
-         |  FROM hashed CROSS JOIN perms GROUP BY doc_id, perm),
-         |bands AS (
-         |  SELECT doc_id, perm // $ROWS_PER_BAND AS band,
-         |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS sig
-         |  FROM mh GROUP BY doc_id, perm // $ROWS_PER_BAND),
+         |$minhashBandsSql,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
          |SELECT jac.i, jac.j, round(jc, 6) AS jaccard
          |FROM cand JOIN jac ON cand.i = jac.i AND cand.j = jac.j
-         |WHERE jc >= $JACCARD_T""".stripMargin
-    },
+         |WHERE jc >= $JACCARD_T""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $jaccardSql,
+         |$minhashBandsSql,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig
+         |  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0)
+         |SELECT cand.i AS new_doc_id, cand.j AS existing_doc_id,
+         |  round(jc, 6) AS jaccard
+         |FROM cand JOIN jac
+         |  ON jac.i = least(cand.i, cand.j) AND jac.j = greatest(cand.i, cand.j)
+         |WHERE jc >= $JACCARD_T""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tok AS (
