@@ -57,6 +57,27 @@ object SinkRoundTrip {
           col("event_date").cast(DateType).as("event_date"))
     }),
 
+    // Small-files compaction under the gate: write deliberately fragmented
+    // (64 files), run the crash-safe rename-swap compaction to 4, then
+    // aggregate the read-back — covering write → compact → read. The file
+    // count collapse is asserted in-query (compact_ok) so a silent no-op
+    // compaction fails the hash compare, not just a unit test.
+    "s10_compact_roundtrip" -> ((s, dir) => {
+      val out = freshDir("s10")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(out)
+      Sinks.compact(s, out, targetFiles = 4)
+      val nFiles = new java.io.File(out).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .withColumn("compact_ok", lit(nFiles <= 4))
+    }),
+
     // S8: CSV sink with header → typed read-back (integer/string columns:
     // CSV is not a lossless float carrier, the reference exports ids too).
     "s8_csv_roundtrip" -> ((s, dir) => {
@@ -85,6 +106,12 @@ object SinkRoundTrip {
     "s6_partitioned_roundtrip" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'""".stripMargin,
+
+    "s10_compact_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  TRUE AS compact_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "s8_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,
