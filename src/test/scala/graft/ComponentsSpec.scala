@@ -42,4 +42,35 @@ class ComponentsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("i", "j")
     assert(Components.connectedComponents(empty).count() === 0L)
   }
+
+  test("random graphs match a union-find reference") {
+    // deterministic LCG so the fixture is reproducible
+    var seed = 12345L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(30)((next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // min node id reachable = min over the component's members
+          val root = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == root).min
+        }).toMap
+      val got = Components.connectedComponents(edges.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial mismatch")
+    }
+  }
 }
