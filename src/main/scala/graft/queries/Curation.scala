@@ -51,6 +51,22 @@ object Curation {
         .select(col("doc_id"), col("source"), col("pick_rank"))
     }),
 
+    // Quantile length filter (C4-style): keep documents whose length sits
+    // inside the corpus's [p05, p95] band. The bounds are a 1-row exact-
+    // percentile aggregate broadcast against the corpus — two passes over
+    // n_chars, no driver-side action, and the filter predicate stays a
+    // codegen'd comparison at any scale.
+    "curation_length_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.05)").as("p05"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+      docs.crossJoin(broadcast(bounds))
+        .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("p05"), 6).as("p05"), round(col("p95"), 6).as("p95"))
+    }),
+
     // Decontamination: remove from the corpus every document that is an
     // exact or near (Jaccard ≥ 0.7) duplicate of a held-out eval set —
     // here the eval set is doc_id % 50 == 0. Output: the kept corpus ids
@@ -148,6 +164,15 @@ object Curation {
          |  FROM documents)
          |WHERE bucket < $rateCase""".stripMargin
     },
+
+    "curation_length_filter" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(n_chars, 0.05) AS p05,
+        |    quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(p05, 6) AS p05, round(p95, 6) AS p95
+        |FROM documents, b
+        |WHERE n_chars >= p05 AND n_chars <= p95""".stripMargin,
 
     "curation_domain_cap" ->
       s"""SELECT doc_id, source, CAST(rn AS INTEGER) AS pick_rank
