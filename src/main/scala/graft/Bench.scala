@@ -27,11 +27,15 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Two passes, min per query: a single-shot timing on local[32] swings
-    // ±3× from JIT/GC/page-cache luck (rounds 1 vs 2 "regressed" and
-    // "improved" dozens of queries on byte-identical code). The first pass
-    // is the warm-up, the min is the reported cost; round-over-round deltas
-    // on mins are attributable to code, not noise.
+    // Two passes, min per query — EXCEPT queries whose first pass lands
+    // under 0.2 s, which keep their single cold sample. A single-shot
+    // timing on local[32] swings ±3× from JIT/GC/page-cache luck (rounds
+    // 1 vs 2 "regressed" and "improved" dozens of queries on byte-identical
+    // code), so the min matters for anything long enough to measure; the
+    // sub-0.2 s queries are planning-overhead-bound, their cold/warm delta
+    // is bounded by that same 0.2 s, and skipping their second pass halves
+    // the bench wall-time. Trade-off: their reported values carry first-run
+    // noise — compare trends on the headline (all >0.2 s) queries.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
       qs.map { case (name, fn) =>

@@ -140,6 +140,10 @@ object Staging {
     * reads off the struct) — the previous 13 independent `get_json_object`
     * calls each re-ran a full Jackson parse per row, ~13× the parse cost on
     * the product table at scale. Mirrors the gated x11_json_extract shape.
+    * Semantics note: on (pathological but legal) duplicate JSON keys,
+    * `from_json` keeps the LAST occurrence where `get_json_object` returned
+    * the first — acceptable here because the crawler emits each product
+    * field once (ref stg_product.sql flattens unique paths).
     */
   def stgProduct(productRaw: DataFrame): DataFrame = {
     ff(productRaw.sparkSession)

@@ -276,21 +276,7 @@ object Pipeline {
         |       ELSE 'UNCHANGED' END <> 'UNCHANGED'""".stripMargin,
 
     "sess_sessionize" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, event_id,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
-        |  FROM events),
-        |m AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM o),
-        |s AS (
-        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
-        |  FROM m)
-        |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, min(event_id) AS first_event_id
-        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+      graft.streaming.Sessionize.batchOracleSql(gapMinutes = 30),
 
     "skew_salted_agg" ->
       """SELECT CASE WHEN event_id % 10 < 7 THEN 'hot' ELSE event_type END AS k,

@@ -14,18 +14,15 @@ import graft.sources.Sinks
   * transform. (Ref: ETL/export_to_gcs.py:191-195 chunked parquet export,
   * ETL/load_to_bigquery.py:37-94 partitioned+clustered load, CSV export.)
   *
-  * Sink dirs are unique per INVOCATION (createTempDirectory per query call,
-  * as StreamGate does): a JVM-wide shared dir would let two sessions in one
-  * JVM — parallel test suites, say — race on the same output path.
-  * Results depend only on table content.
+  * Sink dirs are unique per INVOCATION (TempDirs.fresh per query call): a
+  * JVM-wide shared dir would let two sessions in one JVM — parallel test
+  * suites, say — race on the same output path; the same thread's previous
+  * dir is reclaimed on re-invocation so repeated passes don't accumulate
+  * table copies. Results depend only on table content.
   */
 object SinkRoundTrip {
 
-  private def freshDir(tag: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(s"graft_sink_rt_$tag")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+  private def freshDir(tag: String): String = TempDirs.fresh(s"sink_$tag")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: chunked parquet writer — fixed chunk count like the reference's

@@ -35,8 +35,8 @@ object StreamGate {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) => {
-      val in = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+      val in = TempDirs.fresh("stream_in")
+      val ckpt = TempDirs.fresh("stream_ck")
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
@@ -60,8 +60,8 @@ object StreamGate {
     // events for the oracle to recompute declaratively.
     "stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val in = java.nio.file.Files.createTempDirectory("graft_sess_in").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ck").toString
+      val in = TempDirs.fresh("sess_in")
+      val ckpt = TempDirs.fresh("sess_ck")
       val base = Tables.events(s, dir)
         .filter(col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"))
@@ -97,8 +97,8 @@ object StreamGate {
     // form is dropDuplicatesWithinWatermark so state ages out; the
     // bounded-backlog gate keeps plain dropDuplicates.
     "stream_dedup" -> ((s, dir) => {
-      val in = java.nio.file.Files.createTempDirectory("graft_sdedup_in").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_ck").toString
+      val in = TempDirs.fresh("sdedup_in")
+      val ckpt = TempDirs.fresh("sdedup_ck")
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
         .write.mode("overwrite").parquet(in)
@@ -126,26 +126,11 @@ object StreamGate {
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
-    // batch twin of the stateful sessionizer: lag-gap + running-sum session
-    // ids, per-session rollup (same recipe as sess_sessionize; the flush
-    // sentinel sessions never surface on the streaming side, so the oracle
-    // sessionizes the REAL events only).
-    "stream_sessionize" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, event_id,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
-        |  FROM events WHERE user_id IS NOT NULL),
-        |m AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM o),
-        |s AS (
-        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
-        |  FROM m)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, min(event_id) AS first_event_id
-        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // batch twin of the stateful sessionizer, from the single shared CTE
+    // builder (the flush sentinel sessions never surface on the streaming
+    // side, so the oracle sessionizes the REAL events only).
+    "stream_sessionize" -> Sessionize.batchOracleSql(
+      gapMinutes = 30, where = "user_id IS NOT NULL", includeIdx = false),
 
     // the planted duplicates collapse onto their originals' hashes, so the
     // batch twin is simply DISTINCT over the base corpus

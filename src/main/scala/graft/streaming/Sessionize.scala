@@ -42,6 +42,35 @@ object Sessionize {
         count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
   }
 
+  /** DuckDB twin of [[sessionizeBatch]] (lag-gap → running-sum session ids
+    * → per-session rollup) — THE single source for every oracle that gates
+    * sessionization semantics, so the gap constant and tie-break order
+    * cannot drift between gates. `where` filters the events feed
+    * (e.g. "user_id IS NOT NULL" for the streaming gate, whose typed
+    * Dataset cannot carry null keys); `includeIdx` keeps session_idx in
+    * the projection.
+    */
+  def batchOracleSql(gapMinutes: Int, where: String = "TRUE",
+                     includeIdx: Boolean = true): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val idxCol = if (includeIdx) "session_idx, " else ""
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+       |  FROM events WHERE $where),
+       |m AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |      OR epoch_us(ts) - epoch_us(prev_ts) > $gapUs THEN 1 ELSE 0 END AS new_session
+       |  FROM o),
+       |s AS (
+       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+       |  FROM m)
+       |SELECT user_id, ${idxCol}min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, min(event_id) AS first_event_id
+       |FROM s GROUP BY user_id, session_idx""".stripMargin
+  }
+
   /** Timestamp ↔ microseconds without precision loss (getTime alone is
     * millis and silently drops the sub-milli digits the batch path keeps).
     */
