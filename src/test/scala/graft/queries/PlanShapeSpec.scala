@@ -57,4 +57,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("o1_topk_sort")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("incremental dedup: band candidate join is an equi-join, never a cartesian pair space") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("salted aggregation: hot key spreads across salts before the final per-key exchange") {
+    val p = plan("skew_salted_agg")
+    // two-phase shape: partial agg on (k, salt) → exchange → final (k, salt)
+    // → partial k → exchange → final k; no join anywhere
+    assert(count(p, "Exchange hashpartitioning") === 2, p.take(1200))
+    assert(p.contains("monotonically_increasing_id") || p.contains("_salt"), p.take(1200))
+  }
 }
