@@ -185,6 +185,19 @@ object Joins {
         .filter(col("is_event") === 1)
         .select(col("event_id"), col("ccy"), col("d").as("event_date"),
           col("asof_rate_date"), col("asof_rate"))
+    }),
+
+    // J15: null-safe equi-join (<=>): NULL keys match the dim's NULL row
+    // instead of vanishing. EqualNullSafe is still an equi-join to Spark —
+    // the plan keeps its hash-join shape, never a nested loop.
+    "j15_nullsafe_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("event_id") % 7 === 0, lit(null).cast(LongType))
+          .otherwise(col("user_id") % 50).as("k"))
+      val dim = s.range(50).select(col("id").as("k"))
+        .unionByName(s.range(1).select(lit(null).cast(LongType).as("k")))
+      ev.join(dim, ev("k") <=> dim("k"))
+        .groupBy(ev("k").as("k")).agg(count(lit(1)).as("n"))
     })
   )
 
@@ -283,6 +296,17 @@ object Joins {
         |SELECT e.event_id, e.ccy, e.event_date,
         |  CAST(r.rate_date AS DATE) AS asof_rate_date, r.rate AS asof_rate
         |FROM evs e ASOF LEFT JOIN rates r
-        |  ON e.ccy = r.ccy AND e.event_date >= r.rate_date""".stripMargin
+        |  ON e.ccy = r.ccy AND e.event_date >= r.rate_date""".stripMargin,
+
+    "j15_nullsafe_join" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id % 50 END AS k
+        |  FROM events),
+        |dim AS (
+        |  SELECT unnest(range(0, 50)) AS k
+        |  UNION ALL SELECT NULL)
+        |SELECT ev.k, count(*) AS n
+        |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY ev.k""".stripMargin
   )
 }

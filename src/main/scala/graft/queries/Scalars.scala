@@ -156,6 +156,19 @@ object Scalars {
       Tables.events(s, dir).select(
         col("event_id"),
         to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("js"))
+    }),
+
+    // X17: higher-order array functions — filter / aggregate(fold) /
+    // transform+max / sort+slice stay whole-stage-codegen'd Column
+    // expressions (never a UDF), the per-row array never explodes.
+    "x17_higher_order" -> ((s, dir) => {
+      val toks = graft.functions.TextFns.rawTokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(filter(toks, t => length(t) > 4)).as("n_long_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        array_max(transform(toks, t => length(t))).as("max_token_len"),
+        concat_ws("-", slice(array_sort(toks), 1, 3)).as("first3_sorted"))
     })
   )
 
@@ -256,6 +269,16 @@ object Scalars {
       """SELECT event_id,
         |  to_json(struct_pack(event_id := event_id, user_id := user_id,
         |                      event_type := event_type)) AS js
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "x17_higher_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> len(t) > 4)) AS INTEGER) AS n_long_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS total_chars,
+        |  CAST(list_max(list_transform(toks, t -> len(t))) AS INTEGER) AS max_token_len,
+        |  array_to_string(list_sort(toks)[1:3], '-') AS first3_sorted
+        |FROM t""".stripMargin
   )
 }
