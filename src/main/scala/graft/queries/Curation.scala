@@ -85,10 +85,14 @@ object Curation {
         .join(fp(evalSet).select(col("fp")), Seq("fp"), "left_semi")
         .select(col("doc_id"))
 
-      val sh = (d: DataFrame, idCol: String) =>
-        d.select(col("doc_id").as(idCol), explode(TextFns.shingles3(col("text"))).as("shingle"))
-      val corpusSh = sh(corpus, "i").persist()   // feeds the join AND the sizes agg
-      val evalSh = sh(evalSet, "j")
+      // corpus shingles = the SHARED persisted shingle index filtered to the
+      // corpus side (shingling a filtered corpus ≡ filtering the full
+      // index): the dedup family maintains exactly one index per corpus
+      val corpusSh = TextOps.sharedShingleIndex(s, dir)
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("i"), col("shingle"))
+      val evalSh = evalSet.select(col("doc_id").as("j"),
+        explode(TextFns.shingles3(col("text"))).as("shingle"))
       val sizes = (shd: DataFrame, idCol: String) =>
         shd.groupBy(col(idCol)).agg(count(lit(1)).as(s"n_$idCol"))
       // eval side is tiny (the held-out set) → broadcast both its shingle
