@@ -19,12 +19,43 @@ object Staging {
 
   private def farm(c: Column): Column = call_function("farm_fingerprint", c)
 
+  /** Production item_key: ABS(FARM_FINGERPRINT(preimage)) as STRING
+    * (stg_order.sql:88-102).
+    */
+  private def farmItemKey(preimage: Column): Column =
+    abs(call_function("farm_fingerprint", preimage)).cast(StringType)
+
   /** stg_order (stg_order.sql): checkout filter → double LEFT JOIN
     * UNNEST WITH OFFSET → locale price parse → FARM_FINGERPRINT item_key →
     * location join. posexplode_outer preserves rows with NULL/empty
     * cart_products with NULL offsets, matching BigQuery's outer UNNEST.
     */
-  def stgOrder(summary: DataFrame, stgLocation: DataFrame): DataFrame = {
+  def stgOrder(summary: DataFrame, stgLocation: DataFrame): DataFrame =
+    stgOrderDetailed(summary, stgLocation)
+      // project to the reference's exact output list (stg_order.sql:87-131):
+      // the unnest offsets feed the item_key pre-image but are NOT part of
+      // the staging contract — downstream consumers must key on item_key
+      .select(col("item_key"), col("location_key"), col("order_id"),
+        col("time_stamp"), col("event_ts"), col("local_time"), col("collection"),
+        col("ip"), col("user_agent"), col("resolution"), col("user_db_id"),
+        col("device_id"), col("api_version"), col("store_id"),
+        col("show_recommendation"), col("current_url"), col("referrer_url"),
+        col("email_address"), col("product_id"), col("product_quantity"),
+        col("product_price"), col("product_currency"), col("option_id"),
+        col("option_label"), col("line_total_amount"))
+
+  /** stg_order BEFORE the final staging projection: the full exploded
+    * line-item/option grain including the unnest offsets — the audit/debug
+    * view, and the frame the oracle gate projects from. `itemKey`
+    * parameterizes the surrogate key: FARM_FINGERPRINT in production
+    * (default; bit-parity gated by x1), the portable md5-64 under the
+    * DuckDB oracle so the key itself is recomputable. Everything else —
+    * checkout filter, wide SAFE_CAST projection, double outer unnest,
+    * locale price parse, key pre-image, location join — is THE production
+    * path; there is exactly one implementation of these semantics.
+    */
+  def stgOrderDetailed(summary: DataFrame, stgLocation: DataFrame,
+      itemKey: Column => Column = farmItemKey): DataFrame = {
     ff(summary.sparkSession)
     val base = summary
       .filter(col("collection") === "checkout_success")
@@ -76,21 +107,10 @@ object Staging {
       col("ip").cast(StringType).as("ip"), col("location_key"))
 
     options
-      .withColumn("item_key", abs(farm(preimage)).cast(StringType))
+      .withColumn("item_key", itemKey(preimage))
       .withColumn("line_total_amount",
         col("product_quantity").cast(DecimalType(38, 9)) * col("product_price"))
       .join(locations, Seq("ip"), "left")
-      // project to the reference's exact output list (stg_order.sql:87-131):
-      // the unnest offsets feed the item_key pre-image but are NOT part of
-      // the staging contract — downstream consumers must key on item_key
-      .select(col("item_key"), col("location_key"), col("order_id"),
-        col("time_stamp"), col("event_ts"), col("local_time"), col("collection"),
-        col("ip"), col("user_agent"), col("resolution"), col("user_db_id"),
-        col("device_id"), col("api_version"), col("store_id"),
-        col("show_recommendation"), col("current_url"), col("referrer_url"),
-        col("email_address"), col("product_id"), col("product_quantity"),
-        col("product_price"), col("product_currency"), col("option_id"),
-        col("option_label"), col("line_total_amount"))
   }
 
   /** stg_customer (stg_customer.sql): fake-null user classification, email

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.{Keys, LocaleNumeric}
-import graft.glamira.{CurrencyRules, Marts}
+import graft.glamira.{CurrencyRules, Marts, Staging}
 
 /** The Glamira pipeline semantics under the DRIVER's oracle gate.
   *
@@ -16,10 +16,11 @@ import graft.glamira.{CurrencyRules, Marts}
   * options, locale-junk prices, fake-null user ids, ambiguous currencies,
   * TLD-bearing URLs) is synthesized DETERMINISTICALLY from `events` in both
   * engines, then pushed through
-  *  - `glamira_stg_order`: the double outer UNNEST WITH OFFSET + SAFE_CASTs
-  *    + locale price parse + surrogate item_key (stg_order.sql semantics,
-  *    with the portable md5-64 key standing in for FARM_FINGERPRINT so the
-  *    oracle can recompute it), and
+  *  - `glamira_stg_order`: THE production `Staging.stgOrderDetailed` —
+  *    checkout filter, wide cast projection, double outer UNNEST WITH
+  *    OFFSET, locale price parse, surrogate item_key, location join
+  *    (stg_order.sql semantics, with the portable md5-64 key injected for
+  *    FARM_FINGERPRINT so the oracle can recompute it), and
   *  - `glamira_fact_currency`: the currency map / ambiguity classification /
   *    URL-TLD inference / latest-FX USD conversion (mart_fact_order.sql
   *    semantics).
@@ -54,49 +55,71 @@ object GlamiraShaped {
       .otherwise(transform(sequence(lit(0), (ncp - 1).cast(IntegerType)), item))
   }
 
-  /** countly_summary-shaped frame derived from events. */
+  /** countly_summary-shaped frame derived from events — the FULL raw schema
+    * `Staging.stgOrderDetailed` expects. `collection` carries non-checkout
+    * rows (7-multiples offset 3) so the production checkout filter has real
+    * work; `ip` collapses onto 997 values feeding the location join. The
+    * passthrough-only columns the gate never projects (user_agent, …) are
+    * constants: they exercise the wide cast projection without growing the
+    * oracle.
+    */
   private def summaryShaped(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_id"),
       concat(lit("o"), col("event_id")).as("order_id"),
       unix_timestamp(col("ts")).as("time_stamp"),
+      when(col("event_id") % 7 === 3, lit("view_cart"))
+        .otherwise(lit("checkout_success")).as("collection"),
+      concat(lit("ip"), col("event_id") % 997).as("ip"),
       when(col("event_id") % 11 === 0, lit("null"))
         .otherwise(col("user_id").cast(StringType)).as("user_id_db"),
       concat(lit("https://www.shop."),
         element_at(array(TLDS.map(lit(_)): _*), (col("user_id") % 6 + 1).cast(IntegerType)),
         lit("/p/"), col("event_id")).as("current_url"),
+      lit("2026-01-21 00:00:00").as("local_time"),
+      lit("Mozilla/5.0").as("user_agent"),
+      lit("1920x1080").as("resolution"),
+      lit("d0").as("device_id"),
+      lit("1.0").as("api_version"),
+      lit("s1").as("store_id"),
+      lit("true").as("show_recommendation"),
+      lit(null).cast(StringType).as("referrer_url"),
+      lit("e@example.com").as("email_address"),
       cartProducts.as("cart_products"))
 
-  /** stg_order semantics over the shaped input. */
-  private def stgOrderShaped(s: SparkSession, dir: String): DataFrame = {
-    val lineItems = summaryShaped(s, dir)
-      .select(col("*"), posexplode_outer(col("cart_products")).as(Seq("cp_offset", "cp")))
-      .withColumn("product_id", col("cp.product_id").try_cast(LongType))
-      .withColumn("product_quantity", col("cp.amount").try_cast(LongType))
-      // DOUBLE at the boundary: the exact DECIMAL(38,9) parse result renders
-      // trailing zeros that the driver's stringify-hash rejects
-      .withColumn("product_price",
-        LocaleNumeric.parseLocaleNumeric(col("cp.price")).cast(DoubleType))
-      .withColumn("product_currency", col("cp.currency"))
-    val options = lineItems
-      .select(col("*"), posexplode_outer(col("cp.option")).as(Seq("opt_offset", "opt")))
-      .withColumn("option_id", col("opt.option_id"))
-      .withColumn("option_label", col("opt.option_label"))
-    val preimage = concat(
-      coalesce(col("order_id"), lit("")), lit("|"),
-      coalesce(col("product_id").cast(StringType), lit("")), lit("|"),
-      coalesce(col("option_id"), lit("")), lit("|"),
-      coalesce(col("cp_offset"), lit(-1)).cast(StringType), lit("|"),
-      coalesce(col("opt_offset"), lit(-1)).cast(StringType), lit("|"),
-      coalesce(col("time_stamp"), lit(-1)).cast(StringType))
-    options
-      .withColumn("user_db_id", col("user_id_db").try_cast(LongType))
-      .withColumn("item_key", Keys.md5Key64(preimage))
-      .select(col("order_id"), col("time_stamp"), col("user_db_id"),
-        col("cp_offset"), col("opt_offset"), col("product_id"),
-        col("product_quantity"), col("product_price"), col("product_currency"),
-        col("option_id"), col("option_label"), col("current_url"), col("item_key"))
+  /** stg_location stand-in for the stg_order location join: exactly one row
+    * per ip (attributes a pure function of the ip number, so the join can
+    * never fan out), md5-64 key standing in for FARM_FINGERPRINT.
+    */
+  private def stgLocationForOrder(s: SparkSession, dir: String): DataFrame = {
+    val m = col("n") % 37
+    Tables.events(s, dir)
+      .select((col("event_id") % 997).as("n")).distinct()
+      .select(
+        concat(lit("ip"), col("n")).as("ip"),
+        element_at(array(Seq("US", "DE", "SE", "FR", "DK").map(lit(_)): _*),
+          (m % 5 + 1).cast(IntegerType)).as("country_code"),
+        concat(lit("R"), m % 7).as("region"),
+        concat(lit("City"), m).as("city"))
+      .withColumn("location_key", Keys.md5Key64(concat(
+        lower(trim(col("country_code"))), lit("|"),
+        lower(trim(col("region"))), lit("|"),
+        lower(trim(col("city"))))))
+      .select(col("ip"), col("location_key"))
   }
+
+  /** THE production stg_order (`Staging.stgOrderDetailed`) over the shaped
+    * input — no inline twin; the oracle proves the code a user calls. The
+    * portable md5-64 key is injected so DuckDB can recompute item_key (farm
+    * bit-parity is gated separately by x1); prices/line totals are cast
+    * DOUBLE at the gate boundary only (exact DECIMAL(38,9) renders trailing
+    * zeros the driver's stringify-hash rejects).
+    */
+  private def stgOrderShaped(s: SparkSession, dir: String): DataFrame =
+    Staging.stgOrderDetailed(
+        summaryShaped(s, dir), stgLocationForOrder(s, dir), Keys.md5Key64)
+      .withColumn("product_price", col("product_price").cast(DoubleType))
+      .withColumn("line_total_amount", col("line_total_amount").cast(DoubleType))
 
   // ---- dim_customer inputs synthesized deterministically from events -----
 
@@ -158,7 +181,13 @@ object GlamiraShaped {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)),
+    "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)
+      .select(col("order_id"), col("time_stamp"), col("user_db_id"),
+        col("event_ts"), col("ip"), col("location_key"),
+        col("cp_offset"), col("opt_offset"), col("product_id"),
+        col("product_quantity"), col("product_price"), col("line_total_amount"),
+        col("product_currency"), col("option_id"), col("option_label"),
+        col("current_url"), col("item_key"))),
 
     "glamira_dim_customer" -> ((s, dir) => dimCustomerShaped(s, dir)),
 
@@ -291,10 +320,15 @@ object GlamiraShaped {
     s"""base AS (
        |  SELECT event_id, 'o' || event_id AS order_id,
        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS time_stamp,
+       |    'ip' || CAST(event_id % 997 AS VARCHAR) AS ip,
        |    CASE WHEN event_id % 11 = 0 THEN 'null' ELSE CAST(user_id AS VARCHAR) END AS user_id_db,
        |    concat('https://www.shop.', $tldList[CAST(user_id % 6 AS INTEGER) + 1], '/p/', event_id) AS current_url,
        |    value, event_id % 3 AS ncp
-       |  FROM events),
+       |  FROM events
+       |  -- the production checkout filter (collection = 'checkout_success'),
+       |  -- over the shaped collection CASE
+       |  WHERE (CASE WHEN event_id % 7 = 3 THEN 'view_cart'
+       |              ELSE 'checkout_success' END) = 'checkout_success'),
        |ks(k) AS (VALUES (0), (1)),
        |js(j) AS (VALUES (0), (1)),
        |cp AS (
@@ -336,6 +370,40 @@ object GlamiraShaped {
          |  product_currency, option_id, option_label, current_url,
          |  $itemKey AS item_key
          |FROM opt""".stripMargin
+
+    // one row per ip, attributes a pure function of the ip number — the
+    // DuckDB twin of stgLocationForOrder
+    val locCte = {
+      val keyPre = "lower(trim(country_code)) || '|' || lower(trim(region)) || '|' || lower(trim(city))"
+      s"""loc AS (
+         |  SELECT ip, ${Keys.md5Key64Sql(keyPre)} AS location_key
+         |  FROM (
+         |    SELECT 'ip' || CAST(n AS VARCHAR) AS ip,
+         |      ['US', 'DE', 'SE', 'FR', 'DK'][CAST((n % 37) % 5 AS INTEGER) + 1] AS country_code,
+         |      'R' || CAST((n % 37) % 7 AS VARCHAR) AS region,
+         |      'City' || CAST(n % 37 AS VARCHAR) AS city
+         |    FROM (SELECT DISTINCT event_id % 997 AS n FROM events)))""".stripMargin
+    }
+
+    // the extended stg_order gate projection: the shared flat grain plus the
+    // production-path extras (event_ts, location join, decimal line total)
+    val stgOrderSelect =
+      s"""SELECT order_id, time_stamp,
+         |  TRY_CAST(user_id_db AS BIGINT) AS user_db_id,
+         |  make_timestamp(time_stamp * 1000000) AS event_ts,
+         |  ip, location_key, cp_offset, opt_offset,
+         |  TRY_CAST(pid_str AS BIGINT) AS product_id,
+         |  TRY_CAST(amount_str AS BIGINT) AS product_quantity,
+         |  CAST(${LocaleNumeric.duckdbSql("price_str")} AS DOUBLE) AS product_price,
+         |  -- stay in the decimal domain: DECIMAL(29,9) * DECIMAL(9,0) fits
+         |  -- DuckDB's 38-digit cap (38,9); at full (38,9)x(38,9) DuckDB
+         |  -- silently falls back to DOUBLE multiply and drifts a ULP off
+         |  -- Spark's exact decimal product
+         |  CAST(CAST(${LocaleNumeric.duckdbSql("price_str")} AS DECIMAL(29,9))
+         |       * CAST(TRY_CAST(amount_str AS BIGINT) AS DECIMAL(9,0)) AS DOUBLE) AS line_total_amount,
+         |  product_currency, option_id, option_label, current_url,
+         |  $itemKey AS item_key
+         |FROM opt LEFT JOIN loc USING (ip)""".stripMargin
 
     // The currency CTEs are GENERATED from graft.glamira.CurrencyRules'
     // own rule tables — the full production map sits under this gate and
@@ -398,7 +466,7 @@ object GlamiraShaped {
          |  FROM ce LEFT JOIN latest l ON ce.user_db_id = l.user_db_id)""".stripMargin
 
     Map(
-      "glamira_stg_order" -> s"WITH $stgCte\n$stgSelect",
+      "glamira_stg_order" -> s"WITH $stgCte,\n$locCte\n$stgOrderSelect",
 
       "glamira_dim_date" ->
         """SELECT CAST(d AS DATE) AS date,
