@@ -165,7 +165,9 @@ object Staging {
     * the first — acceptable here because the crawler emits each product
     * field once (ref stg_product.sql flattens unique paths).
     */
-  def stgProduct(productRaw: DataFrame): DataFrame = {
+  def stgProduct(productRaw: DataFrame,
+      productKey: Column => Column = c => abs(call_function("farm_fingerprint", c)).cast(LongType))
+      : DataFrame = {
     ff(productRaw.sparkSession)
     val productSchema = StructType(Seq(StructField("product", StructType(Seq(
       "product_id", "productId", "id", "_id", "gender", "category_name",
@@ -193,7 +195,7 @@ object Staging {
     typed
       .filter(col("product_id_str").isNotNull &&
         trim(col("product_id_str")) =!= "" && trim(col("product_id_str")) =!= "null")
-      .withColumn("product_key", abs(farm(lower(trim(col("product_id_str"))))).cast(LongType))
+      .withColumn("product_key", productKey(lower(trim(col("product_id_str")))))
       .withColumn("product_id", col("product_id_str").try_cast(LongType))
       .drop("product_id_str")
   }

@@ -180,6 +180,48 @@ object GlamiraShaped {
         lower(trim(col("city"))))))
   }
 
+  /** Product-crawl raw rows (ref Source/step2_crawl_product_names.py:46-67):
+    * one JSON document per event, built by string concatenation so DuckDB
+    * can synthesize the byte-identical payload. Deliberate hazards for
+    * `Staging.stgProduct`: the id key ROTATES across the four paths of the
+    * multi-path coalesce (product_id/productId/id/_id), ids that are the
+    * string 'null' / empty / non-numeric, a sometimes-missing
+    * material_design field, junk weight strings ('n/a' → SAFE_CAST NULL),
+    * and NULL product_json rows (23-multiples, filtered pre-parse).
+    */
+  private def productRawShaped(s: SparkSession, dir: String): DataFrame = {
+    val eid = col("event_id")
+    val idKey = element_at(
+      array(lit("product_id"), lit("productId"), lit("id"), lit("_id")),
+      (eid % 4 + 1).cast(IntegerType))
+    val idVal = when(eid % 13 === 0, lit("null"))
+      .when(eid % 17 === 0, lit(""))
+      .when(eid % 19 === 0, concat(lit("X-"), eid % 500))
+      .otherwise((eid % 3000).cast(StringType))
+    def weight(m: Int, d: Int, junkMod: Int): Column =
+      when(eid % junkMod === 0, lit("n/a"))
+        .otherwise(concat(eid % m, lit("."), eid % d))
+    val optionalMd = when(eid % 3 === 0, lit(""))
+      .otherwise(concat(lit(", \"material_design\": \"md"), eid % 8, lit("\"")))
+    val json = concat(
+      lit("{\"product\": {\""), idKey, lit("\": \""), idVal,
+      lit("\", \"gender\": \"g"), eid % 3,
+      lit("\", \"category_name\": \"cat"), eid % 7,
+      lit("\", \"name\": \"Ring "), eid % 2000,
+      lit("\", \"product_type\": \"t"), eid % 4,
+      lit("\", \"store_code\": \"s"), eid % 10,
+      lit("\", \"attribute_set\": \"as"), eid % 5,
+      lit("\", \"category\": \"c"), eid % 6,
+      lit("\""), optionalMd,
+      lit(", \"sku\": \"SKU"), eid % 2500,
+      lit("\", \"none_metal_weight\": \""), weight(90, 10, 29),
+      lit("\", \"fixed_silver_weight\": \""), weight(70, 4, 31),
+      lit("\", \"gold_weight\": \""), weight(50, 8, 5),
+      lit("\"}}"))
+    Tables.events(s, dir).select(
+      when(eid % 23 === 0, lit(null).cast(StringType)).otherwise(json).as("product_json"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)
       .select(col("order_id"), col("time_stamp"), col("user_db_id"),
@@ -198,6 +240,14 @@ object GlamiraShaped {
     // production mart over the shaped ip_location stand-in.
     "glamira_dim_location" -> ((s, dir) =>
       Marts.martDimLocation(stgLocationShaped(s, dir))),
+
+    // mart_dim_product.sql:3-15 over stg_product.sql:5-35: the production
+    // Staging.stgProduct (single from_json parse, multi-path id coalesce,
+    // sentinel filter) → Marts.martDimProduct projection, md5-64 key
+    // injected for FARM_FINGERPRINT (farm bit-parity gated by x1).
+    "glamira_dim_product" -> ((s, dir) =>
+      Marts.martDimProduct(
+        Staging.stgProduct(productRawShaped(s, dir), Keys.md5Key64))),
 
     // Full mart_fact_order shape (ref mart_fact_order.sql:186-224): currency
     // pipeline → latest-FX join → time derivations → original + USD measures
@@ -493,6 +543,57 @@ object GlamiraShaped {
         s"""WITH $dimCustCtes
            |SELECT user_db_id, email_address_final, last_seen_ts, customer_key
            |FROM dim_cust""".stripMargin,
+
+      "glamira_dim_product" -> {
+        val idKeys = "['product_id', 'productId', 'id', '_id']"
+        def w(m: Int, d: Int, junkMod: Int): String =
+          s"""CASE WHEN event_id % $junkMod = 0 THEN 'n/a'
+             |  ELSE CAST(event_id % $m AS VARCHAR) || '.' || CAST(event_id % $d AS VARCHAR) END""".stripMargin
+        def jv(field: String): String =
+          s"json_extract_string(product_json, '$$.product.$field')"
+        s"""WITH raw AS (
+           |  SELECT CASE WHEN event_id % 23 = 0 THEN NULL ELSE
+           |    '{"product": {"' || $idKeys[CAST(event_id % 4 AS INTEGER) + 1] || '": "' ||
+           |    (CASE WHEN event_id % 13 = 0 THEN 'null'
+           |          WHEN event_id % 17 = 0 THEN ''
+           |          WHEN event_id % 19 = 0 THEN 'X-' || CAST(event_id % 500 AS VARCHAR)
+           |          ELSE CAST(event_id % 3000 AS VARCHAR) END) ||
+           |    '", "gender": "g' || CAST(event_id % 3 AS VARCHAR) ||
+           |    '", "category_name": "cat' || CAST(event_id % 7 AS VARCHAR) ||
+           |    '", "name": "Ring ' || CAST(event_id % 2000 AS VARCHAR) ||
+           |    '", "product_type": "t' || CAST(event_id % 4 AS VARCHAR) ||
+           |    '", "store_code": "s' || CAST(event_id % 10 AS VARCHAR) ||
+           |    '", "attribute_set": "as' || CAST(event_id % 5 AS VARCHAR) ||
+           |    '", "category": "c' || CAST(event_id % 6 AS VARCHAR) || '"' ||
+           |    (CASE WHEN event_id % 3 = 0 THEN ''
+           |          ELSE ', "material_design": "md' || CAST(event_id % 8 AS VARCHAR) || '"' END) ||
+           |    ', "sku": "SKU' || CAST(event_id % 2500 AS VARCHAR) ||
+           |    '", "none_metal_weight": "' || (${w(90, 10, 29)}) ||
+           |    '", "fixed_silver_weight": "' || (${w(70, 4, 31)}) ||
+           |    '", "gold_weight": "' || (${w(50, 8, 5)}) ||
+           |    '"}}' END AS product_json
+           |  FROM events),
+           |typed AS (
+           |  SELECT
+           |    coalesce(${jv("product_id")}, ${jv("productId")}, ${jv("id")}, ${jv("_id")}) AS product_id_str,
+           |    ${jv("gender")} AS gender,
+           |    ${jv("category_name")} AS category_name,
+           |    ${jv("name")} AS product_name,
+           |    ${jv("product_type")} AS product_type,
+           |    ${jv("store_code")} AS store_code,
+           |    ${jv("attribute_set")} AS attribute_set,
+           |    ${jv("category")} AS category,
+           |    ${jv("material_design")} AS material_design,
+           |    ${jv("sku")} AS sku
+           |  FROM raw WHERE product_json IS NOT NULL)
+           |SELECT ${Keys.md5Key64Sql("lower(trim(product_id_str))")} AS product_key,
+           |  TRY_CAST(product_id_str AS BIGINT) AS product_id,
+           |  sku, gender, category_name, product_type, store_code,
+           |  attribute_set, category, material_design, product_name
+           |FROM typed
+           |WHERE product_id_str IS NOT NULL
+           |  AND trim(product_id_str) <> '' AND trim(product_id_str) <> 'null'""".stripMargin
+      },
 
       "glamira_fact_currency" ->
         s"""WITH $stgCte,
