@@ -206,6 +206,29 @@ object Pipeline {
         .withColumn("is_row_valid",
           col("is_qty_positive") && col("is_price_nonneg") && col("is_discount_sane") &&
             col("is_total_bounded") && col("is_date_sane"))
+    }),
+
+    // Schema-drift repair (ref normalize_parquet_run.py:17-19,73-102) under
+    // the oracle: a frame with a type-DRIFTING column (metric — long here,
+    // string in another observed file schema), SUSPICIOUS-named columns
+    // (event_id suffix, is_/key_ prefixes; the struct goes through the
+    // to_json stringify arm), a FORCED column, and two untouched columns
+    // proving the repair is selective. Runs the production Normalize.repair.
+    "ingest_drift_repair" -> ((s, dir) => {
+      val shaped = Tables.events(s, dir).select(
+        col("event_id"),                                    // suspicious: suffix _id
+        when(col("event_id") % 10 === 0, lit(null).cast(LongType))
+          .otherwise(col("user_id")).as("metric"),          // drifting across files
+        (col("event_id") % 2 === 0).as("is_mobile"),        // suspicious: prefix is_
+        struct(col("event_type").as("t"), (col("event_id") % 5).as("k"))
+          .as("key_props"),                                 // suspicious: prefix key_
+        (col("event_id") % 97).as("seq_no"),                // forced
+        col("value").as("amount"),                          // untouched DOUBLE
+        concat(lit("n"), col("event_id") % 7).as("note"))   // untouched STRING
+      graft.ingest.Normalize.repair(
+        shaped,
+        extraSchemas = Seq(StructType(Seq(StructField("metric", StringType)))),
+        forced = Set("seq_no"))
     })
   )
 
@@ -323,6 +346,19 @@ object Pipeline {
         |  (l_quantity > 0 AND l_extendedprice >= 0 AND l_discount >= 0 AND l_discount <= 1
         |   AND CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) <= 100000000
         |   AND l_shipdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '2030-01-01') AS is_row_valid
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // the repaired frame: drift/suspicious/forced columns as strings
+    // (booleans lowercase, struct as compact to_json), untouched columns
+    // keeping their native types
+    "ingest_drift_repair" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(user_id AS VARCHAR) END AS metric,
+        |  CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END AS is_mobile,
+        |  '{"t":"' || event_type || '","k":' || CAST(event_id % 5 AS VARCHAR) || '}' AS key_props,
+        |  CAST(event_id % 97 AS VARCHAR) AS seq_no,
+        |  value AS amount,
+        |  'n' || CAST(event_id % 7 AS VARCHAR) AS note
+        |FROM events""".stripMargin
   )
 }
