@@ -38,15 +38,25 @@ object Curation {
 
     // Per-domain cap (corpus balancing): keep at most DOMAIN_CAP docs per
     // source, priority = content-hash order — deterministic across
-    // runs/engines/topology like all sampling here, no RNG. One window
-    // shuffle on source; at 100 TB a heavily-skewed source is the classic
-    // hot partition, so the production form pre-aggregates per-source
-    // counts and only windows sources over the cap.
+    // runs/engines/topology like all sampling here, no RNG.
+    //
+    // Two-phase EXACT top-k, never a full-corpus window on `source`: at
+    // 100 TB the hot source is the classic skew partition, and even a
+    // "window only over-cap sources" split would still full-sort that one
+    // source on one task. Phase 1 ranks within (source, salt16) — the hot
+    // source fans out 16 ways — and keeps ≤ cap per bucket; any row in the
+    // true per-source top-cap is in its bucket's top-cap, so phase 2's
+    // per-source window ranks ≤ 16·cap bounded survivors. Output is
+    // row-identical to the naive single window (same oracle).
     "curation_domain_cap" -> ((s, dir) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("text")).asc, col("doc_id").asc)
+      val order = Seq(md5(col("text")).asc, col("doc_id").asc)
+      val w1 = Window.partitionBy(col("source"), col("salt")).orderBy(order: _*)
+      val w2 = Window.partitionBy(col("source")).orderBy(order: _*)
       Tables.documents(s, dir)
-        .withColumn("pick_rank", row_number().over(w))
+        .withColumn("salt", TextFns.md5Hash60(col("text")) % 16)
+        .withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= DOMAIN_CAP)
+        .withColumn("pick_rank", row_number().over(w2))
         .filter(col("pick_rank") <= DOMAIN_CAP)
         .select(col("doc_id"), col("source"), col("pick_rank"))
     }),

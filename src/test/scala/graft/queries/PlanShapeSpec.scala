@@ -63,6 +63,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("domain cap: no full-corpus window on source — phase 1 partitions by (source, salt)") {
+    val p = plan("curation_domain_cap")
+    // two Window nodes ("Window [" excludes WindowGroupLimit): salted bucket
+    // rank first, bounded per-source rank second
+    assert(count(p, "Window [") === 2, p.take(1500))
+    // the upstream window (last in the printed tree) partitions by the
+    // salted key, so the raw corpus never feeds a single per-source sort
+    val firstWindow = p.split("\n").reverse.find(_.contains("Window ["))
+    assert(firstWindow.exists(_.contains("salt")), firstWindow.getOrElse(""))
+    // Spark 4's group-limit pushdown caps each (source, salt) bucket at the
+    // map side BEFORE the exchange — assert it stays
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
   test("salted aggregation: hot key spreads across salts before the final per-key exchange") {
     val p = plan("skew_salted_agg")
     // two-phase shape: partial agg on (k, salt) → exchange → final (k, salt)
