@@ -32,40 +32,68 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("ok", BooleanType)))
 
-  /** STUB decoder: derives fake dimensions deterministically from payload
-    * bytes. A real implementation would dispatch on `media_type` to an
-    * image/audio codec here — one codec instance per partition, reused
-    * across the partition's rows.
+  /** The decoder seam: a codec-bearing environment plugs a real
+    * implementation in WITHOUT touching the gated queries or the
+    * mapPartitions plumbing. The lifecycle contract mirrors a native codec:
+    * `open()` once per partition before any row (load the codec/model
+    * there, never per row), `decode()` per row, `close()` after the
+    * partition's iterator drains. Must be Serializable — the instance is
+    * shipped to executors.
     */
-  private[operators] def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Boolean) = {
-    if (payload == null || payload.isEmpty) (0, 0, 0, false)
-    else {
-      val b0 = java.lang.Byte.toUnsignedInt(payload(0))
-      val b1 = if (payload.length > 1) java.lang.Byte.toUnsignedInt(payload(1)) else 0
-      mediaType match {
-        case "image" => (64 + b0 % 64, 64 + b1 % 64, 1, true)
-        case "video" => (64 + b0 % 64, 64 + b1 % 64, 1 + payload.length % 300, true)
-        case "audio" => (0, 0, 1 + payload.length % 48000, true)
-        case _       => (0, 0, 0, false)
+  trait MediaDecoder extends Serializable {
+    /** once-per-partition codec/model initialization */
+    def open(): Unit = ()
+    /** (width, height, n_frames, ok) for one payload */
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Boolean)
+    /** once-per-partition teardown (free native codec state) */
+    def close(): Unit = ()
+  }
+
+  /** STUB decoder — the container default (no image/audio libraries here):
+    * derives fake dimensions deterministically from payload bytes. A real
+    * implementation dispatches on `media_type` to an actual codec.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Boolean) = {
+      if (payload == null || payload.isEmpty) (0, 0, 0, false)
+      else {
+        val b0 = java.lang.Byte.toUnsignedInt(payload(0))
+        val b1 = if (payload.length > 1) java.lang.Byte.toUnsignedInt(payload(1)) else 0
+        mediaType match {
+          case "image" => (64 + b0 % 64, 64 + b1 % 64, 1, true)
+          case "video" => (64 + b0 % 64, 64 + b1 % 64, 1 + payload.length % 300, true)
+          case "audio" => (0, 0, 1 + payload.length % 48000, true)
+          case _       => (0, 0, 0, false)
+        }
       }
     }
   }
 
   /** Decode a media DataFrame (mediaSchema) to typed features. Runs as
-    * mapPartitions: batch shape = one partition, codec init amortized.
+    * mapPartitions: batch shape = one partition, decoder open/close
+    * amortized once per partition around the row loop.
     */
-  def decode(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select(col("media_id"), col("media_type"), col("payload"))
       .mapPartitions { rows =>
-        // real pipeline: initialize codec/model once per partition here
-        rows.map { r =>
+        decoder.open()
+        val out = rows.map { r =>
           val id = r.getLong(0)
           val mt = if (r.isNullAt(1)) null else r.getString(1)
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-          val (w, h, f, ok) = decodeStub(mt, payload)
+          val (w, h, f, ok) = decoder.decode(mt, payload)
           val n = if (payload == null) 0 else payload.length
           Row(id, mt, n, w, h, f, ok)
+        }
+        new Iterator[Row] {    // close the codec when the partition drains
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !closed) { closed = true; decoder.close() }
+            h
+          }
+          def next(): Row = out.next()
         }
       }(enc)
   }

@@ -123,6 +123,35 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decode(media).collect().head
     assert(!out.getAs[Boolean]("ok") && out.getAs[Int]("n_bytes") === 0)
   }
+
+  test("decoder seam: a plugged codec replaces the stub; open/close once per partition") {
+    val media = (0L until 40L).map(i => (i, "image", Array[Byte](i.toByte), "{}"))
+      .toDF("media_id", "media_type", "payload", "meta_json")
+      .repartition(4)
+    val out = Multimodal.decode(media, MultimodalSpec.FixedSizeDecoder).cache()
+    // the plugged codec's output, not the stub's header-derived fake
+    assert(out.select("width").distinct().collect().map(_.getInt(0)).toSeq === Seq(1234))
+    assert(out.count() === 40)
+    // lifecycle: exactly one open and one close per partition, none per row
+    assert(MultimodalSpec.opens.get() === 4, s"opens=${MultimodalSpec.opens.get()}")
+    assert(MultimodalSpec.closes.get() === 4, s"closes=${MultimodalSpec.closes.get()}")
+  }
+}
+
+object MultimodalSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stand-in for a real codec: fixed dimensions, lifecycle counted.
+    * (local-mode executors share the JVM, so static counters observe the
+    * per-partition open/close calls.)
+    */
+  object FixedSizeDecoder extends Multimodal.MediaDecoder {
+    override def open(): Unit = { opens.incrementAndGet(); () }
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Boolean) =
+      (1234, 5678, 1, true)
+    override def close(): Unit = { closes.incrementAndGet(); () }
+  }
 }
 
 class FarmFingerprintSpec extends SparkSpec {
