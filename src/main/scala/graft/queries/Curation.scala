@@ -68,13 +68,17 @@ object Curation {
     // codegen'd comparison at any scale.
     "curation_length_filter" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // bounds rounded to 6 dp BEFORE the band comparison: Spark percentile()
+      // and DuckDB quantile_cont() interpolate independently, and an
+      // unrounded ULP difference at a boundary landing on an integer length
+      // could flip a document's inclusion nondeterministically (round-4
+      // advice). 6 dp is far below the 1-char resolution of n_chars.
       val bounds = docs.agg(
-        expr("percentile(n_chars, 0.05)").as("p05"),
-        expr("percentile(n_chars, 0.95)").as("p95"))
+        round(expr("percentile(n_chars, 0.05)"), 6).as("p05"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
       docs.crossJoin(broadcast(bounds))
         .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
-        .select(col("doc_id"), col("n_chars"),
-          round(col("p05"), 6).as("p05"), round(col("p95"), 6).as("p95"))
+        .select(col("doc_id"), col("n_chars"), col("p05"), col("p95"))
     }),
 
     // Decontamination: remove from the corpus every document that is an
@@ -181,10 +185,10 @@ object Curation {
 
     "curation_length_filter" ->
       """WITH b AS (
-        |  SELECT quantile_cont(n_chars, 0.05) AS p05,
-        |    quantile_cont(n_chars, 0.95) AS p95
+        |  SELECT round(quantile_cont(n_chars, 0.05), 6) AS p05,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS p95
         |  FROM documents)
-        |SELECT doc_id, n_chars, round(p05, 6) AS p05, round(p95, 6) AS p95
+        |SELECT doc_id, n_chars, p05, p95
         |FROM documents, b
         |WHERE n_chars >= p05 AND n_chars <= p95""".stripMargin,
 

@@ -37,10 +37,15 @@ object StreamGate {
     "stream_window_agg" -> ((s, dir) => {
       val in = TempDirs.fresh("stream_in")
       val ckpt = TempDirs.fresh("stream_ck")
+      // ONE parquet file: a file source can only chunk an AvailableNow run
+      // at file granularity (maxFilesPerTrigger/maxBytesPerTrigger), so a
+      // single-file backlog structurally guarantees the single data batch
+      // the 10-minute-watermark result depends on — chunked batches would
+      // drop rows behind the advanced watermark (round-4 advice).
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
-        .write.mode("overwrite").parquet(in)
+        .coalesce(1).write.mode("overwrite").parquet(in)
       val q = EventStream.runAvailableNow(s, in, ckpt, "stream_window_agg_sink")
       awaitOrFail(q, 300000)
       s.table("stream_window_agg_sink")
@@ -70,7 +75,13 @@ object StreamGate {
         .select(col("user_id"),
           (col("mx") + expr("interval 30 days")).as("ts"),
           lit(Long.MaxValue).as("event_id"))
-      base.unionByName(flush).write.mode("overwrite").parquet(in)
+      // single parquet file = structurally one data micro-batch (file
+      // sources chunk at file granularity only): rows can never land in a
+      // later batch behind the 0-second watermark advanced by an earlier
+      // one, and the trailing no-data batch still fires the sentinel
+      // event-time timeouts (round-4 advice; a huge watermark delay would
+      // pin the batch but break that timeout path)
+      base.unionByName(flush).coalesce(1).write.mode("overwrite").parquet(in)
       val stream = s.readStream
         .schema("user_id LONG, ts TIMESTAMP, event_id LONG")
         .parquet(in)
