@@ -114,6 +114,33 @@ object VectorOps {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
+    // INCREMENTAL ANN — the daily-embedding-ingest pattern (the ANN twin of
+    // dedup_incremental): a NEW batch of query vectors (4-multiples, ids
+    // +200000, identical payloads so the gate has guaranteed positives) is
+    // signed and searched against the CORPUS signature index via a bucket
+    // equi-join; the corpus is never re-indexed and never self-joins. At
+    // scale the corpus `sigs` side is persisted state maintained across
+    // batches — signatures are per-vector, so signing corpus ∪ batch in one
+    // pass here is semantically identical to signing the batch alone.
+    "sim_ann_incremental" -> ((s, dir) => {
+      register(s)
+      val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val batch = corpus.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      val all = corpus.unionByName(batch)
+      val n = withNorm(all).join(lshSigs(s, all), Seq("vec_id"))
+      val idx = n.filter(col("vec_id") < 200000)
+        .select(col("bucket"), col("vec_id").as("match_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      val q = n.filter(col("vec_id") >= 200000)
+        .select(col("bucket"), col("vec_id").as("query_id"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+      q.join(idx, Seq("bucket"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("query_id"), col("match_id"), round(col("cos"), 6).as("cosine"))
+    }),
+
     // Multi-probe LSH: each vector additionally probes every bucket at
     // hamming distance 1 from its own signature (12 one-bit flips + the
     // exact bucket). Candidate volume grows ×(NPLANES+1) but recall extends
@@ -452,6 +479,21 @@ object VectorOps {
          |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $ANN_T""".stripMargin,
 
+    "sim_ann_incremental" -> {
+      val incAug =
+        """
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings
+          |  WHERE vec_id % 4 = 0""".stripMargin
+      s"""WITH ${sigChain(incAug)}
+         |SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         |  round(${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |FROM n a JOIN n b ON a.bucket = b.bucket
+         |  AND a.vec_id >= 200000 AND b.vec_id < 200000
+         |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $ANN_T""".stripMargin
+    },
+
     "sim_ann_lsh_multiprobe" ->
       s"""WITH $lshSigCtes,
          |probes AS (
@@ -473,14 +515,12 @@ object VectorOps {
          |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $ANN_T""".stripMargin
   )
 
-  /** Shared CTE chain for the LSH oracles: augmented corpus → planes →
-    * component projections → bit-string signatures → normed vectors.
+  /** Shared CTE chain for the LSH oracles, parameterized by the vector-set
+    * CTE body: aug → planes → component projections → bit-string
+    * signatures → normed vectors.
     */
-  private lazy val lshSigCtes: String =
-    s"""aug AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+  private def sigChain(augBody: String): String =
+    s"""aug AS ($augBody),
        |planes AS (
        |  SELECT p, d,
        |    CAST((CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 15)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE) AS w
@@ -500,4 +540,10 @@ object VectorOps {
        |  SELECT e.vec_id, e.embedding, s.bucket,
        |    sqrt(${dSql("e.embedding", "e.embedding")}) AS nrm
        |  FROM aug e JOIN sigs s ON e.vec_id = s.vec_id)""".stripMargin
+
+  private lazy val lshSigCtes: String = sigChain(
+    """
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings""".stripMargin)
 }

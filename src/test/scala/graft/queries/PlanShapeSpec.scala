@@ -63,6 +63,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("components: the gated pair chain is the banded LSH path — no cartesian pair space") {
+    // the pair INPUT (lshVerifiedPairs) must stay banded; the broadcast
+    // 1-row df-cap aggregate is the only BNLJ-looking node and is Cross
+    // BuildRight over one row, so only CartesianProduct is forbidden
+    val p = plan("dedup_components")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("incremental ANN: batch x index is a bucket equi-join, never corpus x corpus") {
+    // the only nested-loop node is the constant 12x64 hyperplane table
+    // build (range x range); vector-bearing joins are all equi-joins
+    val p = plan("sim_ann_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("stg_order: the location join broadcasts; no shuffle join in the staging path") {
+    val p = plan("glamira_stg_order")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("domain cap: no full-corpus window on source — phase 1 partitions by (source, salt)") {
     val p = plan("curation_domain_cap")
     // two Window nodes ("Window [" excludes WindowGroupLimit): salted bucket
