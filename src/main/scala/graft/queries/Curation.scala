@@ -150,6 +150,27 @@ object Curation {
           (col("cum_before") % ctx).as("offset_in_shard"))
     }),
 
+    // Document chunking: fixed-size token windows (64 tokens, 16 overlap) —
+    // the pre-training context-window split. Map-side only: per-doc window
+    // starts come from sequence() + posexplode, the chunk text from a
+    // slice/array_join over the token array; no shuffle at any scale, and
+    // chunk identity (doc_id, chunk_id) is deterministic under re-runs.
+    "curation_chunk_documents" -> ((s, dir) => {
+      val C = 64; val step = C - 16
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+      toks
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(step)))
+            .as(Seq("chunk_id", "start")))
+        .filter(col("start") < col("n"))
+        .withColumn("n_tok", least(lit(C), col("n") - col("start")))
+        .select(col("doc_id"), col("chunk_id"), col("start").as("start_tok"),
+          col("n_tok"),
+          array_join(slice(col("toks"), col("start") + 1, col("n_tok")), " ").as("chunk_text"))
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
@@ -227,6 +248,20 @@ object Curation {
         |SELECT doc_id, lang, source FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)
         |  AND doc_id NOT IN (SELECT doc_id FROM near_hit)""".stripMargin,
+
+    "curation_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, greatest(n, 1), 48)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start / 48 AS INTEGER) AS chunk_id,
+        |  CAST(start AS INTEGER) AS start_tok,
+        |  CAST(least(64, n - start) AS INTEGER) AS n_tok,
+        |  array_to_string(toks[start + 1 : start + least(64, n - start)], ' ') AS chunk_text
+        |FROM c WHERE start < n""".stripMargin,
 
     "text_tfidf_terms" ->
       """WITH tok AS (
