@@ -78,6 +78,36 @@ class QueryInvariantSpec extends SparkSpec {
       s"false positives: ${(removed -- expected).take(5)}; missed: ${(expected -- removed).take(5)}")
   }
 
+  test("chunking tiles every document: starts step evenly, last chunk ends at n_tokens") {
+    val chunks = q("curation_chunk_documents")
+      .groupBy($"doc_id")
+      .agg(max($"start_tok" + $"n_tok").as("covered"),
+        count(lit(1)).as("n_chunks"),
+        max($"chunk_id").as("last_id"))
+    val toks = graft.Tables.documents(spark, dir)
+      .select($"doc_id", size(graft.functions.TextFns.rawTokens($"text")).as("n"))
+    val joined = chunks.join(toks, Seq("doc_id"))
+    // coverage reaches exactly the token count, ids are dense 0..k
+    assert(joined.filter($"covered" =!= $"n").count() === 0)
+    assert(joined.filter($"last_id" =!= $"n_chunks" - 1).count() === 0)
+    // overlap: every non-final chunk is full-width (64)
+    val nonFinal = q("curation_chunk_documents")
+      .join(toks, Seq("doc_id"))
+      .filter($"start_tok" + $"n_tok" < $"n")
+    assert(nonFinal.filter($"n_tok" =!= 64).count() === 0)
+  }
+
+  test("incremental ANN finds every planted batch duplicate against the index") {
+    val out = q("sim_ann_incremental").collect()
+    val expected = graft.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 4 === 0).count()
+    // each planted query vector must at least match its own source vector
+    val selfPairs = out.count(r => r.getLong(0) - 200000L == r.getLong(1))
+    assert(selfPairs.toLong === expected, s"self-matches $selfPairs of $expected")
+    // and matches never point into the batch side (index side only)
+    assert(out.forall(_.getLong(1) < 200000L))
+  }
+
   test("glamira staging: outer-unnest rows survive and item_key is unique") {
     val so = q("glamira_stg_order").cache()
     assert(so.filter($"cp_offset".isNull).count() > 0)
