@@ -125,6 +125,36 @@ object StreamGate {
         .trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, 300000)
       s.table("stream_dedup_sink")
+    }),
+
+    // The PRODUCTION streaming-dedup API under the gate:
+    // dropDuplicatesWithinWatermark bounds the dedup state by event time so
+    // an unbounded stream can age keys out (plain dropDuplicates keeps
+    // state forever — gate-only). Over the single-file AvailableNow backlog
+    // (all rows inside the watermark window) its output equals DISTINCT,
+    // so the same declarative oracle applies; what this entry pins is that
+    // the state-bounded operator dedups correctly within the window.
+    "stream_dedup_watermark" -> ((s, dir) => {
+      val in = TempDirs.fresh("sdedupw_in")
+      val ckpt = TempDirs.fresh("sdedupw_ck")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val q = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(in)
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select(md5(col("text")).as("content_hash"),
+          length(col("text")).as("text_len"), col("ts"))
+        .dropDuplicatesWithinWatermark("content_hash")
+        .drop("ts")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_dedup_watermark_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s.table("stream_dedup_watermark_sink")
     })
   )
 
@@ -146,6 +176,12 @@ object StreamGate {
     // the planted duplicates collapse onto their originals' hashes, so the
     // batch twin is simply DISTINCT over the base corpus
     "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash,
+        |  CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents""".stripMargin,
+
+    // within the (single) watermark window, state-bounded dedup ≡ DISTINCT
+    "stream_dedup_watermark" ->
       """SELECT DISTINCT md5(text) AS content_hash,
         |  CAST(length(text) AS INTEGER) AS text_len
         |FROM documents""".stripMargin
