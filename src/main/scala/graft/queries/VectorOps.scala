@@ -128,7 +128,10 @@ object VectorOps {
       val batch = corpus.filter(col("vec_id") % 4 === 0)
         .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
       val all = corpus.unionByName(batch)
-      val n = withNorm(all).join(lshSigs(s, all), Seq("vec_id"))
+      // persisted like the production index it models: both filter branches
+      // read ONE materialized signature table instead of recomputing the
+      // projection pipeline per side
+      val n = withNorm(all).join(lshSigs(s, all), Seq("vec_id")).persist()
       val idx = n.filter(col("vec_id") < 200000)
         .select(col("bucket"), col("vec_id").as("match_id"),
           col("embedding").as("eb"), col("nrm").as("nb"))
