@@ -80,6 +80,19 @@ object CurrencyRules {
   }
 
   /** mart_fact_order.sql:123-131. */
+  /** The mart_fact_order.sql final-CTE USD-measure guard: NULL unless the
+    * PRE-coalesce MAPPED code resolved (an AMBIGUOUS row rescued only by
+    * TLD inference joins to a rate via the coalesced code but still emits
+    * NULL USD) and an FX rate joined; otherwise amount/rate. Type-
+    * polymorphic — the division result follows the input types, so the
+    * production mart wraps it in DECIMAL(38,9) and the DOUBLE-boundary
+    * gate in round(..., 6); ONE implementation of the guard either way.
+    */
+  def usdMeasure(mappedCode: Column, rate: Column, amount: Column): Column =
+    when(mappedCode.isNull, lit(null))
+      .when(rate.isNull, lit(null))
+      .otherwise(amount / rate)
+
   def statusFinal(code: Column, status: Column, inferred: Column): Column =
     when(code.isNotNull, status)
       .when(status === "AMBIGUOUS" && inferred.isNotNull, "INFERRED")

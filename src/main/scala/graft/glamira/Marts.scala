@@ -74,6 +74,15 @@ object Marts {
         farm(col("email_address_final")).as("customer_key"))
   }
 
+  /** The fx_latest shape (mart_fact_order.sql:142): keep only the rows of
+    * the max fx_date — a broadcast 1-row scalar-max join, shared by the
+    * production mart and the oracle gates so the pattern cannot drift.
+    */
+  def latestRates(fxSeed: DataFrame): DataFrame =
+    fxSeed.join(broadcast(fxSeed.agg(max(col("fx_date")).as("mx"))),
+        col("fx_date") === col("mx"))
+      .drop("mx")
+
   /** mart_fact_order.sql: currency clean/infer → fx_latest join → USD
     * measures → dim joins. Grain: order line-item × option (stg_order).
     */
@@ -87,8 +96,7 @@ object Marts {
       stgOrder.withColumn("product_currency_raw", trim(raw)),
       raw, col("current_url"))
 
-    val maxDate = fxSeed.agg(max(col("fx_date")).as("mx"))
-    val fxLatest = fxSeed.join(broadcast(maxDate), col("fx_date") === col("mx"))
+    val fxLatest = latestRates(fxSeed)
       .select(col("currency_code").as("fx_currency_code"),
         col("usd_to_ccy").cast(DecimalType(38, 9)).as("usd_to_ccy"))
 
@@ -103,9 +111,8 @@ object Marts {
     // an AMBIGUOUS row resolved only by TLD inference joins to an FX rate
     // via the coalesced code but still emits NULL USD measures.
     val usd = (amount: Column) =>
-      when(col("currency_code_mapped").isNull, lit(null).cast(DecimalType(38, 9)))
-        .when(col("usd_to_ccy").isNull, lit(null).cast(DecimalType(38, 9)))
-        .otherwise((amount.cast(DecimalType(38, 9)) / col("usd_to_ccy")).cast(DecimalType(38, 9)))
+      CurrencyRules.usdMeasure(col("currency_code_mapped"), col("usd_to_ccy"),
+        amount.cast(DecimalType(38, 9))).cast(DecimalType(38, 9))
 
     val fact = withFx.select(
       col("item_key"), col("order_id"), col("product_id"), col("option_id"),

@@ -222,6 +222,22 @@ object GlamiraShaped {
       when(eid % 23 === 0, lit(null).cast(StringType)).otherwise(json).as("product_json"))
   }
 
+  /** Deterministic FX seed shared by both fact gates (two dates so the
+    * latest-rate filter has real work; one EUR rate per date so the
+    * scalar-max join provably picks 0.8, not 0.9).
+    */
+  private def fxShaped(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-21"), "EUR", 0.9),
+        org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "EUR", 0.8),
+        org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "USD", 1.0),
+        org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "GBP", 0.5),
+        org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "SEK", 10.0),
+        org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "DKK", 7.5)),
+      StructType(Seq(StructField("fx_date", DateType),
+        StructField("fx_ccy", StringType), StructField("usd_to_ccy", DoubleType))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)
       .select(col("order_id"), col("time_stamp"), col("user_db_id"),
@@ -257,18 +273,8 @@ object GlamiraShaped {
       val so = stgOrderShaped(s, dir)
       val raw = col("product_currency")
 
-      val fx = s.createDataFrame(
-        java.util.Arrays.asList(
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-21"), "EUR", 0.9),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "EUR", 0.8),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "USD", 1.0),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "GBP", 0.5),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "SEK", 10.0),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "DKK", 7.5)),
-        StructType(Seq(StructField("fx_date", DateType),
-          StructField("fx_ccy", StringType), StructField("usd_to_ccy", DoubleType))))
-      val fxLatest = fx.join(broadcast(fx.agg(max(col("fx_date")).as("mx"))),
-        col("fx_date") === col("mx")).select(col("fx_ccy"), col("usd_to_ccy"))
+      val fxLatest = Marts.latestRates(fxShaped(s))
+        .select(col("fx_ccy"), col("usd_to_ccy"))
 
       val dimCust = dimCustomerShaped(s, dir)
         .select(col("customer_key"), col("email_address_final"))
@@ -284,10 +290,11 @@ object GlamiraShaped {
         .otherwise(concat(lit("u"), col("user_db_id"),
           when(col("user_db_id") % 3 === 0, "@example.com").otherwise("@scd.com")))
 
+      // the PRODUCTION guard (CurrencyRules.usdMeasure), DOUBLE-typed at the
+      // gate boundary with the oracle's round-6 spelling
       val usd = (amount: Column) =>
-        when(col("currency_code_mapped").isNull, lit(null).cast(DoubleType))
-          .when(col("usd_to_ccy").isNull, lit(null).cast(DoubleType))
-          .otherwise(round(amount / col("usd_to_ccy"), 6))
+        round(CurrencyRules.usdMeasure(
+          col("currency_code_mapped"), col("usd_to_ccy"), amount), 6).cast(DoubleType)
 
       CurrencyRules.applyCurrencyJoins(so, raw, col("current_url"))
         .withColumn("currency_code", coalesce(col("currency_code_mapped"), col("inferred_currency")))
@@ -311,18 +318,8 @@ object GlamiraShaped {
       val so = stgOrderShaped(s, dir)
       val raw = col("product_currency")
 
-      val fx = s.createDataFrame(
-        java.util.Arrays.asList(
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-21"), "EUR", 0.9),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "EUR", 0.8),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "USD", 1.0),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "GBP", 0.5),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "SEK", 10.0),
-          org.apache.spark.sql.Row(java.sql.Date.valueOf("2026-01-22"), "DKK", 7.5)),
-        StructType(Seq(StructField("fx_date", DateType),
-          StructField("fx_ccy", StringType), StructField("usd_to_ccy", DoubleType))))
-      val fxLatest = fx.join(broadcast(fx.agg(max(col("fx_date")).as("mx"))),
-        col("fx_date") === col("mx")).select(col("fx_ccy"), col("usd_to_ccy"))
+      val fxLatest = Marts.latestRates(fxShaped(s))
+        .select(col("fx_ccy"), col("usd_to_ccy"))
 
       // currency map + TLD inference via the broadcast lookup tables (two
       // hash probes per row) instead of the ~40-branch CASE chains — same
@@ -330,13 +327,13 @@ object GlamiraShaped {
       CurrencyRules.applyCurrencyJoins(so, raw, col("current_url"))
         .withColumn("currency_code", coalesce(col("currency_code_mapped"), col("inferred_currency")))
         .join(broadcast(fxLatest), col("fx_ccy") === col("currency_code"), "left")
-        // Reference semantics (mart_fact_order.sql final CTE): the USD guard
-        // tests the PRE-coalesce mapped code — AMBIGUOUS rows resolved only
-        // by inference join to an FX rate but still emit NULL USD measures.
+        // Reference semantics (mart_fact_order.sql final CTE) via the
+        // production CurrencyRules.usdMeasure: the guard tests the
+        // PRE-coalesce mapped code — AMBIGUOUS rows resolved only by
+        // inference join to an FX rate but still emit NULL USD measures.
         .withColumn("price_usd",
-          when(col("currency_code_mapped").isNull, lit(null).cast(DoubleType))
-            .when(col("usd_to_ccy").isNull, lit(null).cast(DoubleType))
-            .otherwise(round(col("product_price").cast(DoubleType) / col("usd_to_ccy"), 6)))
+          round(CurrencyRules.usdMeasure(col("currency_code_mapped"),
+            col("usd_to_ccy"), col("product_price").cast(DoubleType)), 6).cast(DoubleType))
         .select(col("item_key"), col("order_id"), col("cp_offset"), col("opt_offset"),
           col("product_currency"), col("currency_code"),
           col("currency_status_final").as("currency_status"),
