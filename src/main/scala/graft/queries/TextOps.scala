@@ -79,12 +79,18 @@ object TextOps {
     * run) builds its own index, and `unpersist`/`clearCache` only costs a
     * recompute, never correctness.
     */
+  // WeakHashMap keyed by the SESSION OBJECT (identity equals), not its
+  // identityHashCode: two live sessions can collide on the hash, and a
+  // string key would pin every session's cached plans forever. Dead
+  // sessions GC away with their entries.
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private[queries] def sharedShingleIndex(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir",
-      _ => shingleIndex(Tables.documents(s, dir)).persist())
+    shingleCache.synchronized {
+      shingleCache
+        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, shingleIndex(Tables.documents(s, dir)).persist())
+    }
 
   /** Exact pairwise Jaccard over a shingle index: (i, j, jc). Quadratic —
     * ground-truth only; the LSH path is the production plan.

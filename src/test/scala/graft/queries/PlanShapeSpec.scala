@@ -98,6 +98,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
 
+  test("dim_product: the JSON payload is parsed ONCE per row, not once per field") {
+    // CollapseProject inlines the struct into its 13 field reads, so the
+    // plan TEXT shows 13 from_json nodes — but they are all the IDENTICAL
+    // full-schema expression, which whole-stage codegen's subexpression
+    // elimination evaluates once per row. The regression this guards:
+    // per-field schema PRUNING (OptimizeJsonExprs) or get_json_object
+    // would make the parses distinct → 13 real Jackson passes per row.
+    val p = plan("glamira_dim_product")
+    assert(!p.contains("get_json_object"), p.take(1500))
+    val schemas = "from_json\\(StructField\\(product,StructType\\((.*?)\\),true\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(schemas.nonEmpty && schemas.distinct.size === 1,
+      s"n=${schemas.size} distinct=${schemas.distinct.size}")
+    // full schema (all 16 fields), not a pruned one — CSE needs identity
+    assert(schemas.head.split("StructField").length > 16, schemas.head.take(300))
+  }
+
   test("salted aggregation: hot key spreads across salts before the final per-key exchange") {
     val p = plan("skew_salted_agg")
     // two-phase shape: partial agg on (k, salt) → exchange → final (k, salt)
