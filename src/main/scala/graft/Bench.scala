@@ -92,7 +92,11 @@ object Bench {
     require(missing.isEmpty, s"bench headline names not in query set: $missing")
     val qs = fmt(results.filter(r => headline(r._1)))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    // the driver parses the last ~2000 stdout chars; an overgrown headline
+    // set must fail the build here, not silently come back parsed:null
+    require(line.length <= 2000, s"bench stdout line ${line.length} chars > 2000")
+    println(line)
     spark.stop()
   }
 }
