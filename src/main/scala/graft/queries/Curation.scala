@@ -118,8 +118,11 @@ object Curation {
         .filter(col("c").cast(DoubleType) / (col("n_i") + col("n_j") - col("c")) >= 0.7)
         .select(col("i").as("doc_id")).distinct()
 
+      // the contaminated id list is bounded by (eval hits), tiny next to the
+      // corpus — broadcast the anti-join so the corpus never shuffles here
+      // either (without the hint this compiles to a corpus-wide SortMerge)
       val contaminated = exactHit.unionByName(nearHit).distinct()
-      corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 

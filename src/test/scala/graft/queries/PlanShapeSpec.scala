@@ -98,6 +98,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
 
+  test("decontaminate: the eval set broadcasts; the corpus never sort-merge shuffles") {
+    val p = plan("decontaminate")
+    // eval shingles + eval sizes + exact-hit semi all broadcast
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("dim_product: the JSON payload is parsed ONCE per row, not once per field") {
     // CollapseProject inlines the struct into its 13 field reads, so the
     // plan TEXT shows 13 from_json nodes — but they are all the IDENTICAL
