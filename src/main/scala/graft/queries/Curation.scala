@@ -23,6 +23,17 @@ object Curation {
 
   private val DOMAIN_CAP = 10
 
+  // ---- curation_c4_pipeline thresholds -----------------------------------
+  // Chosen against the corpus distributions (sf0.001–0.1): quality p10≈0.57 /
+  // median≈0.75; dup_token_frac median≈0.54 / p90≈0.68; top_bigram_frac
+  // median≈0.033 / p90≈0.067 — each gate drops a real, non-degenerate slice.
+  // All three compare against 6-dp-rounded metrics whose cross-engine
+  // equality is already hash-proven by their individual gates, so the
+  // comparisons can never straddle an engine difference.
+  private val QUALITY_T = 0.65
+  private val DUP_T = 0.62
+  private val BG_T = 0.055
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified deterministic sampling: per-language keep rates.
     "sample_stratified" -> ((s, dir) => {
@@ -174,6 +185,43 @@ object Curation {
           array_join(slice(col("toks"), col("start") + 1, col("n_tok")), " ").as("chunk_text"))
     }),
 
+    // End-to-end C4/Gopher curation gate: the composed production filter
+    // chain — length band ∧ quality floor ∧ language agreement ∧ repetition
+    // caps — emitting per-document flags plus the final keep decision, so
+    // the filter pipeline a real 100-TB run would ship is itself under the
+    // oracle. Every predicate is the SAME implementation as its individually
+    // gated query (curation_length_filter bounds, TextOps.qualityScoreCol,
+    // TextOps.langidPredCol, TextOps.repetitionStats) — composition, not
+    // twins — and the oracle SQL CTE-wraps the same gated SQL strings.
+    //
+    // Plan shape: quality/langid flags are map-side expressions in one
+    // projection; the length band joins a broadcast 1-row percentile
+    // aggregate; only the repetition metrics need a shuffle (the shared
+    // bigram aggregate), recombined by a single doc_id equi-join. No corpus
+    // self-join, no full-corpus window, at any scale.
+    "curation_c4_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bounds = docs.agg(
+        round(expr("percentile(n_chars, 0.05)"), 6).as("p05"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
+      val rep = TextOps.repetitionStats(docs)
+        .select(col("doc_id"), col("dup_token_frac"), col("top_bigram_frac"))
+      docs
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextOps.qualityScoreCol.as("quality_score"),
+          TextOps.langidPredCol.as("pred_lang"))
+        .crossJoin(broadcast(bounds))
+        .join(rep, Seq("doc_id"))
+        .withColumn("len_ok", col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+        .withColumn("quality_ok", col("quality_score") >= QUALITY_T)
+        .withColumn("lang_ok", col("pred_lang") === col("lang"))
+        // null-safe: a <2-token doc has no bigram stats; it fails the gate
+        .withColumn("rep_ok",
+          coalesce(col("dup_token_frac") <= DUP_T && col("top_bigram_frac") <= BG_T, lit(false)))
+        .select(col("doc_id"), col("len_ok"), col("quality_ok"), col("lang_ok"), col("rep_ok"),
+          (col("len_ok") && col("quality_ok") && col("lang_ok") && col("rep_ok")).as("kept"))
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
@@ -265,6 +313,34 @@ object Curation {
         |  CAST(least(64, n - start) AS INTEGER) AS n_tok,
         |  array_to_string(toks[start + 1 : start + least(64, n - start)], ' ') AS chunk_text
         |FROM c WHERE start < n""".stripMargin,
+
+    // The composed pipeline's oracle literally CTE-wraps the SAME SQL
+    // strings the individual gates run (text_quality / text_repetition /
+    // text_langid / the length-filter bounds), so the two sides can never
+    // drift from the queries they compose.
+    "curation_c4_pipeline" ->
+      s"""WITH qual AS (${TextOps.oracleSql("text_quality")}),
+         |rep AS (${TextOps.oracleSql("text_repetition")}),
+         |lid AS (${TextOps.oracleSql("text_langid")}),
+         |b AS (
+         |  SELECT round(quantile_cont(n_chars, 0.05), 6) AS p05,
+         |    round(quantile_cont(n_chars, 0.95), 6) AS p95
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  (d.n_chars >= b.p05 AND d.n_chars <= b.p95) AS len_ok,
+         |  (qual.quality_score >= $QUALITY_T) AS quality_ok,
+         |  (lid.pred_lang = d.lang) AS lang_ok,
+         |  COALESCE(rep.dup_token_frac <= $DUP_T AND rep.top_bigram_frac <= $BG_T,
+         |    FALSE) AS rep_ok,
+         |  ((d.n_chars >= b.p05 AND d.n_chars <= b.p95)
+         |    AND (qual.quality_score >= $QUALITY_T)
+         |    AND (lid.pred_lang = d.lang)
+         |    AND COALESCE(rep.dup_token_frac <= $DUP_T AND rep.top_bigram_frac <= $BG_T,
+         |      FALSE)) AS kept
+         |FROM documents d CROSS JOIN b
+         |JOIN qual ON qual.doc_id = d.doc_id
+         |JOIN rep ON rep.doc_id = d.doc_id
+         |JOIN lid ON lid.doc_id = d.doc_id""".stripMargin,
 
     "text_tfidf_terms" ->
       """WITH tok AS (

@@ -53,6 +53,72 @@ object TextOps {
     * sharing vocabulary (different counts) spread out. With distinct tokens
     * this corpus's small vocabulary made most docs set-identical.
     */
+  /** Gopher-style repetition metrics per document: duplicate-token fraction
+    * and most-frequent-bigram fraction. One explode + two aggregations; the
+    * bigram count table shuffles on (doc_id, bigram) and everything after is
+    * constant state per doc. Shared by `text_repetition` and the composed
+    * `curation_c4_pipeline` gate.
+    */
+  private[queries] def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = TextFns.rawTokens(lower(col("text")))
+    val base = docs.select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      toks.as("toks"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("bg"))
+    val stats = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("total_bg"))
+    base.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(col("top_c").cast(DoubleType) / col("total_bg"), 6).as("top_bigram_frac"))
+  }
+
+  /** Per-language vocabulary-hit scores over the raw tokens of `text` —
+    * the single scoring definition shared by `text_langid` and the composed
+    * `curation_c4_pipeline` gate.
+    */
+  private[queries] def langidScores: Map[String, Column] = {
+    val toks = TextFns.rawTokens(col("text"))
+    Map(
+      "en" -> TextFns.vocabHits(toks, Langs.en),
+      "de" -> TextFns.vocabHits(toks, Langs.de),
+      "es" -> TextFns.vocabHits(toks, Langs.es),
+      "fr" -> TextFns.vocabHits(toks, Langs.fr),
+      "zh" -> TextFns.vocabHits(toks, Langs.zh))
+  }
+
+  /** Predicted language with the deterministic en>de>es>fr>zh tie-break. */
+  private[queries] def langidPredCol: Column = {
+    val scores = langidScores
+    when(scores("en") >= scores("de") && scores("en") >= scores("es") &&
+        scores("en") >= scores("fr") && scores("en") >= scores("zh"), "en")
+      .when(scores("de") >= scores("es") && scores("de") >= scores("fr") &&
+        scores("de") >= scores("zh"), "de")
+      .when(scores("es") >= scores("fr") && scores("es") >= scores("zh"), "es")
+      .when(scores("fr") >= scores("zh"), "fr")
+      .otherwise("zh")
+  }
+
+  /** Rounded quality score over `text` — shared by `text_quality` and the
+    * composed pipeline. Composes from the RAW stopword ratio, not the
+    * display-rounded one: rounding first manufactures exact half-way points
+    * at the 6th decimal (e.g. 0.475 + (1-0.094737)/2 = 0.9276315) where
+    * engines' double-rounding tie behavior diverges.
+    */
+  private[queries] def qualityScoreCol: Column = {
+    val toks = TextFns.wsTokens(col("text"))
+    val nTok = size(toks)
+    val stopHits = TextFns.vocabHits(toks, Langs.stopwords)
+    round(least(nTok / 100.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - stopHits.cast(DoubleType) / nTok) * 0.5, 6)
+  }
+
   private def simhashSigs(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(TextFns.rawTokens(col("text"))).as("tok"))
@@ -292,25 +358,12 @@ object TextOps {
     // Language-ID by vocabulary-hit scoring with a deterministic priority
     // tie-break (n-gram heuristic shape; wordlists are demo vocab).
     "text_langid" -> ((s, dir) => {
-      val toks = TextFns.rawTokens(col("text"))
-      val scores = Map(
-        "en" -> TextFns.vocabHits(toks, Langs.en),
-        "de" -> TextFns.vocabHits(toks, Langs.de),
-        "es" -> TextFns.vocabHits(toks, Langs.es),
-        "fr" -> TextFns.vocabHits(toks, Langs.fr),
-        "zh" -> TextFns.vocabHits(toks, Langs.zh))
-      val pred = when(scores("en") >= scores("de") && scores("en") >= scores("es") &&
-          scores("en") >= scores("fr") && scores("en") >= scores("zh"), "en")
-        .when(scores("de") >= scores("es") && scores("de") >= scores("fr") &&
-          scores("de") >= scores("zh"), "de")
-        .when(scores("es") >= scores("fr") && scores("es") >= scores("zh"), "es")
-        .when(scores("fr") >= scores("zh"), "fr")
-        .otherwise("zh")
+      val scores = langidScores
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang").as("labeled_lang"),
         scores("en").as("score_en"), scores("de").as("score_de"),
         scores("es").as("score_es"), scores("fr").as("score_fr"),
-        scores("zh").as("score_zh"), pred.as("pred_lang"))
+        scores("zh").as("score_zh"), langidPredCol.as("pred_lang"))
     }),
 
     // Quality scoring: token stats + stopword ratio + length prior.
@@ -318,10 +371,6 @@ object TextOps {
       val toks = TextFns.wsTokens(col("text"))
       val nTok = size(toks)
       val stopHits = TextFns.vocabHits(toks, Langs.stopwords)
-      // quality_score composes from the RAW ratio, not the display-rounded
-      // one: rounding first manufactures exact half-way points at the 6th
-      // decimal (e.g. 0.475 + (1-0.094737)/2 = 0.9276315) where engines'
-      // double-rounding tie behavior diverges.
       Tables.documents(s, dir).select(
           col("doc_id"),
           length(col("text")).as("n_chars_actual"),
@@ -329,8 +378,7 @@ object TextOps {
           round(length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType) / nTok, 6)
             .as("avg_token_len"),
           round(stopHits.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
-          round(least(nTok / 100.0, lit(1.0)) * 0.5 +
-            (lit(1.0) - stopHits.cast(DoubleType) / nTok) * 0.5, 6).as("quality_score"))
+          qualityScoreCol.as("quality_score"))
     }),
 
     // Token counting: whitespace + BPE-ish regex pieces + distinct words.
@@ -377,25 +425,7 @@ object TextOps {
     // fraction and most-frequent-bigram fraction per document. One explode
     // + two aggregations; the bigram count table shuffles on (doc_id,
     // bigram) and everything after is constant state per doc.
-    "text_repetition" -> ((s, dir) => {
-      val toks = TextFns.rawTokens(lower(col("text")))
-      val base = Tables.documents(s, dir).select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"),
-        toks.as("toks"))
-      val bigrams = base.select(col("doc_id"),
-        explode(when(size(col("toks")) >= 2,
-          transform(sequence(lit(0), size(col("toks")) - 2), i =>
-            concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-          .otherwise(array().cast(ArrayType(StringType)))).as("bg"))
-      val stats = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("total_bg"))
-      base.join(stats, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens"), 6)
-            .as("dup_token_frac"),
-          round(col("top_c").cast(DoubleType) / col("total_bg"), 6).as("top_bigram_frac"))
-    }),
+    "text_repetition" -> ((s, dir) => repetitionStats(Tables.documents(s, dir))),
 
     // Multimodal plumbing: opaque binary column + typed metadata. The text
     // is re-encoded as the stand-in payload; real decode is the stubbed
@@ -663,7 +693,7 @@ object TextOps {
   )
 
   /** Deterministic demo vocabularies (the fixture corpus is synthetic). */
-  private object Langs {
+  private[queries] object Langs {
     val en = Seq("the", "a", "value", "row")
     val de = Seq("table", "data")
     val es = Seq("query", "join")

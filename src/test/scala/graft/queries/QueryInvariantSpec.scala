@@ -108,6 +108,25 @@ class QueryInvariantSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) < 200000L))
   }
 
+  test("c4 pipeline: kept is the flag conjunction, every gate bites, and " +
+    "quality_ok restates the gated text_quality score") {
+    val pipe = q("curation_c4_pipeline").collect()
+    assert(pipe.forall(r => r.getAs[Boolean]("kept") ===
+      (r.getAs[Boolean]("len_ok") && r.getAs[Boolean]("quality_ok") &&
+        r.getAs[Boolean]("lang_ok") && r.getAs[Boolean]("rep_ok"))))
+    // non-degenerate: each gate keeps some documents and drops some —
+    // a threshold drifting outside the corpus distribution fails here
+    for (flag <- Seq("len_ok", "quality_ok", "lang_ok", "rep_ok", "kept")) {
+      val n = pipe.count(_.getAs[Boolean](flag))
+      assert(n > 0 && n < pipe.length, s"$flag degenerate: $n of ${pipe.length}")
+    }
+    // the composed flag must equal the independently-computed gated metric
+    val qs = q("text_quality").select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pipe.forall(r =>
+      r.getAs[Boolean]("quality_ok") === (qs(r.getAs[Long]("doc_id")) >= 0.65)))
+  }
+
   test("glamira staging: outer-unnest rows survive and item_key is unique") {
     val so = q("glamira_stg_order").cache()
     assert(so.filter($"cp_offset".isNull).count() > 0)
