@@ -98,6 +98,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
 
+  test("c4 pipeline: no cartesian — bounds broadcast 1-row, rep recombines by equi-join") {
+    // the only nested-loop-shaped node is the broadcast 1-row percentile
+    // bounds (Cross BuildRight over one row); the repetition stats must
+    // come back through a doc_id equi-join, never a pair space
+    val p = plan("curation_c4_pipeline")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // map-side flags + one aggregate recombine: exactly one join carries
+    // the corpus against the bigram stats, and it is an equi-join
+    assert(p.contains("doc_id"), p.take(400))
+  }
+
   test("decontaminate: the eval set broadcasts; the corpus never sort-merge shuffles") {
     val p = plan("decontaminate")
     // eval shingles + eval sizes + exact-hit semi all broadcast
