@@ -222,6 +222,40 @@ object Curation {
           (col("len_ok") && col("quality_ok") && col("lang_ok") && col("rep_ok")).as("kept"))
     }),
 
+    // Temperature-based source mixing (the LLM data-mixing step): over-
+    // represented sources are downsampled toward uniform with temperature
+    // T=2 (exponent 1/T = 0.5), under-represented sources keep everything —
+    // per-source keep rate (per-mille) = min(1000, floor(1000 ·
+    // sqrt(n_total / (n_sources · n_s)))). The fixture corpus is uniform
+    // across sources, so a hot source is planted deterministically
+    // (doc_id % 2 → 'src_hot' holds 50% of the corpus) the same way
+    // text_pii_redact plants its positives. Selection is the shared
+    // content-hash bucket — reproducible across runs/engines/topology, no
+    // RNG. sqrt is IEEE-correctly-rounded in both engines, so the floor'd
+    // rate can never straddle an engine difference.
+    //
+    // Scale shape: one tiny shuffle for the per-source counts, a broadcast
+    // 1-row totals aggregate, the rate table broadcast back against the
+    // corpus — the corpus itself never shuffles.
+    "curation_source_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("source",
+          when(col("doc_id") % 2 === 0, lit("src_hot")).otherwise(col("source")))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val totals = docs.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("source")).as("n_sources"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .select(col("source"),
+          least(lit(1000L), floor(lit(1000.0) *
+            sqrt(col("n_total").cast(DoubleType) / (col("n_sources") * col("n_s")))))
+            .as("rate"))
+      docs
+        .withColumn("bucket", TextFns.md5Hash60(concat(lit("mix:"), col("doc_id"))) % 1000)
+        .join(broadcast(rates), Seq("source"))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("source"), col("rate"), col("bucket"))
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
@@ -313,6 +347,24 @@ object Curation {
         |  CAST(least(64, n - start) AS INTEGER) AS n_tok,
         |  array_to_string(toks[start + 1 : start + least(64, n - start)], ' ') AS chunk_text
         |FROM c WHERE start < n""".stripMargin,
+
+    "curation_source_mix" -> {
+      val bucket = TextFns.md5Hash60Sql("concat('mix:', doc_id)")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'src_hot' ELSE source END AS source,
+         |    $bucket % 1000 AS bucket
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n_s FROM d GROUP BY source),
+         |t AS (SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources FROM d),
+         |r AS (
+         |  SELECT source, least(1000, CAST(floor(1000 *
+         |    sqrt(CAST(n_total AS DOUBLE) / (n_sources * n_s))) AS BIGINT)) AS rate
+         |  FROM c CROSS JOIN t)
+         |SELECT d.doc_id, d.source, r.rate, d.bucket
+         |FROM d JOIN r USING (source)
+         |WHERE d.bucket < r.rate""".stripMargin
+    },
 
     // The composed pipeline's oracle literally CTE-wraps the SAME SQL
     // strings the individual gates run (text_quality / text_repetition /

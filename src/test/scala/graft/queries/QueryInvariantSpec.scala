@@ -127,6 +127,20 @@ class QueryInvariantSpec extends SparkSpec {
       r.getAs[Boolean]("quality_ok") === (qs(r.getAs[Long]("doc_id")) >= 0.65)))
   }
 
+  test("source mix: the hot source is downsampled below per-mille parity, tails keep all") {
+    val out = q("curation_source_mix").collect()
+    val hot = out.filter(_.getAs[String]("source") == "src_hot")
+    val tails = out.filter(_.getAs[String]("source") != "src_hot")
+    // hot rate strictly under the cap, tail rates at the cap (kept whole)
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("rate") < 1000L))
+    assert(tails.nonEmpty && tails.forall(_.getAs[Long]("rate") === 1000L))
+    // every surviving row obeys its own gate
+    assert(out.forall(r => r.getAs[Long]("bucket") < r.getAs[Long]("rate")))
+    // tails kept whole = every odd-doc_id document survives
+    val nOdd = graft.Tables.documents(spark, dir).filter($"doc_id" % 2 =!= 0).count()
+    assert(tails.length.toLong === nOdd)
+  }
+
   test("glamira staging: outer-unnest rows survive and item_key is unique") {
     val so = q("glamira_stg_order").cache()
     assert(so.filter($"cp_offset".isNull).count() > 0)
