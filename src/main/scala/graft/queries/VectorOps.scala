@@ -281,6 +281,35 @@ object VectorOps {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
+    // SemDeDup-shaped semantic dedup: cluster the corpus (the deterministic
+    // IVF k-means cells), detect within-cell cosine-≥T pairs, close the pair
+    // graph into groups (operators.Components, checked fixpoint), and keep
+    // ONE representative per group (the min vec_id). The all-pairs space is
+    // never materialized — candidates exist only within a cell — and the
+    // closure iterates over the pair set, which is orders of magnitude
+    // smaller than the corpus. Output is the per-vector keep/drop decision a
+    // curation pipeline consumes downstream; at 100 TB the cells shard the
+    // corpus so each within-cell join is an equi-join on `cell`.
+    "dedup_semantic" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val assign = ivfAssignments(s, dir, emb)
+      val e = withNorm(emb).join(assign, Seq("vec_id"))
+      val l = e.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val r = e.select(col("cell"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = l.join(r, Seq("cell")).filter(col("i") < col("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"))
+      val labels = graft.operators.Components.connectedComponents(pairs)
+      val w = Window.partitionBy(col("group_id"))
+      emb.select(col("vec_id"))
+        .join(labels.select(col("node").as("vec_id"), col("label")), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("group_id"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("is_kept", col("vec_id") === col("group_id"))
+    }),
+
     // Candidate recall of every ANN path against the quadratic cosine
     // ground truth (COS_T truth set over the augmented corpus), UNDER the
     // oracle gate: a bucket-parameter regression (broken banding, wrong
@@ -322,54 +351,89 @@ object VectorOps {
   private def dSql(a: String, b: String): String =
     dotSql.replace("%A", a).replace("%B", b)
 
+  /** Shared IVF chain CTEs (aug → seeds → assign0 → Lloyd means → refined
+    * centroids → final assignment → `e`) — the oracle twin of
+    * `ivfAssignments` over the augmented corpus, reused by `sim_ann_ivf`
+    * and `dedup_semantic`.
+    */
+  private lazy val ivfCellCtes: String =
+    s"""aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
+       |    sqrt(${dSql("embedding", "embedding")}) AS nc
+       |  FROM embeddings WHERE vec_id < $NCENTROIDS),
+       |a AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+       |  FROM aug),
+       |assign0 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT a.vec_id, cent0.cid, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY ${dSql("a.embedding", "cent0.ce")} / (a.nrm * cent0.nc) DESC, cent0.cid ASC) AS rn
+       |    FROM a CROSS JOIN cent0)
+       |  WHERE rn = 1),
+       |comps AS (
+       |  SELECT assign0.cell, generate_subscripts(a.embedding, 1) AS d,
+       |    unnest(a.embedding) AS x
+       |  FROM a JOIN assign0 ON a.vec_id = assign0.vec_id),
+       |means AS (
+       |  SELECT cell, d, avg(CAST(x AS DOUBLE)) AS m
+       |  FROM comps GROUP BY cell, d),
+       |cent1 AS (
+       |  SELECT cell AS cid,
+       |    list_transform(list(m ORDER BY d), v -> CAST(v AS REAL)) AS ce
+       |  FROM means GROUP BY cell),
+       |cent AS (
+       |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM cent1),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT a.vec_id, cent.cid, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY ${dSql("a.embedding", "cent.ce")} / (a.nrm * cent.nc) DESC, cent.cid ASC) AS rn
+       |    FROM a CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |e AS (
+       |  SELECT a.vec_id, a.embedding, a.nrm, assign.cell
+       |  FROM a JOIN assign ON a.vec_id = assign.vec_id)""".stripMargin
+
   def ivfOracleSql: Map[String, String] = Map(
     "sim_ann_ivf" ->
-      s"""WITH aug AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
-         |cent0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
-         |    sqrt(${dSql("embedding", "embedding")}) AS nc
-         |  FROM embeddings WHERE vec_id < $NCENTROIDS),
-         |a AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
-         |  FROM aug),
-         |assign0 AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT a.vec_id, cent0.cid, row_number() OVER (
-         |      PARTITION BY a.vec_id
-         |      ORDER BY ${dSql("a.embedding", "cent0.ce")} / (a.nrm * cent0.nc) DESC, cent0.cid ASC) AS rn
-         |    FROM a CROSS JOIN cent0)
-         |  WHERE rn = 1),
-         |comps AS (
-         |  SELECT assign0.cell, generate_subscripts(a.embedding, 1) AS d,
-         |    unnest(a.embedding) AS x
-         |  FROM a JOIN assign0 ON a.vec_id = assign0.vec_id),
-         |means AS (
-         |  SELECT cell, d, avg(CAST(x AS DOUBLE)) AS m
-         |  FROM comps GROUP BY cell, d),
-         |cent1 AS (
-         |  SELECT cell AS cid,
-         |    list_transform(list(m ORDER BY d), v -> CAST(v AS REAL)) AS ce
-         |  FROM means GROUP BY cell),
-         |cent AS (
-         |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM cent1),
-         |assign AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT a.vec_id, cent.cid, row_number() OVER (
-         |      PARTITION BY a.vec_id
-         |      ORDER BY ${dSql("a.embedding", "cent.ce")} / (a.nrm * cent.nc) DESC, cent.cid ASC) AS rn
-         |    FROM a CROSS JOIN cent)
-         |  WHERE rn = 1),
-         |e AS (
-         |  SELECT a.vec_id, a.embedding, a.nrm, assign.cell
-         |  FROM a JOIN assign ON a.vec_id = assign.vec_id)
+      s"""WITH $ivfCellCtes
          |SELECT x.vec_id AS i, y.vec_id AS j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
          |FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the dedup_semantic twin replays the IVF chain, finds within-cell
+    // ≥ANN_T pairs, closes them by recursive transitive closure, and emits
+    // the per-vector keep/drop decision (min vec_id per group kept)
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $ivfCellCtes,
+         |pairs AS (
+         |  SELECT x.vec_id AS i, y.vec_id AS j
+         |  FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T),
+         |edges AS (
+         |  SELECT i, j FROM pairs
+         |  UNION ALL
+         |  SELECT j AS i, i AS j FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT i AS x, j AS y FROM edges
+         |  UNION
+         |  SELECT r.x, e2.j AS y FROM reach r JOIN edges e2 ON r.y = e2.i),
+         |comp AS (
+         |  SELECT x AS vec_id, least(x, min(y)) AS group_id
+         |  FROM reach GROUP BY x)
+         |SELECT aug.vec_id,
+         |  coalesce(comp.group_id, aug.vec_id) AS group_id,
+         |  CAST(count(*) OVER (
+         |    PARTITION BY coalesce(comp.group_id, aug.vec_id)) AS BIGINT) AS group_size,
+         |  aug.vec_id = coalesce(comp.group_id, aug.vec_id) AS is_kept
+         |FROM aug LEFT JOIN comp ON aug.vec_id = comp.vec_id""".stripMargin,
 
     // the ann_recall twin replays the full LSH signature chain AND the IVF
     // centroid chain, then counts truth ∩ candidates per method

@@ -37,6 +37,21 @@ class QueryInvariantSpec extends SparkSpec {
     assert(single.subsetOf(multi))
   }
 
+  test("semantic dedup groups every planted duplicate and keeps exactly one per group") {
+    val out = q("dedup_semantic").cache()
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(out.count() === 2 * n)   // one decision row per augmented vector
+    val group = out.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("group_id")).toMap
+    val baseIds = group.keys.filter(_ < 100000L)
+    assert(baseIds.nonEmpty && baseIds.forall(v => group(v) === group(v + 100000L)))
+    // exactly one representative per group, and it is the group minimum
+    val kept = out.filter($"is_kept").cache()
+    assert(kept.count() === out.select("group_id").distinct().count())
+    assert(kept.collect().forall(r => r.getAs[Long]("vec_id") === r.getAs[Long]("group_id")))
+    // keep/drop is a real decision: planted dups force dropped rows
+    assert(kept.count() < out.count())
+  }
+
   test("brute-force top-k: k rows per vector, ranked by descending cosine") {
     val tk = q("sim_topk_bruteforce").cache()
     val perVec = tk.groupBy($"vec_id").count().select("count").distinct().collect()
