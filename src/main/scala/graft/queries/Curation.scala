@@ -256,6 +256,25 @@ object Curation {
         .select(col("doc_id"), col("source"), col("rate"), col("bucket"))
     }),
 
+    // Deterministic train/validation/test split — the assignment every
+    // training run needs to be reproducible and leakage-free. Same
+    // content-hash discipline as the samplers: bucket = md5("split:"+id)
+    // mod 1000, train <980 / validation <990 / test otherwise, so a
+    // document's split never changes across runs, engines, or cluster
+    // topology, and re-ingesting the corpus cannot migrate documents
+    // between train and test (the silent eval-contamination failure mode).
+    // Map-only — no shuffle, no RNG, trivially 100-TB-safe.
+    "curation_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("bucket",
+          TextFns.md5Hash60(concat(lit("split:"), col("doc_id"))) % 1000)
+        .withColumn("split",
+          when(col("bucket") < 980, "train")
+            .when(col("bucket") < 990, "validation")
+            .otherwise("test"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
@@ -393,6 +412,16 @@ object Curation {
          |JOIN qual ON qual.doc_id = d.doc_id
          |JOIN rep ON rep.doc_id = d.doc_id
          |JOIN lid ON lid.doc_id = d.doc_id""".stripMargin,
+
+    "curation_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 980 THEN 'train'
+         |       WHEN bucket < 990 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id,
+         |    ${TextFns.md5Hash60Sql("concat('split:', doc_id)")} % 1000 AS bucket
+         |  FROM documents)""".stripMargin,
 
     "text_tfidf_terms" ->
       """WITH tok AS (

@@ -155,6 +155,44 @@ object StreamGate {
         .trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, 300000)
       s.table("stream_dedup_watermark_sink")
+    }),
+
+    // Stream-stream interval join (attribution): each purchase joins the
+    // SAME user's view events from the preceding hour. Both sides carry
+    // event-time watermarks and the join carries the time-range predicate —
+    // the combination that lets the engine expire join state on an
+    // unbounded stream (buffered views age out once the purchase-side
+    // watermark passes v_ts + 1 hour). Over the single-file AvailableNow
+    // backlog (one data micro-batch, watermark still at -inf while it
+    // processes) the inner join is exact, so the batch twin recomputes it
+    // declaratively on micro-truncated timestamps.
+    "stream_join" -> ((s, dir) => {
+      val in = TempDirs.fresh("sjoin_in")
+      val ckpt = TempDirs.fresh("sjoin_ck")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      def src() = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+        .parquet(in)
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val views = src().filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("view_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+      val q = purchases.join(views,
+          col("user_id") === col("view_user") &&
+            col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+            col("v_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          col("p_ts"), col("v_ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_join_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s.table("stream_join_sink")
     })
   )
 
@@ -184,6 +222,20 @@ object StreamGate {
     "stream_dedup_watermark" ->
       """SELECT DISTINCT md5(text) AS content_hash,
         |  CAST(length(text) AS INTEGER) AS text_len
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // batch twin of the stream-stream interval join; both engines compare
+    // micro-truncated timestamps (Tables.events reads the NANOS column as
+    // `timestamp_micros(ts div 1000)`, epoch_us truncates identically)
+    "stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events)
+        |SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+        |  p.ts AS p_ts, v.ts AS v_ts
+        |FROM e p JOIN e v ON p.user_id = v.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts""".stripMargin
   )
 }
