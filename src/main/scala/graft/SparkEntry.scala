@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.VectorOps.ivfQueries ++
       graft.queries.GlamiraShaped.queries ++
       graft.queries.Curation.queries ++
+      graft.queries.Analytics.queries ++
       graft.queries.Approx.queries ++
       graft.queries.SinkRoundTrip.queries ++
       graft.queries.StreamGate.queries
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.queries.VectorOps.ivfOracleSql ++
       graft.queries.GlamiraShaped.oracleSql ++
       graft.queries.Curation.oracleSql ++
+      graft.queries.Analytics.oracleSql ++
       graft.queries.Approx.oracleSql ++
       graft.queries.SinkRoundTrip.oracleSql ++
       graft.queries.StreamGate.oracleSql

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Product-analytics and entity-resolution operators: funnel conversion,
+  * cohort retention, statistical outlier QA, and fuzzy (edit-distance)
+  * matching with blocking.
+  *
+  * Numeric discipline matches the rest of the engine: counting and sums are
+  * exact (BIGINT / DECIMAL); doubles appear only at the output boundary, and
+  * every double expression is spelled identically in the oracle so IEEE
+  * round-to-nearest yields bit-equal results. Event timestamps compare at
+  * micro precision on both engines (`Tables.events` truncates the NANOS
+  * column; oracles truncate with `epoch_us`).
+  */
+object Analytics {
+
+  private val Z_T = 3.0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Funnel conversion — the ordered-stage analysis every product pipeline
+    // runs: a user reaches stage k only via an event strictly AFTER their
+    // stage-(k-1) entry time. Each stage is one filtered aggregate joined
+    // back on user_id (small per-user tables, broadcastable at any scale);
+    // the stage table at the end is 3 rows, so the global lag() window is a
+    // constant, not a scale concern.
+    "funnel_conversion" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val stages = v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+        .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+        .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      val w = Window.orderBy(col("stage"))
+      stages.select(col("stage"), col("n_users"))
+        .withColumn("conv_from_prev",
+          round(col("n_users").cast(DoubleType) / lag(col("n_users"), 1).over(w), 6))
+    }),
+
+    // Weekly cohort retention: cohort = ISO week of a user's first event;
+    // retention(k) = share of the cohort active k weeks later. Activity
+    // first collapses to distinct (user, week) — the only corpus-sized
+    // shuffle — and everything after runs on per-user / per-week tables.
+    // Week arithmetic is integer seconds on Monday-truncated timestamps, so
+    // both engines compute identical offsets.
+    "cohort_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val firsts = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val sizes = firsts.groupBy("cohort_wk").agg(countDistinct("user_id").as("n_cohort"))
+      e.distinct().join(firsts, "user_id")
+        .withColumn("week_offset",
+          ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_wk"))) / 604800)
+            .cast(IntegerType))
+        .groupBy("cohort_wk", "week_offset").agg(countDistinct("user_id").as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk").cast(DateType).as("cohort_week"), col("week_offset"),
+          col("n_cohort"), col("n_active"),
+          round(col("n_active").cast(DoubleType) / col("n_cohort"), 6).as("retention"))
+    }),
+
+    // Statistical outlier QA: per-group z-scores from EXACT decimal moments.
+    // sum(v) and sum(v²) accumulate as decimals (exact, order-independent),
+    // so mean/variance/z derive from identical inputs on both engines —
+    // never from float stddev_samp, whose result depends on row order. The
+    // corpus value distribution is uniform (no natural |z|>3), so outliers
+    // are planted deterministically (×20 value, +1e9 id), the same
+    // planted-positives convention as the dedup/PII gates.
+    "qa_outliers" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val aug = base.unionByName(
+        base.filter(col("event_id") % 997 === 0)
+          .select((col("event_id") + 1000000000L).as("event_id"), col("event_type"),
+            (col("value") * 20).as("value")))
+      val e = aug.select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sv2"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("sv").cast(DoubleType) / col("n"))
+        .withColumn("variance",
+          (col("sv2").cast(DoubleType)
+            - col("sv").cast(DoubleType) * col("sv").cast(DoubleType) / col("n"))
+            / (col("n") - 1))
+        .withColumn("z", (col("v").cast(DoubleType) - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > Z_T)
+        .select(col("event_id"), col("event_type"),
+          col("v").cast(DoubleType).as("value"), round(col("z"), 6).as("zscore"))
+    }),
+
+    // Fuzzy entity resolution with blocking: a dirty name table (the part
+    // vocabulary with a deterministic typo — 2nd character deleted) resolves
+    // against the clean vocabulary via a BLOCKED candidate join (equi-join
+    // on the preserved first character), levenshtein-verified, argmin per
+    // dirty record. The cross space is never materialized — at 100 TB the
+    // blocking key becomes q-gram/phonetic buckets, but the plan shape is
+    // the same equi-join + per-record top-1 window. Recall is bounded by the
+    // blocking choice (an edit inside the blocking prefix escapes the
+    // block) — the standard ER trade, verified pairs are exact.
+    "er_fuzzy_match" -> ((s, dir) => {
+      val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+      val dirty = clean.select(
+        concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("dirty_name"))
+      val cands = dirty.withColumn("blk", substring(col("dirty_name"), 1, 1))
+        .join(clean.withColumn("blk", substring(col("name"), 1, 1)), Seq("blk"))
+        .withColumn("lev", levenshtein(col("dirty_name"), col("name")))
+        .filter(col("lev") <= 2)
+      val w = Window.partitionBy(col("dirty_name")).orderBy(col("lev").asc, col("name").asc)
+      cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dirty_name"), col("name").as("matched_name"), col("lev"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |  GROUP BY e.user_id),
+        |stages AS (
+        |  SELECT '1_view' AS stage, (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL
+        |  SELECT '2_click', (SELECT count(*) FROM c)
+        |  UNION ALL
+        |  SELECT '3_purchase', (SELECT count(*) FROM p))
+        |SELECT stage, n_users,
+        |  round(CAST(n_users AS DOUBLE) / lag(n_users, 1) OVER (ORDER BY stage), 6)
+        |    AS conv_from_prev
+        |FROM stages""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |sizes AS (SELECT cohort_wk, count(DISTINCT user_id) AS n_cohort FROM f GROUP BY cohort_wk),
+        |act AS (SELECT DISTINCT user_id, wk FROM e),
+        |r AS (
+        |  SELECT f.cohort_wk,
+        |    CAST(date_diff('week', f.cohort_wk, a.wk) AS INTEGER) AS week_offset,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM act a JOIN f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(r.cohort_wk AS DATE) AS cohort_week, r.week_offset,
+        |  sizes.n_cohort, r.n_active,
+        |  round(CAST(r.n_active AS DOUBLE) / sizes.n_cohort, 6) AS retention
+        |FROM r JOIN sizes ON r.cohort_wk = sizes.cohort_wk""".stripMargin,
+
+    "qa_outliers" ->
+      s"""WITH aug AS (
+         |  SELECT event_id, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT event_id + 1000000000, event_type, value * 20
+         |  FROM events WHERE event_id % 997 = 0),
+         |e AS (
+         |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v FROM aug),
+         |stats AS (
+         |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS sv2
+         |  FROM e GROUP BY event_type),
+         |z AS (
+         |  SELECT e.event_id, e.event_type, e.v,
+         |    (CAST(e.v AS DOUBLE) - CAST(sv AS DOUBLE) / n)
+         |      / sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+         |             / (n - 1)) AS z
+         |  FROM e JOIN stats ON e.event_type = stats.event_type)
+         |SELECT event_id, event_type, CAST(v AS DOUBLE) AS value,
+         |  round(z, 6) AS zscore
+         |FROM z WHERE abs(z) > $Z_T""".stripMargin,
+
+    "er_fuzzy_match" ->
+      """WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
+        |dirty AS (
+        |  SELECT substr(name, 1, 1) || substr(name, 3) AS dirty_name FROM clean),
+        |cands AS (
+        |  SELECT d.dirty_name, c.name, levenshtein(d.dirty_name, c.name) AS lev
+        |  FROM dirty d JOIN clean c
+        |    ON substr(d.dirty_name, 1, 1) = substr(c.name, 1, 1)
+        |  WHERE levenshtein(d.dirty_name, c.name) <= 2)
+        |SELECT dirty_name, name AS matched_name, lev FROM (
+        |  SELECT dirty_name, name, lev, row_number() OVER (
+        |    PARTITION BY dirty_name ORDER BY lev ASC, name ASC) AS rn
+        |  FROM cands)
+        |WHERE rn = 1""".stripMargin
+  )
+}
