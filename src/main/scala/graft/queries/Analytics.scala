@@ -103,6 +103,34 @@ object Analytics {
           col("v").cast(DoubleType).as("value"), round(col("z"), 6).as("zscore"))
     }),
 
+    // Time-series gap-fill + LOCF (last observation carried forward): daily
+    // per-user activity re-gridded onto a dense per-user date spine, holes
+    // filled from the most recent prior observation. Gaps are punched
+    // deterministically ((user_id + day-of-month) % 5) so the fill always
+    // has real work — the corpus is dense at every sf. Daily sums
+    // accumulate as exact decimals (order-independent); the spine is
+    // per-user `sequence(min_day, max_day)` — rows expand only to each
+    // user's own span, and the LOCF window partitions by user, so at scale
+    // no single partition ever holds more than one key's spine.
+    "ts_gapfill_locf" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+      val daily = e.groupBy("user_id", "day").agg(sum("v").as("v_day"))
+        .filter((col("user_id") + dayofmonth(col("day"))) % 5 =!= 0)
+      val spans = daily.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v_filled", last(col("v_day"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"),
+          col("v_day").cast(DoubleType).as("daily_value"),
+          col("v_filled").cast(DoubleType).as("filled_value"),
+          col("v_day").isNull.as("is_gap"))
+    }),
+
     // Fuzzy entity resolution with blocking: a dirty name table (the part
     // vocabulary with a deterministic typo — 2nd character deleted) resolves
     // against the clean vocabulary via a BLOCKED candidate join (equi-join
@@ -191,6 +219,33 @@ object Analytics {
          |SELECT event_id, event_type, CAST(v AS DOUBLE) AS value,
          |  round(z, 6) AS zscore
          |FROM z WHERE abs(z) > $Z_T""".stripMargin,
+
+    "ts_gapfill_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |daily AS (
+        |  SELECT user_id, day, sum(v) AS v_day FROM e GROUP BY 1, 2),
+        |punched AS (
+        |  SELECT * FROM daily WHERE (user_id + day(day)) % 5 <> 0),
+        |spans AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM punched GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans),
+        |j AS (
+        |  SELECT s.user_id, s.day, p.v_day
+        |  FROM spine s LEFT JOIN punched p
+        |    ON s.user_id = p.user_id AND s.day = p.day)
+        |SELECT user_id, day, CAST(v_day AS DOUBLE) AS daily_value,
+        |  CAST(last_value(v_day IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS filled_value,
+        |  v_day IS NULL AS is_gap
+        |FROM j""".stripMargin,
 
     "er_fuzzy_match" ->
       """WITH clean AS (SELECT DISTINCT p_name AS name FROM part),

@@ -281,6 +281,31 @@ object VectorOps {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
+    // Int8 scalar quantization (the SQ compression step ANN infrastructure
+    // runs before indexing 100 TB of embeddings — 4× smaller vectors, dot
+    // products on int8): per-vector max-abs scaling, q = ⌊x·scale + 0.5⌋
+    // (spelled as floor, not round(), so both engines execute the identical
+    // IEEE expression — round()'s tie rule differs across engines),
+    // reported with the per-vector reconstruction MSE. Map-only: one pass,
+    // no shuffle at any scale.
+    "emb_quantize_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mx = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+      val q = emb.withColumn("scale", lit(127.0d) / mx)
+      val err = aggregate(
+        zip_with(col("embedding"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * col("scale") + 0.5d)),
+          (x, qv) => {
+            val d = x.cast(DoubleType) - qv / col("scale")
+            d * d
+          }),
+        lit(0.0d), (acc, d) => acc + d)
+      q.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(err / size(col("embedding")), 6).as("mse"))
+    }),
+
     // SemDeDup-shaped semantic dedup: cluster the corpus (the deterministic
     // IVF k-means cells), detect within-cell cosine-≥T pairs, close the pair
     // graph into groups (operators.Components, checked fixpoint), and keep
@@ -511,6 +536,19 @@ object VectorOps {
          |  round(sqrt(${dSql("embedding", "embedding")}), 6) AS l2_norm,
          |  CAST(len(embedding) AS INTEGER) AS dim
          |FROM embeddings""".stripMargin,
+
+    "emb_quantize_sq" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / list_aggregate(
+        |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)
+        |       * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))
+        |    / len(embedding), 6) AS mse
+        |FROM m""".stripMargin,
 
     "sim_topk_bruteforce" ->
       s"""WITH n AS (

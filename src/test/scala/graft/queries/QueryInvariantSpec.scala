@@ -52,6 +52,25 @@ class QueryInvariantSpec extends SparkSpec {
     assert(kept.count() < out.count())
   }
 
+  test("gap-fill: punched days exist and are filled from the last prior observation") {
+    val out = q("ts_gapfill_locf").cache()
+    val gaps = out.filter($"is_gap")
+    assert(gaps.count() > 0, "hole-punching must create real gaps")
+    // every spine starts at a surviving observation, so LOCF always has a value
+    assert(gaps.filter($"filled_value".isNull).count() === 0)
+    // on observed days the fill is the observation itself
+    assert(out.filter(!$"is_gap" && $"daily_value" =!= $"filled_value").count() === 0)
+  }
+
+  test("scalar quantization keeps reconstruction error small but nonzero") {
+    val sq = q("emb_quantize_sq").collect()
+    assert(sq.nonEmpty)
+    assert(sq.forall(_.getAs[Double]("scale") > 0))
+    val mses = sq.map(_.getAs[Double]("mse"))
+    assert(mses.forall(m => m >= 0 && m < 1e-4), "int8 max-abs SQ error bound")
+    assert(mses.exists(_ > 0), "quantization must actually lose precision")
+  }
+
   test("brute-force top-k: k rows per vector, ranked by descending cosine") {
     val tk = q("sim_topk_bruteforce").cache()
     val perVec = tk.groupBy($"vec_id").count().select("count").distinct().collect()
