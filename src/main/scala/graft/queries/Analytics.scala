@@ -131,6 +131,30 @@ object Analytics {
           col("v_day").isNull.as("is_gap"))
     }),
 
+    // Rolling 7-day average per user — the time-based sliding aggregate
+    // (RANGE frame over integer day numbers, not ROWS: gaps in activity
+    // must shrink the window's contents, not slide past them). Sums
+    // accumulate as exact decimals inside the frame; the average divides
+    // two exact values at the output boundary. Same scale shape as the
+    // other per-user windows: the corpus collapses to (user, day) first,
+    // and the window partitions by user.
+    "ts_rolling_7d" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+      val daily = e.groupBy("user_id", "day").agg(sum("v").as("v_day"))
+        .withColumn("day_num", datediff(col("day"), lit("2024-01-01").cast(DateType)))
+      val w = Window.partitionBy("user_id").orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("sum_7d", sum(col("v_day")).over(w))
+        .withColumn("days_7d", count(lit(1)).over(w))
+        .select(col("user_id"), col("day"),
+          col("v_day").cast(DoubleType).as("daily_value"),
+          round(col("sum_7d").cast(DoubleType) / col("days_7d"), 6).as("avg_7d"),
+          col("days_7d"))
+    }),
+
     // Fuzzy entity resolution with blocking: a dirty name table (the part
     // vocabulary with a deterministic typo — 2nd character deleted) resolves
     // against the clean vocabulary via a BLOCKED candidate join (equi-join
@@ -246,6 +270,22 @@ object Analytics {
         |    AS filled_value,
         |  v_day IS NULL AS is_gap
         |FROM j""".stripMargin,
+
+    "ts_rolling_7d" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |daily AS (
+        |  SELECT user_id, day, sum(v) AS v_day,
+        |    date_diff('day', DATE '2024-01-01', day) AS day_num
+        |  FROM e GROUP BY 1, 2)
+        |SELECT user_id, day, CAST(v_day AS DOUBLE) AS daily_value,
+        |  round(CAST(sum(v_day) OVER w AS DOUBLE) / count(*) OVER w, 6) AS avg_7d,
+        |  count(*) OVER w AS days_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "er_fuzzy_match" ->
       """WITH clean AS (SELECT DISTINCT p_name AS name FROM part),

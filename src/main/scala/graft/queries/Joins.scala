@@ -198,6 +198,32 @@ object Joins {
         .unionByName(s.range(1).select(lit(null).cast(LongType).as("k")))
       ev.join(dim, ev("k") <=> dim("k"))
         .groupBy(ev("k").as("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    // J16: point-in-time (temporal) dim join — each purchase fact picks up
+    // the SCD2 state version valid AT its event time: equi-join on the
+    // entity key + half-open interval predicate [valid_from, valid_to).
+    // The history comes from the production Scd2.entityHistory operator
+    // over the non-purchase events, so zero-width versions (same-timestamp
+    // updates) can never double-match and the lookup is deterministic.
+    // Plan shape: the equi-key dominates (SortMergeJoin on user_id, range
+    // as join residual) — at 100 TB the dim history also buckets by the
+    // same key, making this a co-located join.
+    "j16_temporal_scd2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val hist = graft.operators.Scd2.entityHistory(
+          ev.filter(col("event_type") =!= "purchase"),
+          key = Seq("user_id"), stateCol = "event_type",
+          ts = "ts", tieBreak = "event_id")
+        .select(col("user_id").as("h_user"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(hist,
+          col("user_id") === col("h_user") && col("valid_from") <= col("ts") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")), "left")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+          coalesce(col("state"), lit("unknown")).as("state_at_purchase"))
     })
   )
 
@@ -307,6 +333,25 @@ object Joins {
         |  UNION ALL SELECT NULL)
         |SELECT ev.k, count(*) AS n
         |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
-        |GROUP BY ev.k""".stripMargin
+        |GROUP BY ev.k""".stripMargin,
+
+    // both engines compare micro-truncated timestamps (Tables.events reads
+    // NANOS as micros; epoch_us truncates identically), so the half-open
+    // interval boundaries can never straddle an engine difference
+    "j16_temporal_scd2" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events WHERE user_id IS NOT NULL),
+        |hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |      AS valid_to
+        |  FROM e WHERE event_type <> 'purchase'),
+        |f AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts AS purchase_ts,
+        |  coalesce(h.event_type, 'unknown') AS state_at_purchase
+        |FROM f LEFT JOIN hist h ON f.user_id = h.user_id
+        |  AND h.valid_from <= f.ts AND (h.valid_to IS NULL OR f.ts < h.valid_to)""".stripMargin
   )
 }
