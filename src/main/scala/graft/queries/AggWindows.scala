@@ -151,6 +151,21 @@ object AggWindows {
 
     // Unpivot: wide → long via stack (the inverse; also used internally by
     // the MinHash banding).
+    // Ordered string aggregation (LISTAGG/string_agg): per-user event-type
+    // trail in strict (ts, event_id) order. Determinism rule for ordered
+    // aggs under a hash gate: the sort key must be a TOTAL order —
+    // micro-truncated ts alone can tie, so event_id breaks every tie, and
+    // the oracle sorts by the identical truncated key.
+    "a9_listagg" -> ((s, dir) => {
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("event_trail"),
+          count(lit(1)).as("n_events"))
+    }),
+
     "unpivot_event_counts" -> ((s, dir) => {
       Tables.events(s, dir)
         .filter(col("value") > 150)
@@ -298,6 +313,14 @@ object AggWindows {
     "unpivot_event_counts" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events WHERE value > 150 GROUP BY user_id, event_type""".stripMargin,
+
+    "a9_listagg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ','
+        |    ORDER BY make_timestamp(epoch_us(ts)), event_id) AS event_trail,
+        |  count(*) AS n_events
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
 
     "w2_rownum_dedup" ->
       """SELECT doc_id, lang, source

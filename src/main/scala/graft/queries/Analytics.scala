@@ -155,6 +155,26 @@ object Analytics {
           col("days_7d"))
     }),
 
+    // Event-path mining: the corpus's most frequent 3-step event sequences
+    // (per-user lead/lead² over the total (ts, event_id) order, counted
+    // globally, top-10). The global ranking window runs over the ≤|types|³
+    // aggregate (125 rows), never the corpus — the same collapse-then-rank
+    // shape as the rest of the analytics family.
+    "path_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tri = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("s2", lead(col("event_type"), 1).over(w))
+        .withColumn("s3", lead(col("event_type"), 2).over(w))
+        .filter(col("s3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+      val rankW = Window.orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+      tri.withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("s1"), col("s2"), col("s3"), col("n"))
+    }),
+
     // Fuzzy entity resolution with blocking: a dirty name table (the part
     // vocabulary with a deterministic typo — 2nd character deleted) resolves
     // against the clean vocabulary via a BLOCKED candidate join (equi-join
@@ -286,6 +306,25 @@ object Analytics {
         |FROM daily
         |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "path_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |tri AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |counted AS (
+        |  SELECT s1, s2, s3, count(*) AS n FROM tri
+        |  WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT rank, s1, s2, s3, n FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC) AS INTEGER) AS rank
+        |  FROM counted)
+        |WHERE rank <= 10""".stripMargin,
 
     "er_fuzzy_match" ->
       """WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
