@@ -133,6 +133,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(schemas.head.split("StructField").length > 16, schemas.head.take(300))
   }
 
+  test("fuzzy ER: blocked candidates are an equi-join on the block key, never a cartesian") {
+    val p = plan("er_fuzzy_match")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("outlier QA: the per-group stats broadcast back; the corpus never sort-merge shuffles") {
+    val p = plan("qa_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("funnel: per-stage joins stay equi-joins; no cartesian anywhere") {
+    val p = plan("funnel_conversion")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("temporal SCD2 join: equi-key drives the join, interval is a residual — no nested loop") {
+    val p = plan("j16_temporal_scd2")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("path trigrams: the global ranking window sees the trigram aggregate, not the corpus") {
+    val p = plan("path_trigrams")
+    // per-user leads partition by user_id; the single-partition rank window
+    // must sit ABOVE the (s1, s2, s3) aggregate in the tree
+    val lines = p.split("\n")
+    val rankIdx = lines.indexWhere(l => l.contains("Window [") && l.contains("row_number"))
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") && l.contains("s1"))
+    assert(rankIdx >= 0 && aggIdx >= 0 && rankIdx < aggIdx, p.take(1500))
+  }
+
   test("salted aggregation: hot key spreads across salts before the final per-key exchange") {
     val p = plan("skew_salted_agg")
     // two-phase shape: partial agg on (k, salt) → exchange → final (k, salt)
