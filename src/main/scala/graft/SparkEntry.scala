@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.GlamiraShaped.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Analytics.queries ++
+      graft.queries.TypedOps.queries ++
       graft.queries.Approx.queries ++
       graft.queries.SinkRoundTrip.queries ++
       graft.queries.StreamGate.queries
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.queries.GlamiraShaped.oracleSql ++
       graft.queries.Curation.oracleSql ++
       graft.queries.Analytics.oracleSql ++
+      graft.queries.TypedOps.oracleSql ++
       graft.queries.Approx.oracleSql ++
       graft.queries.SinkRoundTrip.oracleSql ++
       graft.queries.StreamGate.oracleSql
