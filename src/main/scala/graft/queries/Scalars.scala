@@ -169,6 +169,23 @@ object Scalars {
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
         array_max(transform(toks, t => length(t))).as("max_token_len"),
         concat_ws("-", slice(array_sort(toks), 1, 3)).as("first3_sorted"))
+    }),
+
+    // X18: the Spark 4 VARIANT path — parse_json once into a binary
+    // variant, then typed variant_get extractions. Unlike get_json_object
+    // (string re-parse per path), the variant parses once and every
+    // extraction is a typed struct walk — the semi-structured storage model
+    // a 100 TB event pipeline wants. Gated through SQL expr(): the variant
+    // itself never reaches the output schema (extractions are typed
+    // scalars), so the parquet dump stays engine-portable.
+    "x18_variant" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("vp", expr("parse_json(props)"))
+        .select(col("event_id"),
+          expr("variant_get(vp, '$.k', 'long')").as("k"),
+          expr("variant_get(vp, '$.missing', 'long')").as("k_missing"),
+          expr("schema_of_variant(vp)").as("v_schema"))
+        .filter(col("event_id") % 10 === 0)
     })
   )
 
@@ -279,6 +296,16 @@ object Scalars {
         |  CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS total_chars,
         |  CAST(list_max(list_transform(toks, t -> len(t))) AS INTEGER) AS max_token_len,
         |  array_to_string(list_sort(toks)[1:3], '-') AS first3_sorted
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // the literal v_schema pins Spark's variant schema inference for the
+    // corpus's uniform {"k": int} payload — a change in inference (or a
+    // corpus drift) fails the hash compare
+    "x18_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+        |  'OBJECT<k: BIGINT>' AS v_schema
+        |FROM events WHERE event_id % 10 = 0""".stripMargin
   )
 }
