@@ -157,6 +157,33 @@ object StreamGate {
       s.table("stream_dedup_watermark_sink")
     }),
 
+    // Stream-static enrichment join — the OTHER production streaming join:
+    // each micro-batch of the event stream joins the static customer dim
+    // (broadcast — no state store at all, unlike the stream-stream case).
+    // The dim re-resolves per batch, which is exactly how slowly-changing
+    // reference data stays fresh on an unbounded stream. Stateless, so no
+    // watermark is needed and the result equals the batch join.
+    "stream_static_join" -> ((s, dir) => {
+      val in = TempDirs.fresh("ssj_in")
+      val ckpt = TempDirs.fresh("ssj_ck")
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val q = s.readStream
+        .schema("event_id LONG, user_id LONG")
+        .parquet(in)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_static_join_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s.table("stream_static_join_sink")
+    }),
+
     // Stream-stream interval join (attribution): each purchase joins the
     // SAME user's view events from the preceding hour. Both sides carry
     // event-time watermarks and the join carries the time-range predicate —
@@ -234,6 +261,12 @@ object StreamGate {
       """SELECT DISTINCT md5(text) AS content_hash,
         |  CAST(length(text) AS INTEGER) AS text_len
         |FROM documents""".stripMargin,
+
+    // stateless stream-static join ≡ the batch join
+    "stream_static_join" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'""".stripMargin,
 
     // batch twin of the stream-stream interval join; both engines compare
     // micro-truncated timestamps (Tables.events reads the NANOS column as
