@@ -197,6 +197,7 @@ object StreamGate {
       val in = TempDirs.fresh("sjoin_in")
       val ckpt = TempDirs.fresh("sjoin_ck")
       Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .coalesce(1).write.mode("overwrite").parquet(in)
       def src() = s.readStream
