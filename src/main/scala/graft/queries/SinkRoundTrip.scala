@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,6 +76,34 @@ object SinkRoundTrip {
         .withColumn("compact_ok", lit(nFiles <= 4))
     }),
 
+    // S11: range-partitioned + sorted data layout — the write-side half of
+    // zone-map/min-max pruning at 100 TB: repartitionByRange clusters rows
+    // by key ACROSS files, sortWithinPartitions orders them within each, so
+    // a key-range query touches only the files whose [min,max] zone
+    // intersects. The gate reads the layout back, computes per-file key
+    // ranges from input_file_name(), and asserts they are pairwise
+    // disjoint (lag over min-ordered ranges) — the property a pruning
+    // reader exploits. Range boundaries come from Spark's seeded sampler
+    // over a stable input, so the layout is deterministic per sf.
+    "s11_sorted_layout" -> ((s, dir) => {
+      val out = freshDir("s11")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      val perFile = s.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_orderkey")).as("k_min"),
+          max(col("o_orderkey")).as("k_max"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("k_min"))
+      perFile
+        .withColumn("prev_max", lag(col("k_max"), 1).over(w))
+        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+          every(col("prev_max").isNull || col("prev_max") < col("k_min"))
+            .as("ranges_disjoint"))
+    }),
+
     // S8: CSV sink with header → typed read-back (integer/string columns:
     // CSV is not a lossless float carrier, the reference exports ids too).
     "s8_csv_roundtrip" -> ((s, dir) => {
@@ -109,6 +138,13 @@ object SinkRoundTrip {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  TRUE AS compact_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the disjoint-ranges boolean is the gate: a broken layout writer
+    // (hash repartition, missing sort) makes zones overlap → FALSE ≠ TRUE
+    "s11_sorted_layout" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+        |  TRUE AS ranges_disjoint
+        |FROM orders""".stripMargin,
 
     "s8_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,
