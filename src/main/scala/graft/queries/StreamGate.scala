@@ -157,6 +157,38 @@ object StreamGate {
       s.table("stream_dedup_watermark_sink")
     }),
 
+    // foreachBatch — THE production sink API for arbitrary destinations:
+    // each epoch lands in its own batch-id-named directory with overwrite
+    // semantics, so a replayed epoch (failure between sink write and
+    // checkpoint commit) REPLACES its output instead of duplicating it —
+    // idempotence from (deterministic batch id × overwrite), which is how
+    // exactly-once is actually built on at-least-once delivery. The
+    // single-file backlog makes this run exactly one epoch (batch 0); the
+    // gate reads that epoch's output back against the batch aggregate.
+    "stream_foreachbatch_sink" -> ((s, dir) => {
+      val in = TempDirs.fresh("sfb_in")
+      val ckpt = TempDirs.fresh("sfb_ck")
+      val out = TempDirs.fresh("sfb_out")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val writeEpoch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, batchId) =>
+          batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sv"))
+            .write.mode("overwrite").parquet(s"$out/batch_$batchId")
+      val q = s.readStream
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .parquet(in)
+        .writeStream
+        .foreachBatch(writeEpoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s.read.parquet(s"$out/batch_0")
+        .select(col("event_type"), col("n"), col("sv").cast(DoubleType).as("sum_value"))
+    }),
+
     // Stream-static enrichment join — the OTHER production streaming join:
     // each micro-batch of the event stream joins the static customer dim
     // (broadcast — no state store at all, unlike the stream-stream case).
@@ -262,6 +294,12 @@ object StreamGate {
       """SELECT DISTINCT md5(text) AS content_hash,
         |  CAST(length(text) AS INTEGER) AS text_len
         |FROM documents""".stripMargin,
+
+    // one epoch over the whole backlog ≡ the batch aggregate
+    "stream_foreachbatch_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // stateless stream-static join ≡ the batch join
     "stream_static_join" ->
