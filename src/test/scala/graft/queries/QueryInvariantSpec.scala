@@ -71,6 +71,25 @@ class QueryInvariantSpec extends SparkSpec {
     assert(mses.exists(_ > 0), "quantization must actually lose precision")
   }
 
+  test("temporal SCD2 join resolves exactly one version per fact") {
+    val out = q("j16_temporal_scd2").cache()
+    val n = out.count()
+    // half-open intervals partition time: a purchase can never match two
+    // versions (zero-width versions excluded) or vanish (left join)
+    assert(n > 0 && out.select("event_id").distinct().count() === n)
+    assert(out.filter($"state_at_purchase".isNull).count() === 0)
+  }
+
+  test("funnel stages are monotone non-increasing; cohort week-0 retention is exactly 1") {
+    val f = q("funnel_conversion").orderBy("stage").collect()
+    assert(f.length === 3)
+    val counts = f.map(_.getAs[Long]("n_users"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2) && counts(2) > 0)
+    val c = q("cohort_retention").cache()
+    assert(c.filter($"week_offset" === 0 && $"retention" =!= 1.0).count() === 0)
+    assert(c.filter($"retention" > 1.0 || $"retention" <= 0.0).count() === 0)
+  }
+
   test("brute-force top-k: k rows per vector, ranked by descending cosine") {
     val tk = q("sim_topk_bruteforce").cache()
     val perVec = tk.groupBy($"vec_id").count().select("count").distinct().collect()
