@@ -275,6 +275,64 @@ object Curation {
         .select(col("doc_id"), col("bucket"), col("split"))
     }),
 
+    // Temperature-mixing, UPSAMPLING side: a rare source's rate exceeds
+    // 1000‰, so documents REPEAT — floor(rate/1000) full copies plus a
+    // content-hash-selected remainder pass. This is the epoch/repeat-factor
+    // half of source mixing (curation_source_mix is the downsampling half);
+    // the explode multiplies only the rare source's rows, the rate table
+    // broadcasts, and the corpus never shuffles.
+    "curation_source_upsample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("source",
+          when(col("doc_id") % 53 === 0, lit("src_rare")).otherwise(col("source")))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val totals = docs.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("source")).as("n_sources"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .select(col("source"),
+          floor(lit(1000.0) *
+            sqrt(col("n_total").cast(DoubleType) / (col("n_sources") * col("n_s"))))
+            .as("rate"))
+      docs
+        .withColumn("bucket", TextFns.md5Hash60(concat(lit("ups:"), col("doc_id"))) % 1000)
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("n_copies",
+          floor(col("rate") / 1000) +
+            when(col("bucket") < col("rate") % 1000, 1L).otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("rate"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+    }),
+
+    // Token-budget selection: keep documents per source, in content-hash
+    // priority order, until the source's token budget is exhausted — the
+    // "give me N tokens from each source" primitive. The running total uses
+    // the SAME two-level prefix sum as curation_pack_sequences, partitioned
+    // by (source, hash-part): every sort is bounded to a 1/16 slice of one
+    // source (no full-source window — the domain_cap lesson), and the
+    // per-part offset table is tiny and broadcast.
+    "curation_token_budget" -> ((s, dir) => {
+      val budget = 800L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextFns.rawTokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("bucket", TextFns.md5Hash60(concat(lit("tb:"), col("doc_id"))) % 1000)
+        .withColumn("part", floor(col("bucket") / 64))
+      val wIn = Window.partitionBy(col("source"), col("part"))
+        .orderBy(col("bucket"), col("doc_id"))
+      val local = docs.withColumn("cum_local", sum(col("n_tokens")).over(wIn))
+      val wParts = Window.partitionBy(col("source")).orderBy(col("part"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("source"), col("part"))
+        .agg(sum(col("n_tokens")).as("pt"))
+        .withColumn("part_offset", coalesce(sum(col("pt")).over(wParts), lit(0L)))
+        .select(col("source"), col("part"), col("part_offset"))
+      local.join(broadcast(offsets), Seq("source", "part"))
+        .withColumn("cum_tokens", col("cum_local") + col("part_offset"))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
@@ -422,6 +480,52 @@ object Curation {
          |  SELECT doc_id,
          |    ${TextFns.md5Hash60Sql("concat('split:', doc_id)")} % 1000 AS bucket
          |  FROM documents)""".stripMargin,
+
+    "curation_source_upsample" -> {
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 53 = 0 THEN 'src_rare' ELSE source END AS source
+         |  FROM documents),
+         |counts AS (SELECT source, count(*) AS n_s FROM docs GROUP BY source),
+         |tot AS (
+         |  SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
+         |  FROM docs),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(floor(1000.0 * sqrt(CAST(n_total AS DOUBLE) / (n_sources * n_s)))
+         |      AS BIGINT) AS rate
+         |  FROM counts, tot),
+         |b AS (
+         |  SELECT d.doc_id, d.source, r.rate,
+         |    ${TextFns.md5Hash60Sql("concat('ups:', d.doc_id)")} % 1000 AS bucket
+         |  FROM docs d JOIN rates r ON d.source = r.source),
+         |c AS (
+         |  SELECT doc_id, source, rate,
+         |    rate // 1000 + (CASE WHEN bucket < rate % 1000 THEN 1 ELSE 0 END)
+         |      AS n_copies
+         |  FROM b)
+         |SELECT doc_id, source, rate,
+         |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+         |FROM c WHERE n_copies > 0""".stripMargin
+    },
+
+    // declarative twin: a single per-source running total (the two-level
+    // prefix sum is an execution strategy, not a semantics change)
+    "curation_token_budget" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${TextFns.md5Hash60Sql("concat('tb:', doc_id)")} % 1000 AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 800""".stripMargin
+    },
 
     "text_tfidf_terms" ->
       """WITH tok AS (
