@@ -42,7 +42,8 @@ object Bench {
       "w1_latest_per_key", "x11_json_extract", "x3_locale_numeric",
       "glamira_stg_order", "glamira_fact_currency", "dedup_exact",
       "dedup_minhash_lsh", "sim_ann_lsh", "sim_ann_ivf",
-      "text_tfidf_terms", "sess_sessionize", "rollup_revenue")
+      "text_tfidf_terms", "sess_sessionize", "rollup_revenue",
+      "dedup_semantic", "stream_join")
     // No per-query clearCache: the dedup family shares ONE persisted
     // shingle index per process (TextOps.sharedShingleIndex — the
     // production execution model), and clearing the cache between queries
