@@ -11,6 +11,19 @@ import graft.sources.Sinks
 class LibraryEdgeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connectedComponents on an empty edge set converges to an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    val labels = graft.operators.Components.connectedComponents(empty)
+    assert(labels.count() === 0)
+  }
+
+  test("connectedComponents on self-loops labels each node with itself") {
+    val loops = Seq((1L, 1L), (7L, 7L)).toDF("i", "j")
+    val labels = graft.operators.Components.connectedComponents(loops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 7L -> 7L))
+  }
+
   test("readMerged unifies drifting file schemas (autodetect analog)") {
     val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/t"
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/p1")
