@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * over batches so a real decoder amortizes model/codec init once per
   * partition (the Spark-side shape of a pandas_udf/mapInPandas pipeline).
   *
-  * The actual decoders are STUBBED — this container has no image/audio
-  * libraries — behind `decodeStub`, which deterministically fakes a decode
-  * from the payload header. The schema contract, partitioning, batch
-  * iteration, and null handling are real and tested.
+  * Image decode is REAL — `PngDecoder` / `decodeImageStats` run the JDK's
+  * own javax.imageio (PNG/BMP/JPEG, headless, no external libraries) and
+  * are oracle-gated end-to-end (`multimodal_decode_real`). Audio/video
+  * codecs are not in this container, so those paths use `StubDecoder`
+  * (deterministic fake from the payload header) behind the same
+  * `MediaDecoder` seam a native codec plugs into. The schema contract,
+  * partitioning, batch iteration, and null handling are real and tested.
   */
 object Multimodal {
 
@@ -94,6 +97,87 @@ object Multimodal {
             h
           }
           def next(): Row = out.next()
+        }
+      }(enc)
+  }
+
+  /** REAL image codec via the JDK's own javax.imageio (no external
+    * libraries needed, works headless): a valid PNG/BMP/JPEG payload
+    * decodes to its true dimensions; anything unreadable is not-ok. This is
+    * the production MediaDecoder the container CAN run — native codecs for
+    * audio/video plug into the same seam.
+    */
+  object PngDecoder extends MediaDecoder {
+    override def open(): Unit = System.setProperty("java.awt.headless", "true")
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Boolean) = {
+      if (payload == null || payload.isEmpty) (0, 0, 0, false)
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) (0, 0, 0, false)
+        else (img.getWidth, img.getHeight, 1, true)
+      } catch { case _: Exception => (0, 0, 0, false) }
+    }
+  }
+
+  /** Deterministic grayscale PNG payload: pixel(x, y) has all channels =
+    * (id·31 + x·7 + y·13) mod 256. Real ImageIO ENCODE — the bytes are a
+    * valid PNG stream — so a decode round-trip exercises a genuine codec,
+    * and the pixel formula lets a SQL oracle recompute the decoded stats
+    * exactly.
+    */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val imageStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("ok", BooleanType),
+    StructField("mean_px", DoubleType)))
+
+  /** Decode image payloads with the REAL codec and extract pixel features
+    * (red-channel mean): mapPartitions, ImageIO warmed once per partition.
+    * Exact integer pixel sums → one double division at the boundary.
+    */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageStatsSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (payload == null || payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
+          if (img == null) Row(id, 0, 0, false, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) { sum += (img.getRGB(x, y) >> 16) & 0xff; y += 1 }
+              x += 1
+            }
+            Row(id, w, h, true, sum.toDouble / (w * h))
+          }
         }
       }(enc)
   }

@@ -452,6 +452,31 @@ object TextOps {
         .select(col("media_id"), col("n_frames"),
           explode(sequence(lit(0), lit(3))).as("k"))
         .withColumn("frame_idx", floor(col("k") * col("n_frames") / 4).cast(LongType))
+    }),
+
+    // The REAL codec under the gate: per document a deterministic grayscale
+    // PNG is ENCODED with the JDK's ImageIO (a genuine PNG byte stream),
+    // then DECODED back through the production image-stats path — true
+    // dimensions and red-channel pixel mean recovered from the compressed
+    // bytes. The formula-defined pixels let the DuckDB oracle recompute the
+    // decoded statistics exactly, so a codec that mis-parses the stream (or
+    // a stub pretending to decode) hash-fails. Everything is mapPartitions,
+    // codec warmed per partition — zero shuffles at any scale.
+    "multimodal_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id"), (lit(3) + col("doc_id") % 13).cast(IntegerType).as("w"),
+          (lit(4) + col("doc_id") % 7).cast(IntegerType).as("h"))
+        .as[(Long, Int, Int)]
+      val media = meta.mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, w, h) =>
+          (id, graft.operators.Multimodal.syntheticPng(id, w, h))
+        }
+      }.toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeImageStats(media)
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("ok"), round(col("mean_px"), 6).as("mean_px"))
     })
   )
 
@@ -689,7 +714,21 @@ object TextOps {
         |  CAST(k AS INTEGER) AS k,
         |  CAST(floor(k * (1 + octet_length(encode(text)) % 300) / 4) AS BIGINT) AS frame_idx
         |FROM documents, (SELECT unnest(range(0, 4)) AS k)
-        |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0""".stripMargin
+        |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0""".stripMargin,
+
+    // the pixel formula recomputes what the REAL ImageIO decode must
+    // recover from the PNG byte stream — dimensions and red-channel mean
+    "multimodal_decode_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  TRUE AS ok,
+        |  round(CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE) / (w*h), 6)
+        |    AS mean_px
+        |FROM px GROUP BY doc_id, w, h""".stripMargin
   )
 
   /** Deterministic demo vocabularies (the fixture corpus is synthetic). */

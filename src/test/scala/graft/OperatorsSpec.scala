@@ -124,6 +124,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.getAs[Boolean]("ok") && out.getAs[Int]("n_bytes") === 0)
   }
 
+  test("PngDecoder: a REAL ImageIO decode through the production seam") {
+    val png = Multimodal.syntheticPng(42L, 9, 5)
+    assert(png.length > 8 &&
+      (png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+    val media = Seq(
+        (42L, "image", png, "{}"),
+        (43L, "image", "not a png".getBytes("UTF-8"), "{}"))
+      .toDF("media_id", "media_type", "payload", "meta_json")
+    val out = Multimodal.decode(media, Multimodal.PngDecoder)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // true dimensions recovered from the compressed stream
+    assert(out(42L).getAs[Boolean]("ok") &&
+      out(42L).getAs[Int]("width") === 9 && out(42L).getAs[Int]("height") === 5)
+    // garbage bytes are not-ok, no crash
+    assert(!out(43L).getAs[Boolean]("ok"))
+    // pixel fidelity via the stats path: formula mean for id=42, 9x5
+    val stats = Multimodal.decodeImageStats(
+        Seq((42L, png)).toDF("media_id", "payload"))
+      .collect().head
+    val expected = (for (x <- 0 until 9; y <- 0 until 5)
+      yield ((42L * 31 + x * 7 + y * 13) % 256).toDouble).sum / 45
+    assert(math.abs(stats.getAs[Double]("mean_px") - expected) < 1e-9)
+  }
+
   test("decoder seam: a plugged codec replaces the stub; open/close once per partition") {
     val media = (0L until 40L).map(i => (i, "image", Array[Byte](i.toByte), "{}"))
       .toDF("media_id", "media_type", "payload", "meta_json")
