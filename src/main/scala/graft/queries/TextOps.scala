@@ -477,6 +477,25 @@ object TextOps {
       graft.operators.Multimodal.decodeImageStats(media)
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("ok"), round(col("mean_px"), 6).as("mean_px"))
+    }),
+
+    // The audio twin of multimodal_decode_real: deterministic PCM16 WAV
+    // streams encoded AND decoded with the JDK's javax.sound.sampled —
+    // true frame counts and mean signed amplitude recovered from the
+    // RIFF/WAVE bytes, hash-matched against the sample formula. With this,
+    // image and audio both run REAL codecs; only video remains stubbed
+    // (the JDK ships no video codec).
+    "multimodal_audio_real" -> ((s, dir) => {
+      import s.implicits._
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id"), (lit(100) + col("doc_id") % 400).cast(IntegerType).as("n"))
+        .as[(Long, Int)]
+      val media = meta.mapPartitions { it =>
+        it.map { case (id, n) => (id, graft.operators.Multimodal.syntheticWav(id, n)) }
+      }.toDF("media_id", "payload")
+      graft.operators.Multimodal.decodeAudioStats(media)
+        .select(col("media_id").as("doc_id"), col("n_frames"), col("ok"),
+          round(col("mean_amp"), 6).as("mean_amp"))
     })
   )
 
@@ -728,7 +747,17 @@ object TextOps {
         |  TRUE AS ok,
         |  round(CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE) / (w*h), 6)
         |    AS mean_px
-        |FROM px GROUP BY doc_id, w, h""".stripMargin
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+
+    // the sample formula recomputes what the REAL WAV decode must recover
+    "multimodal_audio_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+        |t AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM d)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_frames, TRUE AS ok,
+        |  round(CAST(sum((doc_id*131 + t*17) % 65536 - 32768) AS DOUBLE) / n, 6)
+        |    AS mean_amp
+        |FROM t GROUP BY doc_id, n""".stripMargin
   )
 
   /** Deterministic demo vocabularies (the fixture corpus is synthetic). */
