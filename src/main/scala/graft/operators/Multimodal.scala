@@ -263,6 +263,68 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic multi-frame animated GIF: frame f has gray pixel(x, y) =
+    * (id·31 + f·97 + x·7 + y·13) mod 256, quantized to GIF's palette by the
+    * encoder — so the decode gate checks frame COUNT and dimensions (exact
+    * through any palette), not pixel values. Real ImageIO sequence write.
+    */
+  def syntheticGif(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val g = ((id * 31 + f * 97 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            y += 1
+          }
+          x += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame (video-shaped) decode via ImageIO's GIF reader: frame
+    * count from `getNumImages(true)` — an actual parse of every frame block
+    * in the stream — plus the first frame's dimensions.
+    */
+  object GifDecoder extends MediaDecoder {
+    override def open(): Unit = System.setProperty("java.awt.headless", "true")
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Boolean) = {
+      if (payload == null || payload.isEmpty) (0, 0, 0, false)
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); (0, 0, 0, false) }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n < 1) (0, 0, 0, false)
+            else (reader.getWidth(0), reader.getHeight(0), n, true)
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => (0, 0, 0, false) }
+    }
+  }
+
   /** Build a media table from documents: payload = utf8 bytes of text,
     * media_type round-robins image/audio/video — deterministic fixture
     * plumbing for tests and benchmarks.

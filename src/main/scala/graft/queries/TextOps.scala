@@ -496,6 +496,30 @@ object TextOps {
       graft.operators.Multimodal.decodeAudioStats(media)
         .select(col("media_id").as("doc_id"), col("n_frames"), col("ok"),
           round(col("mean_amp"), 6).as("mean_amp"))
+    }),
+
+    // The video-shaped member of the real-codec triple: deterministic
+    // multi-frame animated GIFs encoded with ImageIO's sequence writer,
+    // decoded back through THE production MediaDecoder seam
+    // (Multimodal.decode + GifDecoder) — frame count requires parsing
+    // every frame block in the stream, so a codec that stops at the header
+    // hash-fails. With this, all three modalities run real JDK codecs.
+    "multimodal_video_real" -> ((s, dir) => {
+      import s.implicits._
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id"), (lit(3) + col("doc_id") % 5).cast(IntegerType).as("w"),
+          (lit(4) + col("doc_id") % 3).cast(IntegerType).as("h"),
+          (lit(2) + col("doc_id") % 6).cast(IntegerType).as("f"))
+        .as[(Long, Int, Int, Int)]
+      val media = meta.mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, w, h, f) =>
+          (id, "video", graft.operators.Multimodal.syntheticGif(id, w, h, f), "{}")
+        }
+      }.toDF("media_id", "media_type", "payload", "meta_json")
+      graft.operators.Multimodal.decode(media, graft.operators.Multimodal.GifDecoder)
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("ok"))
     })
   )
 
@@ -757,7 +781,16 @@ object TextOps {
         |SELECT doc_id, CAST(n AS INTEGER) AS n_frames, TRUE AS ok,
         |  round(CAST(sum((doc_id*131 + t*17) % 65536 - 32768) AS DOUBLE) / n, 6)
         |    AS mean_amp
-        |FROM t GROUP BY doc_id, n""".stripMargin
+        |FROM t GROUP BY doc_id, n""".stripMargin,
+
+    // the real GIF decode must recover the generation parameters exactly
+    "multimodal_video_real" ->
+      """SELECT doc_id,
+        |  CAST(3 + doc_id % 5 AS INTEGER) AS width,
+        |  CAST(4 + doc_id % 3 AS INTEGER) AS height,
+        |  CAST(2 + doc_id % 6 AS INTEGER) AS n_frames,
+        |  TRUE AS ok
+        |FROM documents""".stripMargin
   )
 
   /** Deterministic demo vocabularies (the fixture corpus is synthetic). */

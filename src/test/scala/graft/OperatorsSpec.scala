@@ -166,6 +166,20 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats.getAs[Double]("mean_amp") - expected) < 1e-9)
   }
 
+  test("GifDecoder: multi-frame animated GIF parsed through the production seam") {
+    val gif = Multimodal.syntheticGif(5L, 6, 4, 5)
+    assert(new String(gif.take(3), "US-ASCII") === "GIF")
+    val media = Seq(
+        (5L, "video", gif, "{}"),
+        (6L, "video", Array[Byte](1, 2, 3), "{}"))
+      .toDF("media_id", "media_type", "payload", "meta_json")
+    val out = Multimodal.decode(media, Multimodal.GifDecoder)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(5L).getAs[Boolean]("ok") && out(5L).getAs[Int]("n_frames") === 5 &&
+      out(5L).getAs[Int]("width") === 6 && out(5L).getAs[Int]("height") === 4)
+    assert(!out(6L).getAs[Boolean]("ok"))
+  }
+
   test("decoder seam: a plugged codec replaces the stub; open/close once per partition") {
     val media = (0L until 40L).map(i => (i, "image", Array[Byte](i.toByte), "{}"))
       .toDF("media_id", "media_type", "payload", "meta_json")
