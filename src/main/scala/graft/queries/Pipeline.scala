@@ -191,6 +191,31 @@ object Pipeline {
     }),
 
     // QA: row-level rule engine with AND-rollup (ref: int_order_qa.sql:19-95).
+    // Single-pass in-flight QA metrics via Spark's Observation API: the
+    // profile rides along the SAME action that materializes the data (here
+    // a noop-sink write of the filtered projection), so at 100 TB the
+    // quality numbers cost ZERO extra scans — the production alternative to
+    // a separate profiling job. The observed aggregates surface as a 1-row
+    // result the oracle recomputes declaratively.
+    "qa_observe_metrics" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation()
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("n_null_user").asInstanceOf[Long],
+          m("n_purchases").asInstanceOf[Long],
+          m("sum_value").asInstanceOf[java.math.BigDecimal].doubleValue()))
+        .toDF("n_rows", "n_null_user", "n_purchases", "sum_value")
+    }),
+
     "qa_row_rules" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val lineTotal = dec(col("l_quantity")) * dec(col("l_extendedprice"))
@@ -334,6 +359,14 @@ object Pipeline {
         |SELECT email_ok, ip_ok, is_private_ip,
         |  (email_ok AND ip_ok AND NOT is_private_ip) AS is_row_valid, count(*) AS n
         |FROM f GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // the in-flight observed metrics must equal the declarative aggregates
+    "qa_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS n_null_user,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
 
     "qa_row_rules" ->
       """SELECT l_orderkey, l_linenumber,
