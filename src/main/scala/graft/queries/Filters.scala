@@ -26,6 +26,27 @@ object Filters {
         .select(col("event_id"), col("j.k").as("k"))
     }),
 
+    // S13: corrupt-tolerant ingest — PERMISSIVE mode with a corrupt-record
+    // column, the production posture for dirty JSON feeds: malformed rows
+    // land in `_corrupt_record` with typed fields null, instead of aborting
+    // the job (FAILFAST) or silently vanishing (DROPMALFORMED). Corruption
+    // is planted deterministically (every 7th payload truncated mid-object)
+    // so the gate proves the parser classifies EXACTLY the malformed rows —
+    // a parser that tolerated the truncation or choked on a valid row
+    // hash-fails.
+    "s13_corrupt_json" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("_corrupt_record", StringType)))
+      Tables.events(s, dir)
+        .withColumn("js",
+          when(col("event_id") % 7 === 0, concat(substring(col("props"), 1, 6), lit("{")))
+            .otherwise(col("props")))
+        .withColumn("j", from_json(col("js"), schema,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .select(col("event_id"), col("j.k").as("k"),
+          col("j._corrupt_record").isNotNull.as("is_corrupt"))
+    }),
+
     // F1: event-type filter at scan (ref: stg_order.sql:26).
     "f1_event_type_filter" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -146,6 +167,15 @@ object Filters {
 
     "s7_typed_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+
+    // the planted truncation is the ONLY corruption, so classification must
+    // equal the plant predicate and typed fields must null out exactly there
+    "s13_corrupt_json" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+        |  event_id % 7 = 0 AS is_corrupt
+        |FROM events""".stripMargin,
 
     "f1_event_type_filter" ->
       "SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'",
