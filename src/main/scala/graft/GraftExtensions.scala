@@ -21,15 +21,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  /** The injected function descriptions — shared by the extension and the
-    * registration spec so the SQL surface under test is exactly what a
-    * `spark.sql.extensions` deployment gets.
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs =>
+      if (exprs.length == n) build(exprs)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** The injected function descriptions — the SINGLE source of truth for
+    * every registration path: the `spark.sql.extensions` deployment, the
+    * per-session `register()` helpers on the expression objects, and the
+    * registration spec all bind these same tuples.
     */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("farm_fingerprint"),
       new ExpressionInfo(classOf[FarmFingerprint].getName, "farm_fingerprint"),
-      (exprs: Seq[Expression]) => FarmFingerprint(exprs.head)),
+      arity("farm_fingerprint", 1)(exprs => FarmFingerprint(exprs.head))),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+      arity("vec_dot", 2)(exprs => FloatVecDot(exprs.head, exprs(1)))))
+
+  /** Builder lookup for the per-session register() helpers. */
+  def builder(name: String): Seq[Expression] => Expression =
+    functions.collectFirst { case (id, _, b) if id.funcName == name => b }
+      .getOrElse(throw new IllegalArgumentException(s"unknown graft function: $name"))
 }

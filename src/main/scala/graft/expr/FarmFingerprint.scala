@@ -45,8 +45,9 @@ object FarmFingerprint {
   def hash(s: UTF8String): Long =
     Hashing.farmHashFingerprint64().hashBytes(s.getBytes).asLong()
 
-  /** Register `farm_fingerprint` for use via expr()/SQL in this session. */
+  /** Register `farm_fingerprint` for use via expr()/SQL in this session —
+    * same builder the `spark.sql.extensions` deployment injects. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "farm_fingerprint", exprs => FarmFingerprint(exprs.head), "built-in")
+      "farm_fingerprint", graft.GraftExtensions.builder("farm_fingerprint"), "built-in")
 }

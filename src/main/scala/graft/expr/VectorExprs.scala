@@ -56,7 +56,8 @@ object FloatVecDot {
     acc
   }
 
+  /** Same builder the `spark.sql.extensions` deployment injects. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+      "vec_dot", graft.GraftExtensions.builder("vec_dot"), "built-in")
 }

@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * over batches so a real decoder amortizes model/codec init once per
   * partition (the Spark-side shape of a pandas_udf/mapInPandas pipeline).
   *
-  * Image decode is REAL — `PngDecoder` / `decodeImageStats` run the JDK's
-  * own javax.imageio (PNG/BMP/JPEG, headless, no external libraries) and
-  * are oracle-gated end-to-end (`multimodal_decode_real`). Audio/video
-  * codecs are not in this container, so those paths use `StubDecoder`
-  * (deterministic fake from the payload header) behind the same
-  * `MediaDecoder` seam a native codec plugs into. The schema contract,
+  * All three modalities decode with REAL JDK codecs, oracle-gated
+  * end-to-end: `PngDecoder`/`decodeImageStats` via javax.imageio
+  * (`multimodal_decode_real`), `WavDecoder`/`decodeAudioStats` via
+  * javax.sound.sampled (`multimodal_audio_real`), and `GifDecoder` parsing
+  * multi-frame animated GIFs (`multimodal_video_real`) — no external
+  * libraries needed, headless-safe. `StubDecoder` remains only as the
+  * documented fallback shape for codecs a deployment plugs in natively
+  * (H.264 etc.) behind the same `MediaDecoder` seam. The schema contract,
   * partitioning, batch iteration, and null handling are real and tested.
   */
 object Multimodal {
@@ -176,7 +178,7 @@ object Multimodal {
               while (y < h) { sum += (img.getRGB(x, y) >> 16) & 0xff; y += 1 }
               x += 1
             }
-            Row(id, w, h, true, sum.toDouble / (w * h))
+            Row(id, w, h, true, sum.toDouble / (w.toLong * h))
           }
         }
       }(enc)
@@ -192,7 +194,12 @@ object Multimodal {
       else try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
-        try (0, 0, ais.getFrameLength.toInt, true) finally ais.close()
+        // a header without a frame count reports NOT_SPECIFIED (-1): that is
+        // a not-ok classification, never ok-with-garbage-frames
+        try {
+          val n = ais.getFrameLength
+          if (n > 0 && n <= Int.MaxValue) (0, 0, n.toInt, true) else (0, 0, 0, false)
+        } finally ais.close()
       } catch { case _: Exception => (0, 0, 0, false) }
     }
   }

@@ -242,8 +242,9 @@ object Curation {
         .withColumn("source",
           when(col("doc_id") % 2 === 0, lit("src_hot")).otherwise(col("source")))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      val totals = docs.agg(count(lit(1)).as("n_total"),
-        countDistinct(col("source")).as("n_sources"))
+      // totals from the per-source aggregate, not a second corpus scan
+      val totals = counts.agg(sum(col("n_s")).as("n_total"),
+        count(lit(1)).as("n_sources"))
       val rates = counts.crossJoin(broadcast(totals))
         .select(col("source"),
           least(lit(1000L), floor(lit(1000.0) *
@@ -286,8 +287,10 @@ object Curation {
         .withColumn("source",
           when(col("doc_id") % 53 === 0, lit("src_rare")).otherwise(col("source")))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      val totals = docs.agg(count(lit(1)).as("n_total"),
-        countDistinct(col("source")).as("n_sources"))
+      // corpus total and source count derive from the tiny per-source
+      // aggregate — never a second full-corpus scan
+      val totals = counts.agg(sum(col("n_s")).as("n_total"),
+        count(lit(1)).as("n_sources"))
       val rates = counts.crossJoin(broadcast(totals))
         .select(col("source"),
           floor(lit(1000.0) *
@@ -313,11 +316,15 @@ object Curation {
     // per-part offset table is tiny and broadcast.
     "curation_token_budget" -> ((s, dir) => {
       val budget = 800L
+      // persisted: the tiny (id, source, n_tokens, bucket, part) table feeds
+      // both the local cumsums and the per-part offsets — one read+tokenize
+      // pass over the corpus, not two
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           size(TextFns.rawTokens(col("text"))).cast(LongType).as("n_tokens"))
         .withColumn("bucket", TextFns.md5Hash60(concat(lit("tb:"), col("doc_id"))) % 1000)
         .withColumn("part", floor(col("bucket") / 64))
+        .persist()
       val wIn = Window.partitionBy(col("source"), col("part"))
         .orderBy(col("bucket"), col("doc_id"))
       val local = docs.withColumn("cum_local", sum(col("n_tokens")).over(wIn))

@@ -28,6 +28,21 @@ class ExtensionsSpec extends SparkSpec {
   test("extension class loads the way spark.sql.extensions instantiates it") {
     val inst = Class.forName("graft.GraftExtensions")
       .getDeclaredConstructor().newInstance()
-    assert(inst.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+    // type erasure makes isInstanceOf[SparkSessionExtensions => Unit]
+    // vacuous — actually APPLY it to a fresh extensions object, which is
+    // exactly what Spark's loader does (throws if the function type lies)
+    inst.asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("wrong arity is a clear analysis error, not an index crash") {
+    GraftExtensions.functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
+    val e1 = intercept[Exception](spark.sql("SELECT farm_fingerprint('a', 'b')").collect())
+    assert(e1.getMessage.contains("farm_fingerprint"))
+    val e2 = intercept[Exception](spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)))").collect())
+    assert(e2.getMessage.contains("vec_dot"))
   }
 }
