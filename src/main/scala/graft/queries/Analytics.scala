@@ -178,6 +178,29 @@ object Analytics {
         .select(col("rank"), col("s1"), col("s2"), col("s3"), col("n"))
     }),
 
+    // The full entity-resolution ending: cluster the dirty ∪ clean name
+    // universe into ENTITIES — blocked levenshtein pairs closed into
+    // components (checked fixpoint), canonical record = lexicographic min
+    // per cluster. This is er_fuzzy_match's downstream half, the exact
+    // analogue of dedup_components for documents; node ids are the names
+    // themselves (min-label propagation is type-agnostic).
+    "er_entity_clusters" -> ((s, dir) => {
+      val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+      val dirty = clean.select(
+        concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("name"))
+      val all = clean.unionByName(dirty).distinct()
+      val blocked = all.withColumn("blk", substring(col("name"), 1, 1))
+      val pairs = blocked.select(col("blk"), col("name").as("i"))
+        .join(blocked.select(col("blk"), col("name").as("j")), Seq("blk"))
+        .filter(col("i") < col("j"))
+        .filter(levenshtein(col("i"), col("j")) <= 2)
+        .select(col("i"), col("j"))
+      val labels = graft.operators.Components.connectedComponents(pairs)
+      all.join(labels.select(col("node").as("name"), col("label")), Seq("name"), "left")
+        .select(col("name"), coalesce(col("label"), col("name")).as("entity_id"))
+        .withColumn("is_canonical", col("name") === col("entity_id"))
+    }),
+
     // Fuzzy entity resolution with blocking: a dirty name table (the part
     // vocabulary with a deterministic typo — 2nd character deleted) resolves
     // against the clean vocabulary via a BLOCKED candidate join (equi-join
@@ -328,6 +351,34 @@ object Analytics {
         |    ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC) AS INTEGER) AS rank
         |  FROM counted)
         |WHERE rank <= 10""".stripMargin,
+
+    // recursive closure over the same blocked fuzzy pair set; string node
+    // ids compare lexicographically on both engines
+    "er_entity_clusters" ->
+      """WITH RECURSIVE clean AS (SELECT DISTINCT p_name AS name FROM part),
+        |dirty AS (
+        |  SELECT substr(name, 1, 1) || substr(name, 3) AS name FROM clean),
+        |univ AS (SELECT DISTINCT name FROM (
+        |  SELECT name FROM clean UNION ALL SELECT name FROM dirty)),
+        |pairs AS (
+        |  SELECT a.name AS i, b.name AS j
+        |  FROM univ a JOIN univ b
+        |    ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (
+        |  SELECT i, j FROM pairs
+        |  UNION ALL
+        |  SELECT j AS i, i AS j FROM pairs),
+        |reach(x, y) AS (
+        |  SELECT i AS x, j AS y FROM edges
+        |  UNION
+        |  SELECT r.x, e2.j AS y FROM reach r JOIN edges e2 ON r.y = e2.i),
+        |comp AS (
+        |  SELECT x AS name, least(x, min(y)) AS entity_id
+        |  FROM reach GROUP BY x)
+        |SELECT u.name, coalesce(c.entity_id, u.name) AS entity_id,
+        |  u.name = coalesce(c.entity_id, u.name) AS is_canonical
+        |FROM univ u LEFT JOIN comp c ON u.name = c.name""".stripMargin,
 
     "er_fuzzy_match" ->
       """WITH clean AS (SELECT DISTINCT p_name AS name FROM part),

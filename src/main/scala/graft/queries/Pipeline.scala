@@ -142,6 +142,21 @@ object Pipeline {
         Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id")), 30)
     }),
 
+    // The NATIVE session_window aggregate (the engine's own gap-session
+    // operator, usable in batch AND streaming) under the gate: sessions
+    // merge while each event falls strictly inside the previous window end
+    // (ts < prev_ts + gap), so the oracle's break condition is >= gap. The
+    // window end is last-event-ts + gap by definition — both spelled
+    // identically on micro-truncated timestamps.
+    "sess_session_window" -> ((s, dir) => {
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("first_event_id"))
+    }),
+
     // Skew tooling under the gate: two-phase salted aggregation on a
     // deliberately hot key (~70% of rows on one value) must equal the plain
     // GROUP BY the oracle runs. Sums accumulate in exact DECIMAL and cross
@@ -325,6 +340,26 @@ object Pipeline {
 
     "sess_sessionize" ->
       graft.streaming.Sessionize.batchOracleSql(gapMinutes = 30),
+
+    // declarative twin of the native session_window: gap-break at >= 30min
+    // (window end is EXCLUSIVE: an event at exactly prev+gap starts a new
+    // session), session_end = last event + gap
+    "sess_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, min(event_id) AS first_event_id
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT CASE WHEN event_id % 10 < 7 THEN 'hot' ELSE event_type END AS k,
