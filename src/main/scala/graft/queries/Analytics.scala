@@ -179,43 +179,48 @@ object Analytics {
     }),
 
     // The full entity-resolution ending: cluster the dirty ∪ clean name
-    // universe into ENTITIES — blocked levenshtein pairs closed into
-    // components (checked fixpoint), canonical record = lexicographic min
-    // per cluster. This is er_fuzzy_match's downstream half, the exact
-    // analogue of dedup_components for documents; node ids are the names
-    // themselves (min-label propagation is type-agnostic).
+    // universe into ENTITIES — multi-key q-gram-blocked levenshtein pairs
+    // closed into components (checked fixpoint), canonical record =
+    // lexicographic min per cluster. This is er_fuzzy_match's downstream
+    // half, the exact analogue of dedup_components for documents; node ids
+    // are the names themselves (min-label propagation is type-agnostic).
     "er_entity_clusters" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
       val dirty = clean.select(
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("name"))
       val all = clean.unionByName(dirty).distinct()
-      val blocked = all.withColumn("blk", substring(col("name"), 1, 1))
-      val pairs = blocked.select(col("blk"), col("name").as("i"))
-        .join(blocked.select(col("blk"), col("name").as("j")), Seq("blk"))
-        .filter(col("i") < col("j"))
+      val pairs = erCandidatePairs(all)
         .filter(levenshtein(col("i"), col("j")) <= 2)
-        .select(col("i"), col("j"))
       val labels = graft.operators.Components.connectedComponents(pairs)
       all.join(labels.select(col("node").as("name"), col("label")), Seq("name"), "left")
         .select(col("name"), coalesce(col("label"), col("name")).as("entity_id"))
         .withColumn("is_canonical", col("name") === col("entity_id"))
     }),
 
-    // Fuzzy entity resolution with blocking: a dirty name table (the part
-    // vocabulary with a deterministic typo — 2nd character deleted) resolves
-    // against the clean vocabulary via a BLOCKED candidate join (equi-join
-    // on the preserved first character), levenshtein-verified, argmin per
-    // dirty record. The cross space is never materialized — at 100 TB the
-    // blocking key becomes q-gram/phonetic buckets, but the plan shape is
-    // the same equi-join + per-record top-1 window. Recall is bounded by the
-    // blocking choice (an edit inside the blocking prefix escapes the
-    // block) — the standard ER trade, verified pairs are exact.
+    // Fuzzy entity resolution with production blocking: a dirty name table
+    // (the part vocabulary with a deterministic typo — 2nd character
+    // deleted) resolves against the clean vocabulary via a MULTI-KEY
+    // positional-q-gram candidate join (prefix-4 / mid-4 / suffix-4, see
+    // erKeyed), levenshtein-verified, argmin per dirty record. The cross
+    // space is never materialized; overly-frequent blocks are purged at
+    // ErBlockCap so per-block pair volume is O(cap²) regardless of key
+    // skew; candidate pairs are deduped across keys BEFORE the levenshtein
+    // verify so a pair sharing all three keys is scored once. Recall: an
+    // edit distance ≤ 2 perturbs at most two of the three disjoint key
+    // regions, so at least one key survives any single edit — strictly
+    // better than single-prefix blocking, and the standard multi-pass ER
+    // shape (block → purge → dedupe → verify).
     "er_fuzzy_match" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
       val dirty = clean.select(
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("dirty_name"))
-      val cands = dirty.withColumn("blk", substring(col("dirty_name"), 1, 1))
-        .join(clean.withColumn("blk", substring(col("name"), 1, 1)), Seq("blk"))
+      val dk = erKeyed(dirty, "dirty_name")
+      val ck = erKeyed(clean, "name")
+      val kept = dk.select("blk").unionAll(ck.select("blk"))
+        .groupBy("blk").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= ErBlockCap).select("blk")
+      val cands = dk.join(kept, Seq("blk")).join(ck.join(kept, Seq("blk")), Seq("blk"))
+        .select(col("dirty_name"), col("name")).distinct()
         .withColumn("lev", levenshtein(col("dirty_name"), col("name")))
         .filter(col("lev") <= 2)
       val w = Window.partitionBy(col("dirty_name")).orderBy(col("lev").asc, col("name").asc)
@@ -223,6 +228,54 @@ object Analytics {
         .select(col("dirty_name"), col("name").as("matched_name"), col("lev"))
     })
   )
+
+  /** Per-block size cap for ER blocking (block purging): any q-gram key
+    * shared by more than this many records is uninformative — joining
+    * through it costs O(block²) pairs for near-zero precision — so the
+    * whole block is dropped before the candidate join. At 100 TB this is
+    * the lever that bounds worst-case pair volume under key skew; recall
+    * survives because every record carries three keys and a hot block is
+    * (by construction) a key that would have matched mostly non-pairs.
+    */
+  val ErBlockCap = 1000L
+
+  /** Multi-key positional q-gram blocking: each name emits three 4-gram
+    * keys — prefix (P), middle (M), suffix (S) — tagged so identical grams
+    * at different positions stay distinct blocks. For edit distance ≤ 2 the
+    * three regions are disjoint on any name ≥ 12 chars (and near-disjoint
+    * below), so an edit can perturb at most two of them and the pair still
+    * co-occurs in the surviving key's block. Every formula is spelled
+    * identically in the DuckDB oracles (floor-division midpoint, explicit
+    * length(n)-3 suffix) so the candidate sets match bit-for-bit.
+    */
+  private[queries] def erKeyed(df: DataFrame, nameCol: String): DataFrame =
+    df.select(col(nameCol).as("n"))
+      .withColumn("blk", explode(array(
+        concat(lit("P:"), expr("substring(n, 1, 4)")),
+        concat(lit("M:"), expr(
+          "substring(n, greatest(1, cast(floor(length(n)/2) as int) - 1), 4)")),
+        concat(lit("S:"), expr("substring(n, length(n)-3, 4)")))))
+      .select(col("n").as(nameCol), col("blk")).distinct()
+
+  /** Blocked, purged, cross-key-deduped unordered candidate pairs (i < j)
+    * over one name universe — the self-join half of the ER family. The
+    * levenshtein verify is NOT applied here so plan tests can pin the
+    * candidate build itself; callers filter. The length-difference prune is
+    * implied by lev ≤ 2 (||i|−|j|| ≤ lev), so it changes no results — it
+    * only spares the O(len²) edit-distance evaluation on pairs that cannot
+    * pass.
+    */
+  private[queries] def erCandidatePairs(univ: DataFrame): DataFrame = {
+    val keyed = erKeyed(univ, "name")
+    val kept = keyed.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= ErBlockCap).select("blk")
+    keyed.join(kept, Seq("blk"))
+      .select(col("blk"), col("name").as("i"))
+      .join(keyed.join(kept, Seq("blk")).select(col("blk"), col("name").as("j")), Seq("blk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+      .filter(abs(length(col("i")) - length(col("j"))) <= 2)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "funnel_conversion" ->
@@ -352,19 +405,30 @@ object Analytics {
         |  FROM counted)
         |WHERE rank <= 10""".stripMargin,
 
-    // recursive closure over the same blocked fuzzy pair set; string node
-    // ids compare lexicographically on both engines
+    // recursive closure over the same q-gram-blocked fuzzy pair set (P/M/S
+    // keys, block purge, cross-key dedupe — formulas mirror erKeyed
+    // exactly); string node ids compare lexicographically on both engines
     "er_entity_clusters" ->
       """WITH RECURSIVE clean AS (SELECT DISTINCT p_name AS name FROM part),
         |dirty AS (
         |  SELECT substr(name, 1, 1) || substr(name, 3) AS name FROM clean),
         |univ AS (SELECT DISTINCT name FROM (
         |  SELECT name FROM clean UNION ALL SELECT name FROM dirty)),
+        |keyed AS (SELECT DISTINCT name, blk FROM (
+        |  SELECT name, 'P:' || substr(name, 1, 4) AS blk FROM univ
+        |  UNION ALL
+        |  SELECT name, 'M:' || substr(name,
+        |    greatest(1, CAST(floor(length(name) / 2) AS INT) - 1), 4) FROM univ
+        |  UNION ALL
+        |  SELECT name, 'S:' || substr(name, length(name) - 3, 4) FROM univ)),
+        |kept AS (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS i, b.name AS j
+        |  FROM keyed a JOIN kept ka ON a.blk = ka.blk
+        |  JOIN keyed b ON b.blk = a.blk
+        |  WHERE a.name < b.name),
         |pairs AS (
-        |  SELECT a.name AS i, b.name AS j
-        |  FROM univ a JOIN univ b
-        |    ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.name < b.name
-        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |  SELECT i, j FROM cand WHERE levenshtein(i, j) <= 2),
         |edges AS (
         |  SELECT i, j FROM pairs
         |  UNION ALL
@@ -384,11 +448,30 @@ object Analytics {
       """WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
         |dirty AS (
         |  SELECT substr(name, 1, 1) || substr(name, 3) AS dirty_name FROM clean),
+        |dk AS (SELECT DISTINCT dirty_name, blk FROM (
+        |  SELECT dirty_name, 'P:' || substr(dirty_name, 1, 4) AS blk FROM dirty
+        |  UNION ALL
+        |  SELECT dirty_name, 'M:' || substr(dirty_name,
+        |    greatest(1, CAST(floor(length(dirty_name) / 2) AS INT) - 1), 4) FROM dirty
+        |  UNION ALL
+        |  SELECT dirty_name, 'S:' || substr(dirty_name, length(dirty_name) - 3, 4)
+        |  FROM dirty)),
+        |ck AS (SELECT DISTINCT name, blk FROM (
+        |  SELECT name, 'P:' || substr(name, 1, 4) AS blk FROM clean
+        |  UNION ALL
+        |  SELECT name, 'M:' || substr(name,
+        |    greatest(1, CAST(floor(length(name) / 2) AS INT) - 1), 4) FROM clean
+        |  UNION ALL
+        |  SELECT name, 'S:' || substr(name, length(name) - 3, 4) FROM clean)),
+        |kept AS (SELECT blk FROM (
+        |  SELECT blk FROM dk UNION ALL SELECT blk FROM ck)
+        |  GROUP BY blk HAVING count(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT d.dirty_name, c.name
+        |  FROM dk d JOIN kept k ON d.blk = k.blk JOIN ck c ON c.blk = d.blk),
         |cands AS (
-        |  SELECT d.dirty_name, c.name, levenshtein(d.dirty_name, c.name) AS lev
-        |  FROM dirty d JOIN clean c
-        |    ON substr(d.dirty_name, 1, 1) = substr(c.name, 1, 1)
-        |  WHERE levenshtein(d.dirty_name, c.name) <= 2)
+        |  SELECT dirty_name, name, levenshtein(dirty_name, name) AS lev
+        |  FROM cand WHERE levenshtein(dirty_name, name) <= 2)
         |SELECT dirty_name, name AS matched_name, lev FROM (
         |  SELECT dirty_name, name, lev, row_number() OVER (
         |    PARTITION BY dirty_name ORDER BY lev ASC, name ASC) AS rn

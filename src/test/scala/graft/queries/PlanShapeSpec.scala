@@ -139,6 +139,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("entity clusters: the q-gram candidate build is a purged equi-join on the block key") {
+    import org.apache.spark.sql.functions.col
+    val univ = graft.Tables.part(spark, dir).select(col("p_name").as("name")).distinct()
+    val p = Analytics.erCandidatePairs(univ).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the block-size purge happens BEFORE the pair join: the kept-block
+    // aggregate must appear in the plan (count per blk filtered to the cap)
+    assert(p.contains("bn"), p.take(1200))
+  }
+
   test("outlier QA: the per-group stats broadcast back; the corpus never sort-merge shuffles") {
     val p = plan("qa_outliers")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

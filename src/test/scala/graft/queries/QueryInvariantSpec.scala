@@ -194,6 +194,44 @@ class QueryInvariantSpec extends SparkSpec {
     assert(tails.length.toLong === nOdd)
   }
 
+  test("ER q-gram blocking: every planted typo resolves, and observed block " +
+    "fan-out stays under ErBlockCap on the fixture") {
+    val clean = graft.Tables.part(spark, dir).select($"p_name".as("name")).distinct()
+    val nDirty = clean
+      .select(concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("d"))
+      .distinct().count()
+    // the suffix-4 key survives the 2nd-char deletion, so recall on the
+    // planted typos is exactly 100% — one match row per distinct dirty name
+    assert(q("er_fuzzy_match").count() === nDirty)
+    // the blocks the candidate join actually runs over are all ≤ the cap
+    val univ = clean.unionByName(
+      clean.select(concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("name")))
+      .distinct()
+    val maxBlk = Analytics.erKeyed(univ, "name")
+      .groupBy("blk").count()
+      .filter($"count" <= Analytics.ErBlockCap)
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBlk <= Analytics.ErBlockCap)
+  }
+
+  test("ER block purge fires on a hot key and bounds candidate pair volume") {
+    // 1200 names share the prefix-4 key "AAAA" — over the cap, so that
+    // block is purged; the surviving mid/suffix blocks are small. Without
+    // purging the hot block alone would emit 1200·1199/2 ≈ 719k pairs.
+    val univ = (0 until 1200).map(i => f"AAAA$i%04d").toDF("name")
+    val keyed = Analytics.erKeyed(univ, "name")
+    val hotSize = keyed.filter($"blk" === "P:AAAA").count()
+    assert(hotSize === 1200L && hotSize > Analytics.ErBlockCap)
+    val pairs = graft.queries.Analytics.erCandidatePairs(univ)
+    val n = pairs.count()
+    assert(n < 100000L, s"purge must bound pair volume, got $n")
+    // the pairs that DO survive came through kept (≤ cap) blocks only
+    val keptMax = keyed.groupBy("blk").count()
+      .filter($"count" <= Analytics.ErBlockCap)
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(keptMax <= Analytics.ErBlockCap)
+  }
+
   test("glamira staging: outer-unnest rows survive and item_key is unique") {
     val so = q("glamira_stg_order").cache()
     assert(so.filter($"cp_offset".isNull).count() > 0)
