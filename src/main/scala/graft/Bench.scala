@@ -47,15 +47,19 @@ object Bench {
     // No per-query clearCache: the dedup family shares ONE persisted
     // shingle index per process (TextOps.sharedShingleIndex — the
     // production execution model), and clearing the cache between queries
-    // would silently evict it and re-shingle the corpus five times. Every
-    // per-query persist() is bounded by the sf0.1 corpus (tiny vs the
-    // 128 GiB heap), so nothing needs releasing mid-run.
+    // would silently evict it and re-shingle the corpus five times.
+    // Per-query SCRATCH persists (funnel stages, token-budget table, ANN
+    // signatures) instead register in ScratchCache and are released after
+    // each query's terminal action, so repeated sweeps on one session
+    // don't accumulate storage-memory entries (round-5 advice) while the
+    // shared index survives.
     def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double, Boolean)] =
       qs.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        graft.queries.ScratchCache.drain()
         val dt = (System.nanoTime() - t0) / 1e9
         (name, dt, ok)
       }

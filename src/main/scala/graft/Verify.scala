@@ -31,7 +31,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // some queries persist() intermediates (shingle/signature indexes);
-      // release them so cache never accumulates across the 80+ queries
+      // release them so cache never accumulates across the 80+ queries.
+      // drain() also empties the scratch registry so it can't grow
+      // unboundedly over the sweep (clearCache alone would leave the
+      // references registered).
+      graft.queries.ScratchCache.drain()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -251,15 +251,22 @@ object Multimodal {
                 val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                   new java.io.ByteArrayInputStream(payload))
                 try {
-                  val n = ais.getFrameLength.toInt
-                  val data = ais.readAllBytes()
-                  var sum = 0L
-                  var i = 0
-                  while (i + 1 < data.length) {
-                    sum += ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
-                    i += 2
+                  // same guard as WavDecoder: NOT_SPECIFIED (-1) and
+                  // streams past Int.MaxValue frames must fail the decode,
+                  // not wrap to a small positive n with a wrong mean
+                  val len = ais.getFrameLength
+                  if (len <= 0L || len > Int.MaxValue.toLong) None
+                  else {
+                    val n = len.toInt
+                    val data = ais.readAllBytes()
+                    var sum = 0L
+                    var i = 0
+                    while (i + 1 < data.length) {
+                      sum += ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
+                      i += 2
+                    }
+                    Some((n, sum))
                   }
-                  Some((n, sum))
                 } finally ais.close()
               } catch { case _: Exception => None }
           decoded match {
@@ -317,17 +324,23 @@ object Multimodal {
       else try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); (0, 0, 0, false) }
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            if (n < 1) (0, 0, 0, false)
-            else (reader.getWidth(0), reader.getHeight(0), n, true)
-          } finally { reader.dispose(); iis.close() }
-        }
+        // the finally covers everything after stream creation: a throw from
+        // getImageReaders or setInput must still close the stream (memory-
+        // backed here, but a file-backed cache stream would leak a
+        // descriptor if only the outer catch reclaimed it)
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) (0, 0, 0, false)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              if (n < 1) (0, 0, 0, false)
+              else (reader.getWidth(0), reader.getHeight(0), n, true)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } catch { case _: Exception => (0, 0, 0, false) }
     }
   }

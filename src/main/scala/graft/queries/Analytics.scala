@@ -35,11 +35,11 @@ object Analytics {
       // v and c each feed both the next stage's join and their own stage
       // count — persist the tiny per-user tables so the corpus scans once
       // per stage, not once per re-evaluation
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1")).persist()
-      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      val v = ScratchCache.register(e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1")).persist())
+      val c = ScratchCache.register(e.filter(col("event_type") === "click").join(v, "user_id")
         .filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2")).persist()
+        .groupBy("user_id").agg(min("ts").as("t2")).persist())
       val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
         .filter(col("ts") > col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))

@@ -242,9 +242,11 @@ object Curation {
         .withColumn("source",
           when(col("doc_id") % 2 === 0, lit("src_hot")).otherwise(col("source")))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      // totals from the per-source aggregate, not a second corpus scan
+      // totals from the per-source aggregate, not a second corpus scan;
+      // count(source) — not count(*) — so a NULL-source group is excluded
+      // exactly as the oracle's count(DISTINCT source) excludes it
       val totals = counts.agg(sum(col("n_s")).as("n_total"),
-        count(lit(1)).as("n_sources"))
+        count(col("source")).as("n_sources"))
       val rates = counts.crossJoin(broadcast(totals))
         .select(col("source"),
           least(lit(1000L), floor(lit(1000.0) *
@@ -319,12 +321,12 @@ object Curation {
       // persisted: the tiny (id, source, n_tokens, bucket, part) table feeds
       // both the local cumsums and the per-part offsets — one read+tokenize
       // pass over the corpus, not two
-      val docs = Tables.documents(s, dir)
+      val docs = ScratchCache.register(Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           size(TextFns.rawTokens(col("text"))).cast(LongType).as("n_tokens"))
         .withColumn("bucket", TextFns.md5Hash60(concat(lit("tb:"), col("doc_id"))) % 1000)
         .withColumn("part", floor(col("bucket") / 64))
-        .persist()
+        .persist())
       val wIn = Window.partitionBy(col("source"), col("part"))
         .orderBy(col("bucket"), col("doc_id"))
       val local = docs.withColumn("cum_local", sum(col("n_tokens")).over(wIn))

@@ -97,11 +97,42 @@ object SinkRoundTrip {
         .agg(min(col("o_orderkey")).as("k_min"),
           max(col("o_orderkey")).as("k_max"), count(lit(1)).as("n"))
       val w = Window.orderBy(col("k_min"))
+      // repartitionByRange(4) guarantees AT MOST 4 non-empty partitions —
+      // an empty range (small sf, sampler boundary skew) writes no file, so
+      // the gate asserts the 1..4 band + disjointness, not an exact count
       perFile
         .withColumn("prev_max", lag(col("k_max"), 1).over(w))
-        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+        .agg((count(lit(1)).between(1, 4)).as("files_ok"),
+          sum(col("n")).as("n_rows"),
           every(col("prev_max").isNull || col("prev_max") < col("k_min"))
             .as("ranges_disjoint"))
+    }),
+
+    // S11: the upsert SINK round-trip (ref connection_to_mongodb.py:
+    // 124-135,155-211 — UpdateOne(upsert=True) batches against the target
+    // collection). An initial snapshot (even order keys) is written through
+    // the sink; a second batch (keys divisible by 3 — overlapping keys are
+    // UPDATES with doubled price, odd multiples of 3 are INSERTS, the rest
+    // of the snapshot is UNCHANGED) merges over the READ-BACK of those
+    // files via Merge.upsert, and the merged table is written and read back
+    // again — so the gate faces file-layer bytes on both sides of the
+    // upsert, not an in-memory merge. ×2 on a double is exponent-only
+    // (exact in IEEE), so both engines carry identical price bits.
+    "s12_upsert_roundtrip" -> ((s, dir) => {
+      val out1 = freshDir("s12a")
+      val out2 = freshDir("s12b")
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"), lit("v1").as("batch"))
+        .write.mode("overwrite").parquet(out1)
+      val incoming = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("price"), lit("v2").as("batch"))
+      graft.operators.Merge.upsert(s.read.parquet(out1), incoming, Seq("o_orderkey"))
+        .write.mode("overwrite").parquet(out2)
+      s.read.parquet(out2)
     }),
 
     // S8: CSV sink with header → typed read-back (integer/string columns:
@@ -142,9 +173,24 @@ object SinkRoundTrip {
     // the disjoint-ranges boolean is the gate: a broken layout writer
     // (hash repartition, missing sort) makes zones overlap → FALSE ≠ TRUE
     "s11_sorted_layout" ->
-      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+      """SELECT TRUE AS files_ok, count(*) AS n_rows,
         |  TRUE AS ranges_disjoint
         |FROM orders""".stripMargin,
+
+    // merge-recompute: survivors of the anti-join (even keys not taken over
+    // by the batch) plus every batch row — update, insert, and unchanged
+    // paths all distinguishable via the batch/price columns
+    "s12_upsert_roundtrip" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice AS price, 'v1' AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS price, 'v2' AS batch
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM existing e
+        |WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = e.o_orderkey)
+        |UNION ALL
+        |SELECT * FROM incoming""".stripMargin,
 
     "s8_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,

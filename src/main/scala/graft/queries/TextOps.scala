@@ -338,7 +338,7 @@ object TextOps {
     // tiny (one row per doc) — this is the constant-state alternative to the
     // shingle-index join at 100 TB.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val sig = simhashSigs(Tables.documents(s, dir)).persist()
+      val sig = ScratchCache.register(simhashSigs(Tables.documents(s, dir)).persist())
       val bands = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until SIMHASH_BANDS).map(b =>
           struct(lit(b).as("band"),

@@ -131,7 +131,8 @@ object VectorOps {
       // persisted like the production index it models: both filter branches
       // read ONE materialized signature table instead of recomputing the
       // projection pipeline per side
-      val n = withNorm(all).join(lshSigs(s, all), Seq("vec_id")).persist()
+      val n = ScratchCache.register(
+        withNorm(all).join(lshSigs(s, all), Seq("vec_id")).persist())
       val idx = n.filter(col("vec_id") < 200000)
         .select(col("bucket"), col("vec_id").as("match_id"),
           col("embedding").as("eb"), col("nrm").as("nb"))
@@ -345,9 +346,9 @@ object VectorOps {
     "ann_recall" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val truth = cosinePairs(emb).filter(col("cos") >= COS_T)
-        .select(col("i"), col("j")).persist()
-      val sigs = lshSigs(s, emb).persist()
+      val truth = ScratchCache.register(cosinePairs(emb).filter(col("cos") >= COS_T)
+        .select(col("i"), col("j")).persist())
+      val sigs = ScratchCache.register(lshSigs(s, emb).persist())
       val assign = ivfAssignments(s, dir, emb)
       val ivfCand = assign.select(col("cell"), col("vec_id").as("i"))
         .join(assign.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
