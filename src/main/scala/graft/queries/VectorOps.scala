@@ -213,7 +213,25 @@ object VectorOps {
         x => x.getField("bit").cast(StringType))).as("bucket"))
   }
 
-  private val NCENTROIDS = 16
+  /** IVF scale parameters (round-5 advice: a FIXED k means cell size grows
+    * O(n/k) and the within-cell pair join re-quadratizes as the corpus
+    * grows). k now derives from the corpus: k = max(MIN_CENTROIDS,
+    * ceil(n / TARGET_CELL)), computed as a broadcast 1-row aggregate — no
+    * driver-side action — so expected cell membership stays ~TARGET_CELL at
+    * any scale (10⁹ vectors → ~10⁶ cells). On the test fixture the derived
+    * k is exactly MIN_CENTROIDS, so the gates pin the same partitioning.
+    *
+    * CELL_CAP is the hot-cell guard (SemDeDup's own split discipline): a
+    * cell with more members than the cap — skewed data piling onto one
+    * centroid — refines its join key with the SECOND-nearest centroid
+    * (residual-quantization-style sub-split along real geometric
+    * boundaries), bounding per-key pair volume without dropping the cell.
+    * Identical vectors have identical (cell, cell2), so planted duplicates
+    * can never be separated by the split.
+    */
+  private val MIN_CENTROIDS = 16
+  private val TARGET_CELL = 1024.0d
+  private[queries] val CELL_CAP = 4096L
 
   /** Augmented corpus with planted duplicate vectors (vec_id + 100000). */
   private def augmented(s: SparkSession, dir: String): DataFrame = {
@@ -222,16 +240,36 @@ object VectorOps {
       .unionByName(base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
   }
 
-  /** Nearest-centroid assignment by cosine (spherical k-means step):
-    * broadcast the centroid table, argmax via row_number with cid tie-break.
+  /** Nearest- and second-nearest-centroid assignment by cosine (spherical
+    * k-means step): broadcast the centroid table, argmax via row_number
+    * with cid tie-break. `cell2` (the runner-up, null when k = 1) is the
+    * hot-cell sub-split key — it costs nothing extra (same window, rn ≤ 2
+    * instead of = 1) and rides along unused until a cell exceeds CELL_CAP.
     */
   private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
     withNorm(emb).crossJoin(broadcast(cent))
       .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cell"),
+        max(when(col("rn") === 2, col("cid"))).as("cell2"))
+  }
+
+  /** Refined join key over an IVF assignment: cells at or under CELL_CAP
+    * keep the plain cell id; hot cells split by the second-nearest
+    * centroid. One tiny per-cell count broadcast back — the corpus-sized
+    * side never reshuffles, and the candidate join stays a single equi-join
+    * on `ck`.
+    */
+  private[queries] def refinedAssign(assign: DataFrame): DataFrame = {
+    val sizes = assign.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+    assign.join(broadcast(sizes), Seq("cell"))
+      .withColumn("ck", when(col("cn") > CELL_CAP,
+        concat_ws(":", col("cell"), coalesce(col("cell2"), col("cell"))))
+        .otherwise(col("cell").cast(StringType)))
+      .select(col("vec_id"), col("cell"), col("ck"))
   }
 
   /** Deterministic IVF cell assignments: k-means seeds = the first vec_ids,
@@ -242,7 +280,12 @@ object VectorOps {
     * identical DOUBLE→REAL rounding.
     */
   private def ivfAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
-    val seeds = Tables.embeddings(s, dir).filter(col("vec_id") < NCENTROIDS)
+    // k from the corpus, not a constant: a broadcast 1-row count, the same
+    // no-driver-action scalar pattern as the percentile-bounds broadcasts
+    val k = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
+      ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    val seeds = Tables.embeddings(s, dir).crossJoin(broadcast(k))
+      .filter(col("vec_id") < col("k"))
       .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
       .withColumn("nc", norm(col("ce")))
     val assign0 = assignCells(emb, seeds)
@@ -272,11 +315,11 @@ object VectorOps {
     "sim_ann_ivf" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val assign = ivfAssignments(s, dir, emb)
+      val assign = refinedAssign(ivfAssignments(s, dir, emb))
       val e = withNorm(emb).join(assign, Seq("vec_id"))
-      val l = e.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
-      val r = e.select(col("cell"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
-      l.join(r, Seq("cell")).filter(col("i") < col("j"))
+      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+      l.join(r, Seq("ck")).filter(col("i") < col("j"))
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
@@ -319,11 +362,11 @@ object VectorOps {
     "dedup_semantic" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val assign = ivfAssignments(s, dir, emb)
+      val assign = refinedAssign(ivfAssignments(s, dir, emb))
       val e = withNorm(emb).join(assign, Seq("vec_id"))
-      val l = e.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
-      val r = e.select(col("cell"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
-      val pairs = l.join(r, Seq("cell")).filter(col("i") < col("j"))
+      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = l.join(r, Seq("ck")).filter(col("i") < col("j"))
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
         .select(col("i"), col("j"))
@@ -349,9 +392,9 @@ object VectorOps {
       val truth = ScratchCache.register(cosinePairs(emb).filter(col("cos") >= COS_T)
         .select(col("i"), col("j")).persist())
       val sigs = ScratchCache.register(lshSigs(s, emb).persist())
-      val assign = ivfAssignments(s, dir, emb)
-      val ivfCand = assign.select(col("cell"), col("vec_id").as("i"))
-        .join(assign.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
+      val assign = refinedAssign(ivfAssignments(s, dir, emb))
+      val ivfCand = assign.select(col("ck"), col("vec_id").as("i"))
+        .join(assign.select(col("ck"), col("vec_id").as("j")), Seq("ck"))
         .filter(col("i") < col("j"))
         .select(col("i"), col("j")).distinct()
       def recallRow(method: String, cand: DataFrame, thr: Double): DataFrame =
@@ -390,7 +433,9 @@ object VectorOps {
        |cent0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
        |    sqrt(${dSql("embedding", "embedding")}) AS nc
-       |  FROM embeddings WHERE vec_id < $NCENTROIDS),
+       |  FROM embeddings WHERE vec_id < (
+       |    SELECT greatest($MIN_CENTROIDS,
+       |      CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) FROM aug)),
        |a AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${dSql("embedding", "embedding")}) AS nrm
@@ -416,22 +461,31 @@ object VectorOps {
        |cent AS (
        |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM cent1),
        |assign AS (
-       |  SELECT vec_id, cid AS cell FROM (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
+       |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
+       |  FROM (
        |    SELECT a.vec_id, cent.cid, row_number() OVER (
        |      PARTITION BY a.vec_id
        |      ORDER BY ${dSql("a.embedding", "cent.ce")} / (a.nrm * cent.nc) DESC, cent.cid ASC) AS rn
        |    FROM a CROSS JOIN cent)
-       |  WHERE rn = 1),
+       |  WHERE rn <= 2 GROUP BY vec_id),
+       |cellsz AS (SELECT cell, count(*) AS cn FROM assign GROUP BY cell),
        |e AS (
-       |  SELECT a.vec_id, a.embedding, a.nrm, assign.cell
-       |  FROM a JOIN assign ON a.vec_id = assign.vec_id)""".stripMargin
+       |  SELECT a.vec_id, a.embedding, a.nrm, assign.cell,
+       |    CASE WHEN cellsz.cn > $CELL_CAP THEN
+       |      CAST(assign.cell AS VARCHAR) || ':' ||
+       |        CAST(coalesce(assign.cell2, assign.cell) AS VARCHAR)
+       |    ELSE CAST(assign.cell AS VARCHAR) END AS ck
+       |  FROM a JOIN assign ON a.vec_id = assign.vec_id
+       |  JOIN cellsz ON cellsz.cell = assign.cell)""".stripMargin
 
   def ivfOracleSql: Map[String, String] = Map(
     "sim_ann_ivf" ->
       s"""WITH $ivfCellCtes
          |SELECT x.vec_id AS i, y.vec_id AS j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
-         |FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
 
     // the dedup_semantic twin replays the IVF chain, finds within-cell
@@ -441,7 +495,7 @@ object VectorOps {
       s"""WITH RECURSIVE $ivfCellCtes,
          |pairs AS (
          |  SELECT x.vec_id AS i, y.vec_id AS j
-         |  FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
          |  WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T),
          |edges AS (
          |  SELECT i, j FROM pairs
@@ -487,7 +541,9 @@ object VectorOps {
          |cent0 AS (
          |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
          |    sqrt(${dSql("embedding", "embedding")}) AS nc
-         |  FROM embeddings WHERE vec_id < $NCENTROIDS),
+         |  FROM embeddings WHERE vec_id < (
+         |    SELECT greatest($MIN_CENTROIDS,
+         |      CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) FROM n)),
          |assign0 AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT n.vec_id, cent0.cid, row_number() OVER (
@@ -509,15 +565,26 @@ object VectorOps {
          |cent AS (
          |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM cent1),
          |assign AS (
-         |  SELECT vec_id, cid AS cell FROM (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
+         |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
+         |  FROM (
          |    SELECT n.vec_id, cent.cid, row_number() OVER (
          |      PARTITION BY n.vec_id
          |      ORDER BY ${dSql("n.embedding", "cent.ce")} / (n.nrm * cent.nc) DESC, cent.cid ASC) AS rn
          |    FROM n CROSS JOIN cent)
-         |  WHERE rn = 1),
+         |  WHERE rn <= 2 GROUP BY vec_id),
+         |cellsz AS (SELECT cell, count(*) AS cn FROM assign GROUP BY cell),
+         |rk AS (
+         |  SELECT assign.vec_id,
+         |    CASE WHEN cellsz.cn > $CELL_CAP THEN
+         |      CAST(assign.cell AS VARCHAR) || ':' ||
+         |        CAST(coalesce(assign.cell2, assign.cell) AS VARCHAR)
+         |    ELSE CAST(assign.cell AS VARCHAR) END AS ck
+         |  FROM assign JOIN cellsz ON cellsz.cell = assign.cell),
          |ivf_cand AS (
          |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
-         |  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |  FROM rk x JOIN rk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
          |found(method, thr, n_found) AS (
          |  SELECT 'ivf', $RECALL_IVF_T,
          |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j)

@@ -232,6 +232,27 @@ class QueryInvariantSpec extends SparkSpec {
     assert(keptMax <= Analytics.ErBlockCap)
   }
 
+  test("IVF hot-cell split: the refined join key bounds per-key membership") {
+    // synthetic skew: 5000 members pile onto cell 1 (> CELL_CAP), with the
+    // second-nearest centroid spread over 7 values; cell 2 stays cold
+    val assign = spark.range(0, 5000).select(col("id").as("vec_id"),
+        lit(1).as("cell"), (col("id") % 7).cast("int").as("cell2"))
+      .unionByName(spark.range(5000, 5100).select(col("id").as("vec_id"),
+        lit(2).as("cell"), lit(5).cast("int").as("cell2")))
+    val rk = VectorOps.refinedAssign(assign)
+    // the hot cell splits by cell2 (7 sub-keys); the cold cell keeps its id
+    val hotKeys = rk.filter($"vec_id" < 5000).select("ck").distinct()
+      .collect().map(_.getString(0))
+    assert(hotKeys.length === 7 && hotKeys.forall(_.startsWith("1:")))
+    val coldKeys = rk.filter($"vec_id" >= 5000).select("ck").distinct()
+      .collect().map(_.getString(0))
+    assert(coldKeys.toSeq === Seq("2"))
+    // per-key membership — the quadratic driver of the within-cell pair
+    // join — is back under the cap after the split
+    val maxSz = rk.groupBy("ck").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxSz <= VectorOps.CELL_CAP)
+  }
+
   test("glamira staging: outer-unnest rows survive and item_key is unique") {
     val so = q("glamira_stg_order").cache()
     assert(so.filter($"cp_offset".isNull).count() > 0)
