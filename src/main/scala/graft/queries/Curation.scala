@@ -30,6 +30,19 @@ object Curation {
   // All three compare against 6-dp-rounded metrics whose cross-engine
   // equality is already hash-proven by their individual gates, so the
   // comparisons can never straddle an engine difference.
+  /** Upper bound on level-2 prefix-sum rows in pack_sequences
+    * (≈ shuffle.partitions × 10k): the single-partition offset window must
+    * stay a small table at any corpus size.
+    */
+  private[queries] val LEVEL2_CAP = 320000.0d
+
+  /** pack_sequences range size for an n-doc corpus: √n balances both
+    * prefix-sum levels; the n/LEVEL2_CAP term keeps the level-2 offset
+    * table under the cap once √n would exceed it; 100 floors tiny corpora.
+    */
+  private[queries] def packRangeSize(nDocs: Column): Column =
+    greatest(lit(100L), ceil(sqrt(nDocs)), ceil(nDocs / lit(LEVEL2_CAP)))
+
   private val QUALITY_T = 0.65
   private val DUP_T = 0.62
   private val BG_T = 0.055
@@ -146,10 +159,22 @@ object Curation {
     // while every big window stays partitioned.
     "curation_pack_sequences" -> ((s, dir) => {
       val ctx = 4096L
-      val rangeSize = 100L
-      val toks = Tables.documents(s, dir)
+      val base = Tables.documents(s, dir)
         .select(col("doc_id"), size(TextFns.rawTokens(col("text"))).cast(LongType).as("n_tokens"))
-        .withColumn("part", floor(col("doc_id") / rangeSize))
+      // Range size derives from the corpus (round-5 advice: a FIXED range
+      // of 100 made the level-2 offset window n/100 rows through ONE task
+      // — 10¹⁰ at a 10¹² corpus). √n balances the two levels (both O(√n))
+      // up to ~10¹¹ docs; past that the n/LEVEL2_CAP term pins level-2 at
+      // ≤ ~320k rows (≈ shuffle.partitions × 10k) and level-1 tasks grow
+      // linearly instead — the point at which a third prefix-sum level
+      // would take over. Broadcast 1-row count: no driver-side action, and
+      // the OUTPUT is invariant to the range choice (the prefix sum is
+      // exact integer math under the same doc_id total order).
+      val nDf = base.agg(count(lit(1)).as("n_docs"))
+      val toks = base.crossJoin(broadcast(nDf))
+        .withColumn("range_size", packRangeSize(col("n_docs")))
+        .withColumn("part", floor(col("doc_id") / col("range_size")))
+        .drop("n_docs", "range_size")
       val wIn = Window.partitionBy(col("part")).orderBy(col("doc_id"))
       val withLocal = toks.withColumn("cum_local", sum(col("n_tokens")).over(wIn))
       val wParts = Window.orderBy(col("part"))

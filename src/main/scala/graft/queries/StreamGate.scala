@@ -232,7 +232,13 @@ object StreamGate {
         .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .coalesce(1).write.mode("overwrite").parquet(in)
-      def src() = s.readStream
+      // The whole streaming pipeline lives on an isolated child session
+      // (s2 below): the stream source, the join, and the memory sink all
+      // resolve against s2, so the 8-partition override scopes to this
+      // query alone.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      def src() = s2.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
         .parquet(in)
       val purchases = src().filter(col("event_type") === "purchase")
@@ -246,24 +252,24 @@ object StreamGate {
       // state-store delta per partition PER SIDE — at 32 partitions that
       // checkpoint I/O dominates the query (~9 s → ~3 s at 8). Size state
       // partitions to state volume (two sides of the filtered event
-      // stream), not to the session's scan parallelism; restore the
-      // session conf after (same discipline as Sinks.writeDynamic).
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = purchases.join(views,
-            col("user_id") === col("view_user") &&
-              col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
-              col("v_ts") <= col("p_ts"))
-          .select(col("purchase_id"), col("user_id"), col("view_id"),
-            col("p_ts"), col("v_ts"))
-          .writeStream.outputMode("append").format("memory")
-          .queryName("stream_join_sink")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        awaitOrFail(q, 300000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table("stream_join_sink")
+      // stream), not to the session's scan parallelism — on the isolated
+      // child session above (same SparkContext and cache, own conf), so
+      // the caller's session never sees the override and a concurrent
+      // query on it can't race the old set/restore dance (round-5 advice).
+      // The memory sink's temp view registers in the child's catalog, so
+      // the result reads from the child too.
+      val q = purchases.join(views,
+          col("user_id") === col("view_user") &&
+            col("v_ts") >= col("p_ts") - expr("interval 1 hour") &&
+            col("v_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          col("p_ts"), col("v_ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_join_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s2.table("stream_join_sink")
     })
   )
 

@@ -30,17 +30,18 @@ object Sinks {
 
   /** Overwrite only the partitions present in `df` (incremental reload of a
     * re-processed trailing window without touching history).
+    *
+    * The overwrite mode rides the WRITER (`option("partitionOverwriteMode",
+    * "dynamic")` — a per-write override the datasource reads ahead of the
+    * session conf), not a session-conf set/restore dance: mutating shared
+    * session state races any concurrent writer on the same session
+    * (round-5 advice), and the writer option is the API designed for
+    * exactly this scoping.
     */
-  def overwriteDynamicPartitions(df: DataFrame, path: String, partitionCol: String): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  def overwriteDynamicPartitions(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 
   /** S8: CSV sink with header (crash-safety = task-level write commit). */
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -232,6 +232,29 @@ class QueryInvariantSpec extends SparkSpec {
     assert(keptMax <= Analytics.ErBlockCap)
   }
 
+  test("pack_sequences: the derived range size bounds both prefix-sum levels") {
+    def rsFor(n: Long): Long = spark.range(1)
+      .select(Curation.packRangeSize(lit(n)).as("rs")).collect()(0).getLong(0)
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L, 1000000000000L)) {
+      val rs = rsFor(n)
+      // level-1 window partitions hold ≤ rs rows (doc_id ranges of width
+      // rs); the level-2 offset table is ceil(n/rs) rows — both must stay
+      // under the single-task comfort zone at every corpus size
+      val level2 = math.ceil(n.toDouble / rs).toLong
+      assert(rs >= 100L, s"n=$n rs=$rs")
+      assert(level2 <= 320000L, s"n=$n level2=$level2")
+      assert(rs <= math.max(100L, math.max(
+        math.ceil(math.sqrt(n.toDouble)).toLong,
+        math.ceil(n / 320000.0).toLong)), s"n=$n rs=$rs overshoots")
+    }
+    // the packing itself is range-size-invariant: every shard except the
+    // last is filled to the context boundary (offsets partition [0, ctx))
+    val out = q("curation_pack_sequences").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("offset_in_shard") >= 0 &&
+      r.getAs[Long]("offset_in_shard") < 4096L))
+  }
+
   test("IVF hot-cell split: the refined join key bounds per-key membership") {
     // synthetic skew: 5000 members pile onto cell 1 (> CELL_CAP), with the
     // second-nearest centroid spread over 7 values; cell 2 stays cold
