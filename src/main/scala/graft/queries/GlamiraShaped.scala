@@ -63,7 +63,8 @@ object GlamiraShaped {
     * constants: they exercise the wide cast projection without growing the
     * oracle.
     */
-  private def summaryShaped(s: SparkSession, dir: String): DataFrame =
+  private def summaryShaped(s: SparkSession, dir: String,
+      email: Column = lit("e@example.com")): DataFrame =
     Tables.events(s, dir).select(
       col("event_id"),
       concat(lit("o"), col("event_id")).as("order_id"),
@@ -84,7 +85,7 @@ object GlamiraShaped {
       lit("s1").as("store_id"),
       lit("true").as("show_recommendation"),
       lit(null).cast(StringType).as("referrer_url"),
-      lit("e@example.com").as("email_address"),
+      email.as("email_address"),
       cartProducts.as("cart_products"))
 
   /** stg_location stand-in for the stg_order location join: exactly one row
@@ -238,6 +239,52 @@ object GlamiraShaped {
       StructType(Seq(StructField("fx_date", DateType),
         StructField("fx_ccy", StringType), StructField("usd_to_ccy", DoubleType))))
 
+  // ---- full-DAG (ModelGraph) inputs for the e2e lineage gate -------------
+
+  /** ip_location raw rows for the e2e graph: ONE row per ip (the reference
+    * table is keyed by ip), with ~20% of ips absent (n % 5 = 3) so the
+    * staging left join has real misses; attributes a pure function of the
+    * ip number so the join can never fan out.
+    */
+  private def ipLocationRawE2e(s: SparkSession, dir: String): DataFrame = {
+    val m = col("n") % 37
+    Tables.events(s, dir)
+      .select((col("event_id") % 997).as("n")).distinct()
+      .filter(col("n") % 5 =!= 3)
+      .select(
+        concat(lit("ip"), col("n")).as("ip"),
+        element_at(array(Seq("US", "DE", "SE", "FR", "DK").map(lit(_)): _*),
+          (m % 5 + 1).cast(IntegerType)).as("country_code"),
+        concat(lit("Country"), m % 5).as("country_name"),
+        concat(lit("R"), m % 7).as("region"),
+        concat(lit("City"), m).as("city"),
+        concat(lit("isp"), m % 3).as("isp"))
+  }
+
+  /** Product-crawl raw rows for the e2e graph: one JSON payload per
+    * DISTINCT candidate id (the crawler's catalog is one row per product —
+    * a per-event payload table would make mart_dim_product's ids non-unique
+    * and fan the fact join out). 13-multiples carry the 'null' sentinel and
+    * are dropped by the production stg_product filter, so the fact's
+    * product merge-back has real misses.
+    */
+  private def productRawE2e(s: SparkSession, dir: String): DataFrame = {
+    val pid = col("pid")
+    val idVal = when(pid % 13 === 0, lit("null")).otherwise(pid.cast(StringType))
+    Tables.events(s, dir)
+      .select((col("event_id") % 3000).as("pid")).distinct()
+      .select(concat(
+        lit("{\"product\": {\"product_id\": \""), idVal,
+        lit("\", \"name\": \"Ring "), pid % 2000,
+        lit("\", \"sku\": \"SKU"), pid,
+        lit("\"}}")).as("product_json"))
+  }
+
+  /** The shared FX seed in the graph's seed schema (fx_to_usd csv columns). */
+  private def fxSeedE2e(s: SparkSession): DataFrame =
+    fxShaped(s).select(col("fx_date"), lit("USD").as("base_code"),
+      col("fx_ccy").as("currency_code"), col("usd_to_ccy"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)
       .select(col("order_id"), col("time_stamp"), col("user_db_id"),
@@ -312,6 +359,49 @@ object GlamiraShaped {
           col("currency_code"), col("currency_status_final").as("currency_status"),
           col("product_quantity"), col("product_price"), col("line_total_amount"),
           col("product_price_usd"), col("line_total_amount_usd"))
+    }),
+
+    // THE FULL DAG UNDER THE ORACLE: Glamira.graph executes end-to-end —
+    // raw summary/product/ip_location/fx in, stg views fused by Catalyst,
+    // customer_email_scd materialized to parquet (Scd2.firstRun), dims and
+    // the fact materialized across table boundaries — and the FINAL
+    // mart_fact_order faces a DuckDB recompute of the whole lineage. The
+    // per-node gates prove each model; this entry proves the COMPOSITION
+    // (ModelGraph resolution order, view fusion, snapshot persistence,
+    // dim merge-backs) as one pipeline, the SURVEY §7.4 risk-5 seam.
+    // FARM-keyed surrogate columns (item/location/product/customer keys)
+    // leave the projection as join-outcome BOOLEANS — farm itself is
+    // bit-parity-gated by x1, and the md5-twin per-node gates prove each
+    // key derivation; what this gate must prove is that the JOINS resolved
+    // through those keys' lineage.
+    "glamira_pipeline_e2e" -> ((s, dir) => {
+      val work = TempDirs.fresh("glamira_e2e")
+      // 7-mod-2 uids carry a MESSY raw email: stg_customer normalizes it
+      // into the dim, but mart_fact_order's raw-email equi-join (reference
+      // semantics: fl.email_address = dc.email_address_final) misses — the
+      // structural has_customer=false path at every sf (sf0.001 has no
+      // null-user events to miss on)
+      val email = when(col("user_id").isNull, lit(null).cast(StringType))
+        .when(col("user_id") % 7 === 2,
+          concat(lit("  U"), col("user_id"), lit("@Example.COM ")))
+        .otherwise(concat(lit("u"), col("user_id"), lit("@example.com")))
+      val g = graft.glamira.Glamira.graph(s, work,
+        summaryShaped(s, dir, email),
+        productRawE2e(s, dir),
+        ipLocationRawE2e(s, dir),
+        fxSeedE2e(s))
+      g.resolve("mart_fact_order").select(
+        col("order_id"), col("user_db_id"), col("time_stamp"),
+        col("event_ts"), col("date").as("event_date"),
+        col("product_id"), col("option_id"),
+        col("product_currency"), col("currency_code"), col("currency_status"),
+        col("product_quantity"),
+        col("product_price").cast(DoubleType).as("product_price"),
+        col("line_total_amount").cast(DoubleType).as("line_total_amount"),
+        round(col("product_price_usd").cast(DoubleType), 6).as("product_price_usd"),
+        round(col("line_total_amount_usd").cast(DoubleType), 6).as("line_total_amount_usd"),
+        col("customer_key").isNotNull.as("has_customer"),
+        col("location_key").isNotNull.as("has_location"))
     }),
 
     "glamira_fact_currency" -> ((s, dir) => {
@@ -591,6 +681,54 @@ object GlamiraShaped {
            |WHERE product_id_str IS NOT NULL
            |  AND trim(product_id_str) <> '' AND trim(product_id_str) <> 'null'""".stripMargin
       },
+
+      // The full-DAG twin: replays raw → staging → currency chain → fx →
+      // dim-membership joins in one SQL lineage. The customer and product
+      // hops collapse to membership tests because the synthesized emails /
+      // catalog ids are pure functions of the event row: a uid is VALID
+      // (stg_customer) iff it appears on a non-poisoned event, and a
+      // catalog id survives stg_product iff it is not a 13-multiple
+      // sentinel — so "my email/id is in the dim" is exactly these sets.
+      "glamira_pipeline_e2e" ->
+        s"""WITH $stgCte,
+           |stg AS (
+           |  SELECT event_id, order_id, time_stamp,
+           |    TRY_CAST(user_id_db AS BIGINT) AS user_db_id,
+           |    TRY_CAST(pid_str AS BIGINT) AS product_id,
+           |    TRY_CAST(amount_str AS BIGINT) AS product_quantity,
+           |    CAST(${LocaleNumeric.duckdbSql("price_str")} AS DOUBLE) AS product_price,
+           |    CAST(CAST(${LocaleNumeric.duckdbSql("price_str")} AS DECIMAL(29,9))
+           |         * CAST(TRY_CAST(amount_str AS BIGINT) AS DECIMAL(9,0)) AS DOUBLE)
+           |      AS line_total_amount,
+           |    product_currency, option_id, current_url
+           |  FROM opt),
+           |$currencyCtes,
+           |validu AS (
+           |  SELECT DISTINCT user_id FROM events
+           |  WHERE user_id IS NOT NULL AND event_id % 11 <> 0),
+           |dimp AS (
+           |  SELECT DISTINCT event_id % 3000 AS pid FROM events
+           |  WHERE (event_id % 3000) % 13 <> 0)
+           |SELECT fin.order_id, fin.user_db_id, fin.time_stamp,
+           |  make_timestamp(time_stamp * 1000000) AS event_ts,
+           |  CAST(make_timestamp(time_stamp * 1000000) AS DATE) AS event_date,
+           |  dimp.pid AS product_id,
+           |  option_id, product_currency, currency_code,
+           |  currency_status_final AS currency_status,
+           |  product_quantity, product_price, line_total_amount,
+           |  CASE WHEN currency_code_mapped IS NULL OR usd_to_ccy IS NULL
+           |         OR product_price IS NULL THEN NULL
+           |       ELSE round(product_price / usd_to_ccy, 6) END AS product_price_usd,
+           |  CASE WHEN currency_code_mapped IS NULL OR usd_to_ccy IS NULL
+           |         OR line_total_amount IS NULL THEN NULL
+           |       ELSE round(line_total_amount / usd_to_ccy, 6) END AS line_total_amount_usd,
+           |  (ev.user_id IS NOT NULL AND ev.user_id % 7 <> 2
+           |    AND ev.user_id IN (SELECT user_id FROM validu)) AS has_customer,
+           |  ((fin.event_id % 997) % 5 <> 3) AS has_location
+           |FROM fin
+           |LEFT JOIN fx_latest ON fx_ccy = currency_code
+           |JOIN events ev ON ev.event_id = fin.event_id
+           |LEFT JOIN dimp ON dimp.pid = fin.product_id""".stripMargin,
 
       "glamira_fact_currency" ->
         s"""WITH $stgCte,

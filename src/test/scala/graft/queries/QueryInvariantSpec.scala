@@ -276,6 +276,24 @@ class QueryInvariantSpec extends SparkSpec {
     assert(maxSz <= VectorOps.CELL_CAP)
   }
 
+  test("pipeline e2e: every dim-join outcome path is populated") {
+    val f = q("glamira_pipeline_e2e").cache()
+    // customer and location merge-backs must have hits AND misses — an
+    // all-true (or all-false) column would hash-match a broken join that
+    // fails the same way in both engines
+    for (c <- Seq("has_customer", "has_location"))
+      assert(f.select(c).distinct().count() === 2, c)
+    // product hop: line rows whose catalog id was sentinel-filtered miss
+    // (null product_id with a real option), matched rows carry the dim id
+    assert(f.filter($"product_id".isNull && $"option_id".isNotNull).count() > 0)
+    assert(f.filter($"product_id".isNotNull).count() > 0)
+    // USD guard: CLEAN rows compute, INFERRED rows stay null (the
+    // pre-coalesce guard), and both statuses occur
+    assert(f.filter($"currency_status" === "CLEAN" && $"product_price_usd".isNotNull).count() > 0)
+    assert(f.filter($"currency_status" === "INFERRED").count() > 0)
+    assert(f.filter($"currency_status" === "INFERRED" && $"product_price_usd".isNotNull).count() === 0)
+  }
+
   test("glamira staging: outer-unnest rows survive and item_key is unique") {
     val so = q("glamira_stg_order").cache()
     assert(so.filter($"cp_offset".isNull).count() > 0)
