@@ -61,6 +61,12 @@ object Components {
     }
     require(converged,
       s"connectedComponents: no fixpoint after $maxIter passes (diameter > 2^$maxIter?)")
+    // Iteration count is the scale observable for this operator (passes grow
+    // with log component-diameter, each pass is a full join over the edge
+    // set) — surface it so a production run can alert on diameter growth.
+    log.warn(s"connectedComponents: fixpoint after $iter passes")
     labels
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }
