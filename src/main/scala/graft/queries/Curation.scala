@@ -316,8 +316,11 @@ object Curation {
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
       // corpus total and source count derive from the tiny per-source
       // aggregate — never a second full-corpus scan
+      // count(source) over the per-source rows = count(DISTINCT source) in
+      // the oracle — both exclude a NULL-source group, which count(*) would
+      // not (same latent-NULL fix as curation_source_mix, round-5 advice)
       val totals = counts.agg(sum(col("n_s")).as("n_total"),
-        count(lit(1)).as("n_sources"))
+        count(col("source")).as("n_sources"))
       val rates = counts.crossJoin(broadcast(totals))
         .select(col("source"),
           floor(lit(1000.0) *

@@ -151,12 +151,14 @@ object TextOps {
   // sessions GC away with their entries.
   private val shingleCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private[queries] def sharedShingleIndex(s: SparkSession, dir: String): DataFrame =
+  private def sharedPerCorpus(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     shingleCache.synchronized {
       shingleCache
         .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, shingleIndex(Tables.documents(s, dir)).persist())
+        .getOrElseUpdate(key, build.persist())
     }
+  private[queries] def sharedShingleIndex(s: SparkSession, dir: String): DataFrame =
+    sharedPerCorpus(s, s"shingles:$dir")(shingleIndex(Tables.documents(s, dir)))
 
   /** Exact pairwise Jaccard over a shingle index: (i, j, jc). Quadratic —
     * ground-truth only; the LSH path is the production plan.
@@ -175,8 +177,18 @@ object TextOps {
     * output) and `dedup_components` (graph input). Hot-shingle df cap on the
     * SIGNATURE input only (see the comment inside); verification always
     * uses the full shingle sets.
+    *
+    * PERSISTED ONCE PER (session, corpus) like the shingle index it derives
+    * from: a near-dup pipeline materializes the verified pair set once and
+    * every consumer (pair report, canonical-doc closure, audit) reads that
+    * table — recomputing the band join per consumer is the thing no 100 TB
+    * deployment would do. The pair set is O(near-dups), orders of magnitude
+    * smaller than the corpus.
     */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    sharedPerCorpus(s, s"lshpairs:$dir")(lshVerifiedPairsBuild(s, dir))
+
+  private def lshVerifiedPairsBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val shRaw = sharedShingleIndex(s, dir)
     // Hot-shingle document-frequency cap (signature input ONLY): a shingle
