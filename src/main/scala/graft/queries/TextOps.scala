@@ -145,20 +145,8 @@ object TextOps {
     * run) builds its own index, and `unpersist`/`clearCache` only costs a
     * recompute, never correctness.
     */
-  // WeakHashMap keyed by the SESSION OBJECT (identity equals), not its
-  // identityHashCode: two live sessions can collide on the hash, and a
-  // string key would pin every session's cached plans forever. Dead
-  // sessions GC away with their entries.
-  private val shingleCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private def sharedPerCorpus(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    shingleCache.synchronized {
-      shingleCache
-        .computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(key, build.persist())
-    }
   private[queries] def sharedShingleIndex(s: SparkSession, dir: String): DataFrame =
-    sharedPerCorpus(s, s"shingles:$dir")(shingleIndex(Tables.documents(s, dir)))
+    CorpusCache.getOrBuild(s, s"shingles:$dir")(shingleIndex(Tables.documents(s, dir)))
 
   /** Exact pairwise Jaccard over a shingle index: (i, j, jc). Quadratic —
     * ground-truth only; the LSH path is the production plan.
@@ -186,7 +174,7 @@ object TextOps {
     * smaller than the corpus.
     */
   private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
-    sharedPerCorpus(s, s"lshpairs:$dir")(lshVerifiedPairsBuild(s, dir))
+    CorpusCache.getOrBuild(s, s"lshpairs:$dir")(lshVerifiedPairsBuild(s, dir))
 
   private def lshVerifiedPairsBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
