@@ -151,6 +151,47 @@ object SinkRoundTrip {
         .agg(count(lit(1)).as("n"),
           sum(col("user_id")).as("user_id_sum"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // S14: ORC round-trip — the other columnar warehouse format Spark
+    // ships natively (engine-migration parity with the parquet path: same
+    // pushdown/pruning story, different container). Write sorted-within-
+    // partitions for rowgroup min/max zones, read back, aggregate.
+    "s14_orc_roundtrip" -> ((s, dir) => {
+      val out = freshDir("s14")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .repartition(8)
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+    }),
+
+    // S15: JSONL export + re-ingest — the LLM training-data interchange
+    // format (one JSON object per line, sharded). The per-source hashsum
+    // over the RE-READ text (60-bit md5 mod prime, summed — exact integer,
+    // order-independent) proves the round trip preserved every byte of
+    // every document: a single lost escape, mangled codepoint, or dropped
+    // line moves the sum. Shard count is a repartition knob exactly like a
+    // production export (shards ≈ corpus / target shard size).
+    "s15_jsonl_export" -> ((s, dir) => {
+      val out = freshDir("s15")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .repartition(8)
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      s.read.schema(schema).json(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast(LongType)).as("n_chars"),
+          sum(graft.functions.TextFns.md5Hash60(col("text")) % 1000000007L)
+            .as("text_hashsum"))
     })
   )
 
@@ -196,6 +237,18 @@ object SinkRoundTrip {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id) AS BIGINT) AS user_id_sum,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "s14_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "s15_jsonl_export" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(${graft.functions.TextFns.md5Hash60Sql("text")} % 1000000007)
+         |    AS BIGINT) AS text_hashsum
+         |FROM documents GROUP BY source""".stripMargin
   )
 }
