@@ -59,16 +59,24 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        graft.queries.ScratchCache.drain()
+        // timing stops BEFORE the scratch drain: the unpersist bookkeeping
+        // belongs to the harness, not to the query's sample
         val dt = (System.nanoTime() - t0) / 1e9
+        graft.queries.ScratchCache.drain()
         (name, dt, ok)
       }
     // Optional name filter for one-off probes (e.g. the sf1 scale run in
     // SCALE.md): comma-separated names. The driver never sets it, and the
     // headline-missing guard below is relaxed under a filter so a subset
-    // probe doesn't trip the full-set contract.
+    // probe doesn't trip the full-set contract. Unknown names fail loudly:
+    // a typo'd filter must not record a silently empty/partial probe.
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in query set (or empty filter): ${unknown.toSeq.sorted}")
+    }
     val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     val first = onePass(allQs)

@@ -233,9 +233,20 @@ object Analytics {
     * shared by more than this many records is uninformative — joining
     * through it costs O(block²) pairs for near-zero precision — so the
     * whole block is dropped before the candidate join. At 100 TB this is
-    * the lever that bounds worst-case pair volume under key skew; recall
-    * survives because every record carries three keys and a hot block is
-    * (by construction) a key that would have matched mostly non-pairs.
+    * the lever that bounds worst-case pair volume under key skew.
+    *
+    * Recall under the cap is REDUNDANCY-probabilistic, not guaranteed: a
+    * pair is found iff at least one of its co-occurring keys survives the
+    * purge. An edit can already perturb up to two of the three keys, so a
+    * pair whose one surviving key lands in a purged hot block (e.g. a
+    * vocabulary where >cap names share a suffix gram) is silently missed —
+    * the standard blocking trade-off (purging ultra-frequent keys is
+    * textbook ER practice). The production levers when measured recall
+    * drops: raise the cap, add keys (more grams / phonetic codes — each
+    * extra key is one more union branch in this same equi-join shape), or
+    * sorted-neighborhood as a backstop pass. The fixture's planted-typo
+    * recall spec holds because its vocabulary keeps every block far below
+    * the cap; it pins the no-purge contract, not purge-time recall.
     */
   val ErBlockCap = 1000L
 
@@ -244,9 +255,12 @@ object Analytics {
     * at different positions stay distinct blocks. For edit distance ≤ 2 the
     * three regions are disjoint on any name ≥ 12 chars (and near-disjoint
     * below), so an edit can perturb at most two of them and the pair still
-    * co-occurs in the surviving key's block. Every formula is spelled
-    * identically in the DuckDB oracles (floor-division midpoint, explicit
-    * length(n)-3 suffix) so the candidate sets match bit-for-bit.
+    * co-occurs in the surviving key's block — PROVIDED that surviving
+    * key's block is not itself purged at [[ErBlockCap]] (see the recall
+    * caveat there). Every formula is spelled identically in the DuckDB
+    * oracles (floor-division midpoint, greatest(1, length-3)-guarded
+    * suffix so sub-4-char names cannot hit engine-specific negative-start
+    * substring semantics) so the candidate sets match bit-for-bit.
     */
   private[queries] def erKeyed(df: DataFrame, nameCol: String): DataFrame =
     df.select(col(nameCol).as("n"))
@@ -254,7 +268,7 @@ object Analytics {
         concat(lit("P:"), expr("substring(n, 1, 4)")),
         concat(lit("M:"), expr(
           "substring(n, greatest(1, cast(floor(length(n)/2) as int) - 1), 4)")),
-        concat(lit("S:"), expr("substring(n, length(n)-3, 4)")))))
+        concat(lit("S:"), expr("substring(n, greatest(1, length(n) - 3), 4)")))))
       .select(col("n").as(nameCol), col("blk")).distinct()
 
   /** Blocked, purged, cross-key-deduped unordered candidate pairs (i < j)
@@ -420,7 +434,7 @@ object Analytics {
         |  SELECT name, 'M:' || substr(name,
         |    greatest(1, CAST(floor(length(name) / 2) AS INT) - 1), 4) FROM univ
         |  UNION ALL
-        |  SELECT name, 'S:' || substr(name, length(name) - 3, 4) FROM univ)),
+        |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - 3), 4) FROM univ)),
         |kept AS (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 1000),
         |cand AS (
         |  SELECT DISTINCT a.name AS i, b.name AS j
@@ -454,7 +468,7 @@ object Analytics {
         |  SELECT dirty_name, 'M:' || substr(dirty_name,
         |    greatest(1, CAST(floor(length(dirty_name) / 2) AS INT) - 1), 4) FROM dirty
         |  UNION ALL
-        |  SELECT dirty_name, 'S:' || substr(dirty_name, length(dirty_name) - 3, 4)
+        |  SELECT dirty_name, 'S:' || substr(dirty_name, greatest(1, length(dirty_name) - 3), 4)
         |  FROM dirty)),
         |ck AS (SELECT DISTINCT name, blk FROM (
         |  SELECT name, 'P:' || substr(name, 1, 4) AS blk FROM clean
@@ -462,7 +476,7 @@ object Analytics {
         |  SELECT name, 'M:' || substr(name,
         |    greatest(1, CAST(floor(length(name) / 2) AS INT) - 1), 4) FROM clean
         |  UNION ALL
-        |  SELECT name, 'S:' || substr(name, length(name) - 3, 4) FROM clean)),
+        |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - 3), 4) FROM clean)),
         |kept AS (SELECT blk FROM (
         |  SELECT blk FROM dk UNION ALL SELECT blk FROM ck)
         |  GROUP BY blk HAVING count(*) <= 1000),

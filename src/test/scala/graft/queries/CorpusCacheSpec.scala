@@ -22,6 +22,16 @@ class CorpusCacheSpec extends SparkSpec {
     assert(a1.storageLevel != StorageLevel.NONE, "cached table must be persisted")
   }
 
+  test("an externally evicted entry is re-persisted on the next lookup") {
+    import spark.implicits._
+    val df = CorpusCache.getOrBuild(spark, "cc-spec:evict")(Seq(3).toDF("v"))
+    df.unpersist(true)
+    assert(df.storageLevel == StorageLevel.NONE)
+    val again = CorpusCache.getOrBuild(spark, "cc-spec:evict")(Seq(3).toDF("v"))
+    assert(again.storageLevel != StorageLevel.NONE,
+      "lookup after clearCache/unpersist must re-persist, not return a dead entry")
+  }
+
   test("a new session builds its own entry for the same key") {
     import spark.implicits._
     val s2 = spark.newSession()

@@ -203,15 +203,18 @@ class QueryInvariantSpec extends SparkSpec {
     // the suffix-4 key survives the 2nd-char deletion, so recall on the
     // planted typos is exactly 100% — one match row per distinct dirty name
     assert(q("er_fuzzy_match").count() === nDirty)
-    // the blocks the candidate join actually runs over are all ≤ the cap
+    // the 100%-recall assertion above is only GUARANTEED while no block is
+    // purged (recall under purge is redundancy-probabilistic — see the
+    // ErBlockCap scaladoc), so pin the premise: the fixture vocabulary
+    // keeps every block — unfiltered max over ALL blocks — below the cap
     val univ = clean.unionByName(
       clean.select(concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("name")))
       .distinct()
     val maxBlk = Analytics.erKeyed(univ, "name")
       .groupBy("blk").count()
-      .filter($"count" <= Analytics.ErBlockCap)
       .agg(max("count")).collect()(0).getLong(0)
-    assert(maxBlk <= Analytics.ErBlockCap)
+    assert(maxBlk <= Analytics.ErBlockCap,
+      s"fixture grew a hot block ($maxBlk > cap): the recall assertion above no longer follows")
   }
 
   test("ER block purge fires on a hot key and bounds candidate pair volume") {
@@ -225,11 +228,21 @@ class QueryInvariantSpec extends SparkSpec {
     val pairs = graft.queries.Analytics.erCandidatePairs(univ)
     val n = pairs.count()
     assert(n < 100000L, s"purge must bound pair volume, got $n")
-    // the pairs that DO survive came through kept (≤ cap) blocks only
-    val keptMax = keyed.groupBy("blk").count()
+    // candidate volume is bounded by the pair capacity of the KEPT blocks
+    // alone — if the purge filter were dropped, the hot block's ~719k
+    // pairs would blow straight through this bound
+    val keptPairBound = keyed.groupBy("blk").count()
       .filter($"count" <= Analytics.ErBlockCap)
-      .agg(max("count")).collect()(0).getLong(0)
-    assert(keptMax <= Analytics.ErBlockCap)
+      .select((sum($"count" * ($"count" - 1)) / 2).cast("long").as("cap2"))
+      .collect()(0).getLong(0)
+    assert(n <= keptPairBound,
+      s"$n candidates exceed the kept blocks' pair capacity $keptPairBound — purged-block pairs leaked")
+    // direct probes: a pair co-blocked ONLY in the purged hot block must be
+    // absent; a pair sharing a kept mid-gram block must be present
+    assert(pairs.filter($"i" === "AAAA0000" && $"j" === "AAAA1100").isEmpty,
+      "pair sharing only the purged P:AAAA block must not be a candidate")
+    assert(!pairs.filter($"i" === "AAAA0000" && $"j" === "AAAA0001").isEmpty,
+      "pair sharing the kept M:AA00 block must remain a candidate")
   }
 
   test("pack_sequences: the derived range size bounds both prefix-sum levels") {
