@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{FarmFingerprint, FloatVecDot}
+import graft.expr.{BloomMightContain, FarmFingerprint, FloatVecDot}
 
 /** Cluster-deployment registration of the engine's native expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` makes
@@ -42,7 +42,10 @@ object GraftExtensions {
       arity("farm_fingerprint", 1)(exprs => FarmFingerprint(exprs.head))),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      arity("vec_dot", 2)(exprs => FloatVecDot(exprs.head, exprs(1)))))
+      arity("vec_dot", 2)(exprs => FloatVecDot(exprs.head, exprs(1)))),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      arity("bloom_might_contain", 2)(exprs => BloomMightContain(exprs.head, exprs(1)))))
 
   /** Builder lookup for the per-session register() helpers. */
   def builder(name: String): Seq[Expression] => Expression =

@@ -226,6 +226,65 @@ object Analytics {
       val w = Window.partitionBy(col("dirty_name")).orderBy(col("lev").asc, col("name").asc)
       cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("dirty_name"), col("name").as("matched_name"), col("lev"))
+    }),
+
+    // Sorted-neighborhood ER — the backstop pass the q-gram blocking's
+    // purge caveat names (see ErBlockCap): sort the name universe once,
+    // compare each record only to its SnmWindow successors in sort order.
+    // A pair a hot purged block would miss is still found here whenever
+    // the names sort near each other — complementary recall at O(n·W)
+    // candidates with NO per-key skew exposure (window size is constant
+    // by construction, not a function of key frequency).
+    //
+    // Scale shape, piece by piece: the global rank is the two-phase
+    // distributed form — range-partition by name, row_number WITHIN each
+    // partition, then add broadcast per-partition offsets (the per-rank
+    // value is the position in the total order, so it is independent of
+    // where the sampled range boundaries fall). The neighbor join is an
+    // EQUI-join on rank buckets of width SnmWindow: each record joins its
+    // own bucket and (as the right side) the one below, which covers every
+    // pair at rank distance ≤ W exactly once — never a theta-join, never a
+    // window wider than W. The offsets table is one row per partition.
+    "er_sorted_neighborhood" -> ((s, dir) => {
+      val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+      val dirty = clean.select(
+        concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("name"))
+      val univ = clean.unionByName(dirty).distinct()
+
+      // SNM recall is governed by SORT-KEY design, not compute: the fixture
+      // typo deletes the 2nd character, so the forward order scatters each
+      // pair behind every name sharing its first letter, while the REVERSED
+      // name (suffix-first) sorts the pair adjacent — the multi-pass-SNM
+      // lesson that each pass's key must put the expected error class near
+      // itself. reverse() is injective on distinct names, so the order is
+      // total and the rank deterministic.
+      val parted = univ.withColumn("sk", reverse(col("name")))
+        .repartitionByRange(8, col("sk"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("pr",
+          row_number().over(Window.partitionBy(col("pid")).orderBy(col("sk"))))
+      val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      val ranked = parted.join(broadcast(offsets), Seq("pid"))
+        .select(col("name"), (col("pr") + col("off")).as("r"))
+
+      val wW = lit(SnmWindow.toLong)
+      val left = ranked.select(col("name").as("i"), col("r").as("ri"),
+        ((col("ri") - 1) / wW).cast("long").as("b"))
+      val right = ranked.select(col("name").as("j"), col("r").as("rj"),
+        ((col("r") - 1) / wW).cast("long").as("bj"))
+        // bucket width = window width, so a pair at distance ≤ W spans at
+        // most adjacent buckets: membership in {bj, bj−1} covers it once
+        .select(col("j"), col("rj"),
+          explode(array(col("bj"), col("bj") - 1)).as("b"))
+      left.join(right, Seq("b"))
+        .filter(col("rj") > col("ri") && col("rj") - col("ri") <= wW)
+        .withColumn("lev", levenshtein(col("i"), col("j")))
+        .filter(col("lev") <= 2)
+        .select(col("i"), col("j"), col("lev"))
     })
   )
 
@@ -249,6 +308,14 @@ object Analytics {
     * the cap; it pins the no-purge contract, not purge-time recall.
     */
   val ErBlockCap = 1000L
+
+  /** Sorted-neighborhood window: each record is compared to this many
+    * successors in name sort order. Constant per record regardless of key
+    * frequency — the property that makes SNM the skew-immune backstop to
+    * q-gram blocking (a hot block costs the blocked path O(block²) or a
+    * purge; it costs SNM exactly W comparisons per member).
+    */
+  val SnmWindow = 5
 
   /** Multi-key positional q-gram blocking: each name emits three 4-gram
     * keys — prefix (P), middle (M), suffix (S) — tagged so identical grams
@@ -490,6 +557,20 @@ object Analytics {
         |  SELECT dirty_name, name, lev, row_number() OVER (
         |    PARTITION BY dirty_name ORDER BY lev ASC, name ASC) AS rn
         |  FROM cands)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    // the oracle spells the DEFINITION (all pairs at rank distance ≤ W in
+    // the total name order); the Spark side must reproduce it through the
+    // two-phase rank + bucket equi-join
+    "er_sorted_neighborhood" ->
+      s"""WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
+         |dirty AS (
+         |  SELECT substr(name, 1, 1) || substr(name, 3) AS name FROM clean),
+         |univ AS (SELECT DISTINCT name FROM (
+         |  SELECT name FROM clean UNION ALL SELECT name FROM dirty)),
+         |r AS (SELECT name, row_number() OVER (ORDER BY reverse(name)) AS r FROM univ)
+         |SELECT a.name AS i, b.name AS j, levenshtein(a.name, b.name) AS lev
+         |FROM r a JOIN r b ON b.r > a.r AND b.r - a.r <= $SnmWindow
+         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
   )
 }

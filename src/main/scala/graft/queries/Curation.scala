@@ -23,6 +23,14 @@ object Curation {
 
   private val DOMAIN_CAP = 10
 
+  /** Expected eval-fingerprint count for the decontamination bloom sketch —
+    * sized from the eval suite's catalog cardinality (a known fact of a
+    * curated benchmark list, never a corpus scan). 2¹⁶ at 1% fpp ≈ 77 KB
+    * serialized; exceeding it degrades fpp (more verify-join input), never
+    * correctness (no false negatives at any load factor).
+    */
+  private val BloomEvalCapacity = 1L << 16
+
   // ---- curation_c4_pipeline thresholds -----------------------------------
   // Chosen against the corpus distributions (sf0.001–0.1): quality p10≈0.57 /
   // median≈0.75; dup_token_frac median≈0.54 / p90≈0.68; top_bigram_frac
@@ -148,6 +156,43 @@ object Curation {
       val contaminated = exactHit.unionByName(nearHit).distinct()
       corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Bloom-prefiltered exact decontamination — the membership pattern for
+    // an eval list too large to hash-join: 10⁸ fingerprints is a multi-GB
+    // broadcast relation but a ~100 MB bloom sketch at 1% fpp. Routing:
+    // rows the sketch rejects are DEFINITIVELY clean (no false negatives)
+    // and flow map-only — never joined, never shuffled; only the members +
+    // the fpp sliver take the exact md5 verify join, so the join input is
+    // O(contamination), not O(corpus). The gate proves the sandwich: a
+    // false negative in the sketch (planted copy kept) or an unverified
+    // false positive (clean doc dropped) both flip rows → hash mismatch.
+    // Contamination positives are PLANTED the qa_outliers way (UNION ALL
+    // of eval copies under shifted ids) because the corpus texts are
+    // naturally distinct from the eval texts at every sf.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(evalSet.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      // sketch over the eval set's 64-bit fingerprints: distributed
+      // aggregation, driver merge, broadcast back as a ~constant literal.
+      // Capacity is the eval suite's CATALOG cardinality (a known fact of
+      // a curated benchmark list, not a corpus scan); fpp only degrades —
+      // never correctness — if exceeded.
+      val bf = evalSet.select(xxhash64(col("text")).as("fp"))
+        .stat.bloomFilter("fp", BloomEvalCapacity, 0.01)
+      val bloomLit = lit(graft.expr.BloomMightContain.serialize(bf))
+      graft.expr.BloomMightContain.register(s)
+      val flagged = corpus.select(col("doc_id"), md5(col("text")).as("fp"),
+        call_function("bloom_might_contain", bloomLit, xxhash64(col("text"))).as("maybe"))
+      val definiteKeep = flagged.filter(!col("maybe")).select(col("doc_id"))
+      val verifiedKeep = flagged.filter(col("maybe"))
+        .join(evalSet.select(md5(col("text")).as("fp")), Seq("fp"), "left_anti")
+        .select(col("doc_id"))
+      definiteKeep.unionByName(verifiedKeep)
     }),
 
     // Greedy boundary-aligned sequence packing into fixed context windows —
@@ -447,6 +492,17 @@ object Curation {
         |SELECT doc_id, lang, source FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)
         |  AND doc_id NOT IN (SELECT doc_id FROM near_hit)""".stripMargin,
+
+    // the oracle spells the DEFINITION (kept = not md5-equal to any eval
+    // text); the bloom prefilter + verify sandwich must reproduce it
+    "decontaminate_bloom" ->
+      """WITH eval_set AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM eval_set WHERE doc_id % 100 = 0)
+        |SELECT doc_id FROM corpus
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM eval_set)""".stripMargin,
 
     "curation_chunk_documents" ->
       """WITH t AS (

@@ -42,6 +42,15 @@ object TextOps {
   private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PHONE_RE = "\\+1-555-[0-9]{4}"
 
+  /** Non-overlapping token-window width for segment-level exact dedup.
+    * 10 tokens ≈ the 50-token spans of Lee et al. scaled to this corpus's
+    * ~60-token documents; the last window of a document may be shorter.
+    * The (doc_id, seg_idx) → long encoding in `dedup_segments` assumes
+    * seg_idx < 1e6, i.e. documents under 10M tokens — beyond that, switch
+    * the min to a struct(doc_id, seg_idx) ordering (same plan shape).
+    */
+  private val SEG_TOKENS = 10
+
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 6
   private val SIMHASH_BAND_BITS = 10
@@ -268,6 +277,39 @@ object TextOps {
       Tables.documents(s, dir)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Segment-level exact dedup (the span-granular pass of "Deduplicating
+    // Training Data Makes Language Models Better", Lee et al. 2022 — doc-
+    // level dedup misses long spans copied BETWEEN otherwise-distinct
+    // documents): the text is cut into fixed non-overlapping token windows
+    // and every window whose content already occurred at a smaller
+    // (doc_id, position) anywhere in the corpus is flagged. Output is the
+    // per-document trim signal (duplicated-span fraction) a curation
+    // pipeline filters or trims on. Scale shape: one explode to ~n_tokens/K
+    // segment rows, ONE shuffle partitioned by the segment's md5 (the
+    // window min — never the segment text — is the only state carried),
+    // then a per-doc rollup; no pair join at any point.
+    "dedup_segments" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      val nSeg = ceil(size(col("toks")) / lit(SEG_TOKENS.toDouble)).cast(IntegerType)
+      val segs = toks
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nSeg - 1), i =>
+            concat_ws(" ", slice(col("toks"), i * SEG_TOKENS + 1, lit(SEG_TOKENS))))))
+        .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
+      // first corpus-wide occurrence per segment content: min over an
+      // integer (doc, position) encoding — exact, order-independent
+      val enc = col("doc_id") * lit(1000000L) + col("seg_idx")
+      val w = Window.partitionBy(md5(col("seg")))
+      segs
+        .select(col("doc_id"), enc.as("enc"), min(enc).over(w).as("first_enc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("enc") > col("first_enc"), 1L).otherwise(0L)).as("n_dup_segments"))
+        .withColumn("dup_frac",
+          round(col("n_dup_segments").cast(DoubleType) / col("n_segments"), 6))
     }),
 
     // Exact n-gram Jaccard near-dup pairs (quadratic ground truth the
@@ -572,6 +614,27 @@ object TextOps {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // fixed token windows via 1-based inclusive list slices; the window
+    // count, the (doc,pos) encoding, and the first-occurrence min are
+    // spelled exactly as the Spark side computes them
+    "dedup_segments" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(toks[(i*$SEG_TOKENS + 1):(i*$SEG_TOKENS + $SEG_TOKENS)], ' ') AS seg
+         |  FROM t, UNNEST(range(CAST(ceil(len(toks)/$SEG_TOKENS.0) AS BIGINT))) AS u(i)),
+         |mk AS (
+         |  SELECT doc_id, enc, min(enc) OVER (PARTITION BY seg) AS first_enc
+         |  FROM (SELECT doc_id, seg, doc_id*1000000 + seg_idx AS enc FROM segs)),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(sum(CASE WHEN enc > first_enc THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_segments
+         |  FROM mk GROUP BY doc_id)
+         |SELECT doc_id, n_segments, n_dup_segments,
+         |  round(CAST(n_dup_segments AS DOUBLE) / n_segments, 6) AS dup_frac
+         |FROM per""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardSql
