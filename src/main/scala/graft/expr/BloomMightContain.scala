@@ -26,13 +26,18 @@ case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && left.foldable && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else
+    if (left.dataType != BinaryType || !left.foldable || right.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         "bloom_might_contain requires (foldable binary, bigint), got " +
           s"(${left.dataType.catalogString} foldable=${left.foldable}, " +
           s"${right.dataType.catalogString})")
+    else if (left.eval(null) == null)
+      // reject a null-folding sketch HERE: letting it through would NPE
+      // inside BloomFilter.readFrom at execution with an opaque stack
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain requires a non-null serialized sketch literal")
+    else
+      TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"

@@ -64,7 +64,12 @@ object Components {
     // Iteration count is the scale observable for this operator (passes grow
     // with log component-diameter, each pass is a full join over the edge
     // set) — surface it so a production run can alert on diameter growth.
-    log.warn(s"connectedComponents: fixpoint after $iter passes")
+    // INFO on the normal path; WARN is reserved for a fixpoint that nearly
+    // exhausted the cap (a diameter anomaly worth operator attention).
+    if (iter >= maxIter - 5)
+      log.warn(s"connectedComponents: fixpoint after $iter passes (cap $maxIter)")
+    else
+      log.info(s"connectedComponents: fixpoint after $iter passes")
     labels
   }
 

@@ -490,7 +490,7 @@ object Analytics {
     // keys, block purge, cross-key dedupe — formulas mirror erKeyed
     // exactly); string node ids compare lexicographically on both engines
     "er_entity_clusters" ->
-      """WITH RECURSIVE clean AS (SELECT DISTINCT p_name AS name FROM part),
+      s"""WITH RECURSIVE clean AS (SELECT DISTINCT p_name AS name FROM part),
         |dirty AS (
         |  SELECT substr(name, 1, 1) || substr(name, 3) AS name FROM clean),
         |univ AS (SELECT DISTINCT name FROM (
@@ -502,7 +502,7 @@ object Analytics {
         |    greatest(1, CAST(floor(length(name) / 2) AS INT) - 1), 4) FROM univ
         |  UNION ALL
         |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - 3), 4) FROM univ)),
-        |kept AS (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 1000),
+        |kept AS (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= $ErBlockCap),
         |cand AS (
         |  SELECT DISTINCT a.name AS i, b.name AS j
         |  FROM keyed a JOIN kept ka ON a.blk = ka.blk
@@ -526,7 +526,7 @@ object Analytics {
         |FROM univ u LEFT JOIN comp c ON u.name = c.name""".stripMargin,
 
     "er_fuzzy_match" ->
-      """WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
+      s"""WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
         |dirty AS (
         |  SELECT substr(name, 1, 1) || substr(name, 3) AS dirty_name FROM clean),
         |dk AS (SELECT DISTINCT dirty_name, blk FROM (
@@ -546,7 +546,7 @@ object Analytics {
         |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - 3), 4) FROM clean)),
         |kept AS (SELECT blk FROM (
         |  SELECT blk FROM dk UNION ALL SELECT blk FROM ck)
-        |  GROUP BY blk HAVING count(*) <= 1000),
+        |  GROUP BY blk HAVING count(*) <= $ErBlockCap),
         |cand AS (
         |  SELECT DISTINCT d.dirty_name, c.name
         |  FROM dk d JOIN kept k ON d.blk = k.blk JOIN ck c ON c.blk = d.blk),

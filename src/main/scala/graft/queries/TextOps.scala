@@ -157,16 +157,31 @@ object TextOps {
   private[queries] def sharedShingleIndex(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"shingles:$dir")(shingleIndex(Tables.documents(s, dir)))
 
-  /** Exact pairwise Jaccard over a shingle index: (i, j, jc). Quadratic —
-    * ground-truth only; the LSH path is the production plan.
+  /** Anchored exact Jaccard over a shingle index — the scale-safe ground
+    * truth (see [[AnchorSample]]): each of ~128 derived-constant ANCHOR
+    * documents intersects the full index (O(s·n), never the O(n²) doc
+    * self-join), directed hits normalized to unordered (i < j) pairs. The
+    * Jaccard value is symmetric (same c, na+nb−c), so an anchor-anchor pair
+    * collapses under distinct. The anchor id list is tiny → broadcast; the
+    * index joins it on doc_id without reshuffling its shingle partitioning.
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  private def anchoredJaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("i"), col("shingle"))
-    val b = sh.select(col("doc_id").as("j"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
-    withJaccard(inter, sizes)
+    val ids = sh.select(col("doc_id")).distinct()
+    val anchors = AnchorSample.withAnchors(ids, col("doc_id"))
+      .filter(col("is_anchor")).select(col("doc_id"))
+    val a = sh.join(broadcast(anchors), Seq("doc_id"))
+      .select(col("doc_id").as("u"), col("shingle"))
+    val b = sh.select(col("doc_id").as("v"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("u"), col("n_sh").as("na")), Seq("u"))
+      .join(sizes.select(col("doc_id").as("v"), col("n_sh").as("nb")), Seq("v"))
+      .withColumn("jc", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .select(least(col("u"), col("v")).as("i"),
+        greatest(col("u"), col("v")).as("j"), col("jc"))
+      .distinct()
   }
 
   /** MinHash-LSH candidate pairs verified by exact Jaccard ≥ JACCARD_T —
@@ -300,8 +315,19 @@ object TextOps {
             concat_ws(" ", slice(col("toks"), i * SEG_TOKENS + 1, lit(SEG_TOKENS))))))
         .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
       // first corpus-wide occurrence per segment content: min over an
-      // integer (doc, position) encoding — exact, order-independent
-      val enc = col("doc_id") * lit(1000000L) + col("seg_idx")
+      // integer (doc, position) encoding — exact, order-independent. The
+      // encoding is only injective while seg_idx < 1e6 and doc_id fits the
+      // remaining 63-bit headroom; crossing either bound must fail LOUDLY
+      // (raise_error) instead of silently mis-ordering first-occurrence
+      // selection and corrupting dup_frac (round-6 advice). Past the bound,
+      // switch the min to a struct(doc_id, seg_idx) ordering.
+      val enc = when(
+        col("seg_idx") < lit(1000000L) && col("doc_id") < lit(Long.MaxValue / 1000000L),
+        col("doc_id") * lit(1000000L) + col("seg_idx"))
+        .otherwise(raise_error(concat(
+          lit("dedup_segments: (doc_id, seg_idx) encoding overflow at doc_id="),
+          col("doc_id").cast(StringType),
+          lit(" seg_idx="), col("seg_idx").cast(StringType))))
       val w = Window.partitionBy(md5(col("seg")))
       segs
         .select(col("doc_id"), enc.as("enc"), min(enc).over(w).as("first_enc"))
@@ -312,10 +338,10 @@ object TextOps {
           round(col("n_dup_segments").cast(DoubleType) / col("n_segments"), 6))
     }),
 
-    // Exact n-gram Jaccard near-dup pairs (quadratic ground truth the
-    // MinHash path approximates).
+    // Exact n-gram Jaccard near-dup pairs — ANCHORED ground truth (each of
+    // ~128 derived anchors vs the full index, O(s·n)) for the MinHash path.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      jaccardPairs(sharedShingleIndex(s, dir))
+      anchoredJaccardPairs(sharedShingleIndex(s, dir))
         .filter(col("jc") >= JACCARD_T)
         .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
     }),
@@ -636,9 +662,27 @@ object TextOps {
          |  round(CAST(n_dup_segments AS DOUBLE) / n_segments, 6) AS dup_frac
          |FROM per""".stripMargin,
 
+    // the anchored twin: the same derived modulus, anchor predicate, and
+    // least/greatest pair normalization as the Spark side
     "dedup_ngram_jaccard" ->
-      s"""WITH $jaccardSql
-         |SELECT i, j, round(jc, 6) AS jaccard FROM jac WHERE jc >= $JACCARD_T""".stripMargin,
+      s"""WITH sh AS ($shingleSql),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |ids AS (SELECT DISTINCT doc_id FROM sh),
+         |m AS (${AnchorSample.modSql("ids")}),
+         |anch AS (SELECT doc_id FROM ids, m WHERE ${AnchorSample.predSql("doc_id")}),
+         |inter AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+         |  FROM sh a JOIN anch ON a.doc_id = anch.doc_id
+         |  JOIN sh b ON a.shingle = b.shingle AND b.doc_id <> a.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT u, v, CAST(c AS DOUBLE) / (su.n_sh + sv.n_sh - c) AS jc
+         |  FROM inter
+         |  JOIN sizes su ON u = su.doc_id
+         |  JOIN sizes sv ON v = sv.doc_id)
+         |SELECT DISTINCT least(u, v) AS i, greatest(u, v) AS j,
+         |  round(jc, 6) AS jaccard
+         |FROM jac WHERE jc >= $JACCARD_T""".stripMargin,
 
     // components via recursive transitive closure over the SAME banded
     // LSH pair chain the Spark side runs — the declarative ground truth of

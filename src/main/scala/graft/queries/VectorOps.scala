@@ -15,8 +15,12 @@ import graft.Tables
   * round to 6 dp; ordering uses full precision (gaps between random-vector
   * cosines are ~1e-3, far above accumulated fold error ~1e-13).
   *
-  * Scale notes (100 TB design): brute-force top-k is the quadratic ground
-  * truth — O(n²) pairs shuffle. The LSH paths are the scale story:
+  * Scale notes (100 TB design): the exact-cosine ground-truth fixtures
+  * (brute-force top-k, threshold pairs, the ann_recall truth side) are
+  * ANCHORED — a derived-constant sample of ~128 anchor vectors, each
+  * compared against the full corpus (O(s·n), see [[AnchorSample]]) — so
+  * recall governance itself survives a 100× corpus. The LSH paths are the
+  * scale story:
   * random-hyperplane signatures bucket the vectors so the pair join only
   * materializes within-bucket candidates; `sim_ann_lsh_multiprobe` extends
   * recall to hamming-≤1 buckets via one-bit signature flips. The IVF path
@@ -47,15 +51,25 @@ object VectorOps {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
 
-  /** All-pairs cosine (i < j): the quadratic kernel shared by the brute-force
-    * top-k and threshold queries.
+  /** Anchored exact-cosine threshold pairs — the scale-safe ground-truth
+    * kernel (see [[AnchorSample]]): every ANCHOR vector is compared against
+    * the FULL corpus (O(s·n), s ≈ 128 at any scale, never O(n²)), and the
+    * directed hits are normalized to unordered (i < j) pairs. The cosine is
+    * bitwise symmetric (the fold multiplies the same components in the same
+    * order), so a pair of two anchors collapses under distinct. The anchor
+    * side is ~s rows → Spark broadcasts it and the corpus never shuffles.
     */
-  private def cosinePairs(emb: DataFrame): DataFrame = {
-    val a = withNorm(emb).select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withNorm(emb).select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("i") < col("j"))
+  private def anchoredCosinePairs(emb: DataFrame, thr: Double): DataFrame = {
+    val n = AnchorSample.withAnchors(withNorm(emb), col("vec_id"))
+    val a = n.filter(col("is_anchor"))
+      .select(col("vec_id").as("u"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("v"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("u") =!= col("v"))
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .select(col("i"), col("j"), col("cos"))
+      .filter(col("cos") >= thr)
+      .select(least(col("u"), col("v")).as("i"),
+        greatest(col("u"), col("v")).as("j"), col("cos"))
+      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,13 +82,16 @@ object VectorOps {
           size(col("embedding")).as("dim"))
     }),
 
-    // Brute-force cosine top-k per query vector (directed: every vector gets
-    // its k nearest others).
+    // Brute-force cosine top-k per ANCHOR vector — exact truth for a
+    // derived-constant anchor sample (see AnchorSample), each anchor ranked
+    // against the FULL corpus: O(s·n) work, the production recall-estimation
+    // shape, never O(n²). Anchors broadcast; the corpus never shuffles.
     "sim_topk_bruteforce" -> ((s, dir) => {
       register(s)
-      val emb = Tables.embeddings(s, dir)
-      val a = withNorm(emb).select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = withNorm(emb).select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val n = AnchorSample.withAnchors(withNorm(Tables.embeddings(s, dir)), col("vec_id"))
+      val a = n.filter(col("is_anchor"))
+        .select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
@@ -85,11 +102,12 @@ object VectorOps {
           round(col("cos"), 6).as("cosine"))
     }),
 
-    // Embedding near-duplicate pairs above a cosine threshold.
+    // Embedding near-duplicate pairs above a cosine threshold — anchored
+    // exact truth (every anchor vs the full corpus), the labeled metric
+    // twin of the bucketed ANN paths.
     "dedup_embedding_cosine" -> ((s, dir) => {
       register(s)
-      cosinePairs(Tables.embeddings(s, dir))
-        .filter(col("cos") >= COS_T)
+      anchoredCosinePairs(Tables.embeddings(s, dir), COS_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
@@ -397,17 +415,20 @@ object VectorOps {
         .withColumn("is_kept", col("vec_id") === col("group_id"))
     }),
 
-    // Candidate recall of every ANN path against the quadratic cosine
-    // ground truth (COS_T truth set over the augmented corpus), UNDER the
-    // oracle gate: a bucket-parameter regression (broken banding, wrong
-    // probe expansion, degenerate centroids) changes n_found and fails the
-    // hash compare, and the recall_ok boolean pins the design floor the way
-    // the approx_* tolerance gates do. The truth side is the labeled
-    // quadratic twin — this is a metric fixture, not a production path.
+    // Candidate recall of every ANN path against ANCHORED exact-cosine
+    // ground truth (COS_T truth pairs touching a derived-constant anchor
+    // sample of the augmented corpus — O(s·n), the production
+    // recall-estimation shape), UNDER the oracle gate: a bucket-parameter
+    // regression (broken banding, wrong probe expansion, degenerate
+    // centroids) changes n_found and fails the hash compare, and the
+    // recall_ok boolean pins the design floor the way the approx_*
+    // tolerance gates do. Anchoring subsamples truth uniformly, so the
+    // recall estimate is unbiased — and the planted duplicates guarantee
+    // anchored positives at every sf.
     "ann_recall" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val truth = ScratchCache.register(cosinePairs(emb).filter(col("cos") >= COS_T)
+      val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
         .select(col("i"), col("j")).persist())
       val sigs = sharedLshSigs(s, dir)
       val assign = sharedIvfAssign(s, dir)
@@ -537,9 +558,12 @@ object VectorOps {
     // centroid chain, then counts truth ∩ candidates per method
     "ann_recall" ->
       s"""WITH $lshSigCtes,
+         |m AS (${AnchorSample.modSql("n")}),
+         |anch AS (SELECT n.* FROM n, m WHERE ${AnchorSample.predSql("vec_id")}),
          |truth AS (
-         |  SELECT x.vec_id AS i, y.vec_id AS j
-         |  FROM n x JOIN n y ON x.vec_id < y.vec_id
+         |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS i,
+         |    greatest(x.vec_id, y.vec_id) AS j
+         |  FROM anch x JOIN n y ON x.vec_id <> y.vec_id
          |  WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $COS_T),
          |tc AS (SELECT count(*) AS n_true FROM truth),
          |lsh_cand AS (
@@ -641,10 +665,12 @@ object VectorOps {
          |  SELECT vec_id, embedding,
          |    sqrt(${dSql("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
+         |m AS (${AnchorSample.modSql("n")}),
+         |anch AS (SELECT n.* FROM n, m WHERE ${AnchorSample.predSql("vec_id")}),
          |pairs AS (
          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
          |    ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |  FROM anch a JOIN n b ON a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT vec_id, neighbor_id, cos, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -657,10 +683,13 @@ object VectorOps {
       s"""WITH n AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${dSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings)
-         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |  FROM embeddings),
+         |m AS (${AnchorSample.modSql("n")}),
+         |anch AS (SELECT n.* FROM n, m WHERE ${AnchorSample.predSql("vec_id")})
+         |SELECT DISTINCT least(a.vec_id, b.vec_id) AS i,
+         |  greatest(a.vec_id, b.vec_id) AS j,
          |  round(${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |FROM anch a JOIN n b ON a.vec_id <> b.vec_id
          |WHERE ${dSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $COS_T""".stripMargin,
 
     "sim_ann_lsh" ->

@@ -15,11 +15,43 @@ class QueryInvariantSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
 
-  test("minhash-LSH recalls exactly the exact-Jaccard pair set") {
-    val exact = q("dedup_ngram_jaccard").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  /** FULL exact-Jaccard near-dup truth (all O(n²) pairs ≥ 0.7), computed
+    * in-test: the gated `dedup_ngram_jaccard` is ANCHOR-SAMPLED now (the
+    * scale-safe fixture), so tests that need the complete pair set build it
+    * here over the 500-doc fixture where quadratic is harmless.
+    */
+  private lazy val fullJaccardTruth: Set[(Long, Long)] = {
+    val sh = graft.Tables.documents(spark, dir)
+      .select($"doc_id", explode(graft.functions.TextFns.shingles3($"text")).as("shingle"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select($"doc_id".as("i"), $"shingle")
+      .join(sh.select($"doc_id".as("j"), $"shingle"), Seq("shingle"))
+      .filter($"i" < $"j").groupBy($"i", $"j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select($"doc_id".as("i"), $"n_sh".as("na")), Seq("i"))
+      .join(sizes.select($"doc_id".as("j"), $"n_sh".as("nb")), Seq("j"))
+      .filter($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH recalls exactly the full exact-Jaccard pair set") {
     val lsh = q("dedup_minhash_lsh").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh === exact)
-    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(lsh === fullJaccardTruth)
+    assert(lsh.nonEmpty, "fixture should contain planted near-dup pairs")
+  }
+
+  test("anchored Jaccard truth is exactly the full truth restricted to anchor pairs") {
+    // the fixture (500 docs) derives modulus 3 → anchoring is ACTIVE here,
+    // so this pins the sampling semantics, not a degenerate all-anchors case
+    val ids = TextOps.sharedShingleIndex(spark, dir).select($"doc_id").distinct()
+    val anchors = AnchorSample.withAnchors(ids, $"doc_id")
+      .filter($"is_anchor").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(anchors.nonEmpty && anchors.size < 500, s"anchors=${anchors.size}")
+    val sampled = q("dedup_ngram_jaccard").select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = fullJaccardTruth.filter(p => anchors(p._1) || anchors(p._2))
+    assert(sampled === expected)
+    assert(sampled.nonEmpty, "anchored truth must keep planted positives")
   }
 
   test("ANN (LSH and IVF) finds every planted duplicate pair at cosine 1.0") {
@@ -102,7 +134,7 @@ class QueryInvariantSpec extends SparkSpec {
 
   test("simhash is locality-sensitive: near-dup hamming << random hamming") {
     val sig = q("dedup_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val pairs = q("dedup_ngram_jaccard").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = fullJaccardTruth.toSeq
     assert(pairs.nonEmpty)
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val nearAvg = pairs.map { case (i, j) => hamming(sig(i), sig(j)) }.sum.toDouble / pairs.length
@@ -121,8 +153,7 @@ class QueryInvariantSpec extends SparkSpec {
       .filter($"doc_id" % 50 =!= 0).select("doc_id").as[Long].collect().toSet
     val removed = corpus -- kept
     // ground truth: corpus docs near-dup (jaccard >= 0.7) with an eval doc
-    val pairs = q("dedup_ngram_jaccard").select("i", "j").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = fullJaccardTruth.toSeq
     val expected = pairs.collect {
       case (i, j) if i % 50 == 0 && j % 50 != 0 => j
       case (i, j) if j % 50 == 0 && i % 50 != 0 => i
