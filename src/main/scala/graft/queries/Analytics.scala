@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -228,65 +228,82 @@ object Analytics {
         .select(col("dirty_name"), col("name").as("matched_name"), col("lev"))
     }),
 
-    // Sorted-neighborhood ER — the backstop pass the q-gram blocking's
-    // purge caveat names (see ErBlockCap): sort the name universe once,
-    // compare each record only to its SnmWindow successors in sort order.
-    // A pair a hot purged block would miss is still found here whenever
-    // the names sort near each other — complementary recall at O(n·W)
-    // candidates with NO per-key skew exposure (window size is constant
-    // by construction, not a function of key frequency).
-    //
-    // Scale shape, piece by piece: the global rank is the two-phase
-    // distributed form — range-partition by name, row_number WITHIN each
-    // partition, then add broadcast per-partition offsets (the per-rank
-    // value is the position in the total order, so it is independent of
-    // where the sampled range boundaries fall). The neighbor join is an
-    // EQUI-join on rank buckets of width SnmWindow: each record joins its
-    // own bucket and (as the right side) the one below, which covers every
-    // pair at rank distance ≤ W exactly once — never a theta-join, never a
-    // window wider than W. The offsets table is one row per partition.
+    // MULTI-PASS sorted-neighborhood ER — the backstop the q-gram
+    // blocking's purge caveat names (see ErBlockCap): sort the name
+    // universe under COMPLEMENTARY keys, compare each record only to its
+    // SnmWindow successors per order, union the passes. SNM recall is
+    // governed by sort-key design, not compute — each pass's key must put
+    // its expected error class near itself: the REVERSED key (suffix-first)
+    // sorts a leading-edit pair (fixture class 1: 2nd-char deletion)
+    // adjacent but scatters a trailing edit behind every name sharing its
+    // last letter; the FORWARD key does exactly the opposite (catches
+    // fixture class 2: last-char deletion, misses the leading edit). The
+    // union covers both error classes at 2·O(n·W) candidates with NO
+    // per-key skew exposure (window size is constant by construction, not
+    // a function of key frequency). Pairs are normalized to i < j before
+    // the cross-pass dedup so a pair found by both orders counts once.
     "er_sorted_neighborhood" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
-      val dirty = clean.select(
+      val dirty2nd = clean.select(
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("name"))
-      val univ = clean.unionByName(dirty).distinct()
-
-      // SNM recall is governed by SORT-KEY design, not compute: the fixture
-      // typo deletes the 2nd character, so the forward order scatters each
-      // pair behind every name sharing its first letter, while the REVERSED
-      // name (suffix-first) sorts the pair adjacent — the multi-pass-SNM
-      // lesson that each pass's key must put the expected error class near
-      // itself. reverse() is injective on distinct names, so the order is
-      // total and the rank deterministic.
-      val parted = univ.withColumn("sk", reverse(col("name")))
-        .repartitionByRange(8, col("sk"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("pr",
-          row_number().over(Window.partitionBy(col("pid")).orderBy(col("sk"))))
-      val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-        .withColumn("off",
-          coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("off"))
-      val ranked = parted.join(broadcast(offsets), Seq("pid"))
-        .select(col("name"), (col("pr") + col("off")).as("r"))
-
-      val wW = lit(SnmWindow.toLong)
-      val left = ranked.select(col("name").as("i"), col("r").as("ri"),
-        ((col("ri") - 1) / wW).cast("long").as("b"))
-      val right = ranked.select(col("name").as("j"), col("r").as("rj"),
-        ((col("r") - 1) / wW).cast("long").as("bj"))
-        // bucket width = window width, so a pair at distance ≤ W spans at
-        // most adjacent buckets: membership in {bj, bj−1} covers it once
-        .select(col("j"), col("rj"),
-          explode(array(col("bj"), col("bj") - 1)).as("b"))
-      left.join(right, Seq("b"))
-        .filter(col("rj") > col("ri") && col("rj") - col("ri") <= wW)
+      val dirtyLast = clean.select(
+        expr("substring(name, 1, length(name) - 1)").as("name"))
+      val univ = clean.unionByName(dirty2nd).unionByName(dirtyLast).distinct()
+      snmPairs(univ, reverse(col("name")))
+        .unionByName(snmPairs(univ, col("name")))
+        .select(least(col("i"), col("j")).as("i"),
+          greatest(col("i"), col("j")).as("j"))
+        .distinct()
         .withColumn("lev", levenshtein(col("i"), col("j")))
         .filter(col("lev") <= 2)
         .select(col("i"), col("j"), col("lev"))
     })
   )
+
+  /** One sorted-neighborhood pass: all pairs at rank distance ≤
+    * [[SnmWindow]] in the total order induced by `sk` (which must be
+    * injective over `univ` — reverse() and identity both are on distinct
+    * names — so the order is total and the rank deterministic), as (i, j)
+    * in rank order.
+    *
+    * Scale shape, piece by piece: the global rank is the two-phase
+    * distributed form — range-partition by the sort key, row_number WITHIN
+    * each partition, then add broadcast per-partition offsets (the
+    * per-rank value is the position in the total order, so it is
+    * independent of where the sampled range boundaries fall). The neighbor
+    * join is an EQUI-join on rank buckets of width SnmWindow: each record
+    * joins its own bucket and (as the right side) the one below, which
+    * covers every pair at rank distance ≤ W exactly once — never a
+    * theta-join, never a window wider than W. The offsets table is one row
+    * per partition.
+    */
+  private[queries] def snmPairs(univ: DataFrame, sk: Column): DataFrame = {
+    val parted = univ.withColumn("sk", sk)
+      .repartitionByRange(8, col("sk"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("pr",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(col("sk"))))
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val ranked = parted.join(broadcast(offsets), Seq("pid"))
+      .select(col("name"), (col("pr") + col("off")).as("r"))
+
+    val wW = lit(SnmWindow.toLong)
+    val left = ranked.select(col("name").as("i"), col("r").as("ri"),
+      ((col("ri") - 1) / wW).cast("long").as("b"))
+    val right = ranked.select(col("name").as("j"), col("r").as("rj"),
+      ((col("r") - 1) / wW).cast("long").as("bj"))
+      // bucket width = window width, so a pair at distance ≤ W spans at
+      // most adjacent buckets: membership in {bj, bj−1} covers it once
+      .select(col("j"), col("rj"),
+        explode(array(col("bj"), col("bj") - 1)).as("b"))
+    left.join(right, Seq("b"))
+      .filter(col("rj") > col("ri") && col("rj") - col("ri") <= wW)
+      .select(col("i"), col("j"))
+  }
 
   /** Per-block size cap for ER blocking (block purging): any q-gram key
     * shared by more than this many records is uninformative — joining
@@ -560,17 +577,26 @@ object Analytics {
         |WHERE rn = 1""".stripMargin,
 
     // the oracle spells the DEFINITION (all pairs at rank distance ≤ W in
-    // the total name order); the Spark side must reproduce it through the
-    // two-phase rank + bucket equi-join
+    // each pass's total name order, unioned across passes); the Spark side
+    // must reproduce it through the two-phase rank + bucket equi-join
     "er_sorted_neighborhood" ->
       s"""WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
-         |dirty AS (
+         |dirty2 AS (
          |  SELECT substr(name, 1, 1) || substr(name, 3) AS name FROM clean),
+         |dirtyl AS (
+         |  SELECT substr(name, 1, length(name) - 1) AS name FROM clean),
          |univ AS (SELECT DISTINCT name FROM (
-         |  SELECT name FROM clean UNION ALL SELECT name FROM dirty)),
-         |r AS (SELECT name, row_number() OVER (ORDER BY reverse(name)) AS r FROM univ)
-         |SELECT a.name AS i, b.name AS j, levenshtein(a.name, b.name) AS lev
-         |FROM r a JOIN r b ON b.r > a.r AND b.r - a.r <= $SnmWindow
-         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
+         |  SELECT name FROM clean UNION ALL SELECT name FROM dirty2
+         |  UNION ALL SELECT name FROM dirtyl)),
+         |rrev AS (SELECT name, row_number() OVER (ORDER BY reverse(name)) AS r FROM univ),
+         |rfwd AS (SELECT name, row_number() OVER (ORDER BY name) AS r FROM univ),
+         |pairs AS (
+         |  SELECT least(a.name, b.name) AS i, greatest(a.name, b.name) AS j
+         |  FROM rrev a JOIN rrev b ON b.r > a.r AND b.r - a.r <= $SnmWindow
+         |  UNION
+         |  SELECT least(a.name, b.name), greatest(a.name, b.name)
+         |  FROM rfwd a JOIN rfwd b ON b.r > a.r AND b.r - a.r <= $SnmWindow)
+         |SELECT i, j, levenshtein(i, j) AS lev
+         |FROM pairs WHERE levenshtein(i, j) <= 2""".stripMargin
   )
 }

@@ -276,6 +276,74 @@ class QueryInvariantSpec extends SparkSpec {
       "pair sharing the kept M:AA00 block must remain a candidate")
   }
 
+  test("multi-pass SNM: the forward pass catches the trailing-edit class " +
+    "the reversed key alone misses (and vice versa)") {
+    val clean = graft.Tables.part(spark, dir).select($"p_name".as("name")).distinct()
+    val dirty2nd = clean.select(
+      concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("name"))
+    val dirtyLast = clean.select(
+      expr("substring(name, 1, length(name) - 1)").as("name"))
+    val univ = clean.unionByName(dirty2nd).unionByName(dirtyLast).distinct()
+    def passPairs(sk: org.apache.spark.sql.Column): Set[(String, String)] =
+      Analytics.snmPairs(univ, sk)
+        .select(least($"i", $"j").as("i"), greatest($"i", $"j").as("j"))
+        .withColumn("lev", levenshtein($"i", $"j")).filter($"lev" <= 2)
+        .select("i", "j").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val rev = passPairs(reverse($"name"))
+    val fwd = passPairs($"name")
+    // planted truth per error class, normalized to (min, max)
+    val lastPairs = clean
+      .select($"name", expr("substring(name, 1, length(name) - 1)").as("d"))
+      .filter($"name" =!= $"d")
+      .select(least($"name", $"d").as("i"), greatest($"name", $"d").as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val secondPairs = clean
+      .select($"name", concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("d"))
+      .filter($"name" =!= $"d")
+      .select(least($"name", $"d").as("i"), greatest($"name", $"d").as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // complementarity: each pass recovers (nearly all of) its own error
+    // class and provably misses some of the other's — the reason the
+    // production shape is a UNION of passes, not one clever key
+    val fwdOnly = lastPairs.filter(p => fwd(p) && !rev(p))
+    val revOnly = secondPairs.filter(p => rev(p) && !fwd(p))
+    assert(fwdOnly.nonEmpty,
+      "no trailing-edit pair was recovered exclusively by the forward pass")
+    assert(revOnly.nonEmpty,
+      "no leading-edit pair was recovered exclusively by the reversed pass")
+    // the gated query is exactly the union of the two passes
+    val gated = q("er_sorted_neighborhood").select("i", "j").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gated === (rev ++ fwd))
+  }
+
+  test("SNM backstop recovers a typo pair whose every shared block was " +
+    "purged — the union composition the ErBlockCap scaladoc promises") {
+    // 1001 names share BOTH the prefix-4 AND mid-4 grams of the planted
+    // pair, pushing those blocks over ErBlockCap; the pair's suffix grams
+    // differ (last-char edit), so after the purge the pair co-occurs in NO
+    // surviving block and q-gram blocking cannot propose it. The forward
+    // sort key places the pair adjacent, so the SNM pass recovers it —
+    // candidate recall of the UNION is what production measures.
+    val flood = (0 until 1001).map(i => f"AAAABBBB$i%04d")
+    val pi = "AAAABBBBCCCC"
+    val pj = "AAAABBBBCCC" // last-char deletion of pi, lev = 1
+    val univ = (flood :+ pi :+ pj).toDF("name")
+    val hot = Analytics.erKeyed(univ, "name").groupBy("blk").count()
+      .filter($"blk".isin("P:AAAA", "M:BBBB")).collect()
+    assert(hot.length === 2 && hot.forall(_.getLong(1) > Analytics.ErBlockCap),
+      "premise: both shared blocks of the planted pair must be over the cap")
+    val blocked = Analytics.erCandidatePairs(univ)
+      .filter($"i" === pj && $"j" === pi)
+    assert(blocked.isEmpty,
+      "premise: the purge must have removed every block the pair shares")
+    val snm = Analytics.snmPairs(univ, $"name")
+      .select(least($"i", $"j").as("i"), greatest($"i", $"j").as("j"))
+      .filter($"i" === pj && $"j" === pi)
+    assert(!snm.isEmpty,
+      "SNM backstop failed to recover the purged-block typo pair")
+  }
+
   test("pack_sequences: the derived range size bounds both prefix-sum levels") {
     def rsFor(n: Long): Long = spark.range(1)
       .select(Curation.packRangeSize(lit(n)).as("rs")).collect()(0).getLong(0)
