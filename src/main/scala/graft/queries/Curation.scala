@@ -23,13 +23,45 @@ object Curation {
 
   private val DOMAIN_CAP = 10
 
-  /** Expected eval-fingerprint count for the decontamination bloom sketch —
-    * sized from the eval suite's catalog cardinality (a known fact of a
-    * curated benchmark list, never a corpus scan). 2¹⁶ at 1% fpp ≈ 77 KB
-    * serialized; exceeding it degrades fpp (more verify-join input), never
-    * correctness (no false negatives at any load factor).
+  /** Sizing rule for the decontamination bloom sketch: the next power of
+    * two at or above 2× the measured eval-catalog count, floored at 2¹².
+    * The 2× headroom keeps realized fpp at or below the 1% design point
+    * even if the catalog grows between sizing and build; the floor keeps
+    * tiny fixtures from degenerating to a handful of bits. Derived from
+    * the eval set itself (round-6 advice: the same derived-from-data
+    * discipline as IVF k), never a constant. Exceeding capacity anyway
+    * degrades fpp (more verify-join input), never correctness (a bloom
+    * has no false negatives at any load factor) — spec-pinned by the
+    * overloaded-sketch invariant in CurationInvariantSpec.
     */
-  private val BloomEvalCapacity = 1L << 16
+  private[queries] def bloomCapacityFor(nEval: Long): Long = {
+    val target = math.max(1L << 12, nEval * 2)
+    java.lang.Long.highestOneBit(target - 1) << 1
+  }
+
+  /** The bloom-prefilter + exact-verify sandwich behind
+    * `decontaminate_bloom`, parameterized by sketch capacity so the
+    * invariant spec can overload the sketch (capacity far below the load)
+    * and prove the kept set is UNCHANGED: a bloom has no false negatives,
+    * so every definite-keep row is truly clean at any load factor, and the
+    * md5 verify join retires every false positive the degraded fpp admits.
+    * Sketch build: distributed aggregation over the eval side's 64-bit
+    * fingerprints, driver merge, broadcast back as a ~constant literal.
+    */
+  private[queries] def bloomSandwich(s: SparkSession, corpus: DataFrame,
+      evalSet: DataFrame, capacity: Long): DataFrame = {
+    val bf = evalSet.select(xxhash64(col("text")).as("fp"))
+      .stat.bloomFilter("fp", capacity, 0.01)
+    val bloomLit = lit(graft.expr.BloomMightContain.serialize(bf))
+    graft.expr.BloomMightContain.register(s)
+    val flagged = corpus.select(col("doc_id"), md5(col("text")).as("fp"),
+      call_function("bloom_might_contain", bloomLit, xxhash64(col("text"))).as("maybe"))
+    val definiteKeep = flagged.filter(!col("maybe")).select(col("doc_id"))
+    val verifiedKeep = flagged.filter(col("maybe"))
+      .join(evalSet.select(md5(col("text")).as("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"))
+    definiteKeep.unionByName(verifiedKeep)
+  }
 
   // ---- curation_c4_pipeline thresholds -----------------------------------
   // Chosen against the corpus distributions (sf0.001–0.1): quality p10≈0.57 /
@@ -177,22 +209,14 @@ object Curation {
         .select(col("doc_id"), col("text"))
         .unionByName(evalSet.filter(col("doc_id") % 100 === 0)
           .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-      // sketch over the eval set's 64-bit fingerprints: distributed
-      // aggregation, driver merge, broadcast back as a ~constant literal.
-      // Capacity is the eval suite's CATALOG cardinality (a known fact of
-      // a curated benchmark list, not a corpus scan); fpp only degrades —
-      // never correctness — if exceeded.
-      val bf = evalSet.select(xxhash64(col("text")).as("fp"))
-        .stat.bloomFilter("fp", BloomEvalCapacity, 0.01)
-      val bloomLit = lit(graft.expr.BloomMightContain.serialize(bf))
-      graft.expr.BloomMightContain.register(s)
-      val flagged = corpus.select(col("doc_id"), md5(col("text")).as("fp"),
-        call_function("bloom_might_contain", bloomLit, xxhash64(col("text"))).as("maybe"))
-      val definiteKeep = flagged.filter(!col("maybe")).select(col("doc_id"))
-      val verifiedKeep = flagged.filter(col("maybe"))
-        .join(evalSet.select(md5(col("text")).as("fp")), Seq("fp"), "left_anti")
-        .select(col("doc_id"))
-      definiteKeep.unionByName(verifiedKeep)
+      // Capacity derives from the eval catalog itself via bloomCapacityFor.
+      // The sizing count is a 1-row aggregate ACTION over the eval side
+      // only — never the corpus — and is inherent here: the sketch itself
+      // is a driver-merged broadcast artifact (stat.bloomFilter is an
+      // action whose bit-array size must be fixed before the build), so a
+      // data-derived capacity cannot stay a Column the way IVF k does.
+      val nEval = evalSet.agg(count(lit(1)).as("n")).first().getLong(0)
+      bloomSandwich(s, corpus, evalSet, bloomCapacityFor(nEval))
     }),
 
     // Greedy boundary-aligned sequence packing into fixed context windows —

@@ -344,6 +344,46 @@ class QueryInvariantSpec extends SparkSpec {
       "SNM backstop failed to recover the purged-block typo pair")
   }
 
+  test("bloom capacity derives from the eval count; an overloaded sketch " +
+    "never flips a kept row") {
+    // the sizing rule: power of two, ≥ 2× the count, floored at 2¹²
+    assert(Curation.bloomCapacityFor(0L) === 4096L)
+    assert(Curation.bloomCapacityFor(10L) === 4096L)
+    assert(Curation.bloomCapacityFor(2048L) === 4096L)
+    assert(Curation.bloomCapacityFor(2049L) === 8192L)
+    assert(Curation.bloomCapacityFor(100000L) === 262144L)
+    for (n <- Seq(1L, 5000L, 77777L, 1000000L)) {
+      val cap = Curation.bloomCapacityFor(n)
+      assert((cap & (cap - 1)) === 0L, s"n=$n cap=$cap not a power of two")
+      assert(cap >= 2 * n || cap === 4096L, s"n=$n cap=$cap lacks headroom")
+    }
+    // fpp-degradation invariance: rebuild the gate's sandwich with a
+    // sketch overloaded ~500× past capacity (fpp → ~1, nearly every row
+    // routed through the verify join) and assert the kept set is
+    // IDENTICAL to the exact anti-join truth — the no-false-negatives +
+    // exact-verify guarantee the bloomCapacityFor scaladoc promises.
+    val docs = graft.Tables.documents(spark, dir)
+    val evalSet = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", $"text")
+      .unionByName(evalSet.filter($"doc_id" % 100 === 0)
+        .select(($"doc_id" + 1000000000L).as("doc_id"), $"text"))
+    def kept(cap: Long): Set[Long] =
+      Curation.bloomSandwich(spark, corpus, evalSet, cap)
+        .collect().map(_.getLong(0)).toSet
+    val exact = corpus
+      .join(evalSet.select(md5($"text").as("fp")),
+        md5(corpus("text")) === $"fp", "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val overloaded = kept(8L)
+    assert(overloaded === exact,
+      "overloaded sketch changed the kept set — the verify join leaked fpp")
+    assert(kept(Curation.bloomCapacityFor(8L)) === exact)
+    // premise check: the gate really plants positives at this sf
+    assert(corpus.count() > exact.size,
+      "fixture must contain planted contamination to make the test bite")
+  }
+
   test("pack_sequences: the derived range size bounds both prefix-sum levels") {
     def rsFor(n: Long): Long = spark.range(1)
       .select(Curation.packRangeSize(lit(n)).as("rs")).collect()(0).getLong(0)
