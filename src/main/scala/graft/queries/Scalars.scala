@@ -186,6 +186,25 @@ object Scalars {
           expr("variant_get(vp, '$.missing', 'long')").as("k_missing"),
           expr("schema_of_variant(vp)").as("v_schema"))
         .filter(col("event_id") % 10 === 0)
+    }),
+
+    // X19: the NATIVE farm_fingerprint expression under the hash gate.
+    // x1_surrogate_key gates the portable md5-64 key because DuckDB cannot
+    // compute farmhash; this gate closes the remaining proof gap by
+    // pinning the codegen'd Catalyst expression itself against LITERAL
+    // farmHashFingerprint64 reference values (the x18_variant literal-pin
+    // pattern) over the fixed 25-row nation table — both the bare-string
+    // form and the '|'-joined pre-image form production surrogate keys use
+    // (ref: stg_order.sql:88-102). A regression anywhere in eval, codegen,
+    // or the UTF-8 byte path flips the hash compare.
+    "x19_farm_fingerprint" -> ((s, dir) => {
+      graft.expr.FarmFingerprint.register(s)
+      Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        call_function("farm_fingerprint", col("n_name")).as("fp_name"),
+        call_function("farm_fingerprint",
+          concat_ws("|", col("n_nationkey").cast(StringType), col("n_name")))
+          .as("fp_key"))
     })
   )
 
@@ -306,6 +325,41 @@ object Scalars {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
         |  'OBJECT<k: BIGINT>' AS v_schema
-        |FROM events WHERE event_id % 10 = 0""".stripMargin
+        |FROM events WHERE event_id % 10 = 0""".stripMargin,
+
+    // DuckDB has no farmhash; the oracle therefore carries the LITERAL
+    // farmHashFingerprint64 reference values (computed out-of-band from
+    // Guava's implementation, the same library BigQuery parity is pinned
+    // to in FarmFingerprintSpec) joined back against the live nation table
+    // so row presence still derives from the data, not the literal list.
+    "x19_farm_fingerprint" ->
+      """WITH exp(n_nationkey, fp_name, fp_key) AS (VALUES
+        |  (0, CAST(4210427918795399827 AS BIGINT), CAST(7304011407864836663 AS BIGINT)),
+        |  (1, -5399752347965891369, -5057967113123135761),
+        |  (2, 865407350320067906, -1663754257158868734),
+        |  (3, 3658362939161141792, -9001032866941766259),
+        |  (4, -9215726740144356302, 1094167051938393732),
+        |  (5, -64446467873277369, 6131138664666518471),
+        |  (6, -5286468587901691800, -4656351038862417281),
+        |  (7, -8385317787080201000, -2002749624808093205),
+        |  (8, -2423759832413576607, -194489839794536306),
+        |  (9, -4556024567122332949, 18145374016186418),
+        |  (10, -6543248874084780775, 1640913122776742558),
+        |  (11, -4033215346672109646, 3315333136388735405),
+        |  (12, 8421928504110752284, 3576041832845829995),
+        |  (13, 507033600632888216, 2862114497763699762),
+        |  (14, -2224157361147434402, -5144075159930900499),
+        |  (15, -6217368043180583979, -4952327760362386110),
+        |  (16, 4036097040316457790, 8148198247809496191),
+        |  (17, 2300591819391865906, -4759052487868992510),
+        |  (18, -8759436104520094381, 349617794942849100),
+        |  (19, -7607326709865506644, -6942438668356567015),
+        |  (20, 1597049789855964846, -1636209975882421354),
+        |  (21, 411098423061997854, -3518136126102293454),
+        |  (22, -993055324354144135, -4467785430213481384),
+        |  (23, -3962708045624151468, 3105432864641080076),
+        |  (24, 4136373251785314357, 4013857099073123777))
+        |SELECT n.n_nationkey, e.fp_name, e.fp_key
+        |FROM nation n JOIN exp e ON n.n_nationkey = e.n_nationkey""".stripMargin
   )
 }
