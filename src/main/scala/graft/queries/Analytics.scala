@@ -237,20 +237,39 @@ object Analytics {
     // sorts a leading-edit pair (fixture class 1: 2nd-char deletion)
     // adjacent but scatters a trailing edit behind every name sharing its
     // last letter; the FORWARD key does exactly the opposite (catches
-    // fixture class 2: last-char deletion, misses the leading edit). The
-    // union covers both error classes at 2·O(n·W) candidates with NO
-    // per-key skew exposure (window size is constant by construction, not
-    // a function of key frequency). Pairs are normalized to i < j before
-    // the cross-pass dedup so a pair found by both orders counts once.
+    // fixture class 2: last-char deletion, misses the leading edit); the
+    // PHONETIC key (consonant skeleton, [[phoneticKey]]) clusters
+    // vowel-level noise that hits BOTH ends at once (fixture class 3:
+    // vowel substitutions at position 2 AND the last character — the
+    // forward order scatters on the early edit, the reversed order on the
+    // late one, but the skeleton is vowel-invariant so the pair sorts
+    // adjacent). The union covers all three error classes at 3·O(n·W)
+    // candidates with NO per-key skew exposure (window size is constant by
+    // construction, not a function of key frequency). Pairs are normalized
+    // to i < j before the cross-pass dedup so a pair found by several
+    // orders counts once.
     "er_sorted_neighborhood" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
       val dirty2nd = clean.select(
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("name"))
       val dirtyLast = clean.select(
         expr("substring(name, 1, length(name) - 1)").as("name"))
-      val univ = clean.unionByName(dirty2nd).unionByName(dirtyLast).distinct()
+      val dirtyVowel = clean
+        .filter(length(col("name")) >= 4 &&
+          substring(col("name"), 2, 1).isin("a", "e", "i", "o", "u") &&
+          expr("substring(name, length(name), 1)").isin("a", "e", "i", "o", "u"))
+        .select(concat(
+          substring(col("name"), 1, 1),
+          translate(substring(col("name"), 2, 1), "aeiou", "uoaie"),
+          expr("substring(name, 3, length(name) - 3)"),
+          translate(expr("substring(name, length(name), 1)"), "aeiou", "uoaie"))
+          .as("name"))
+      val univ = clean.unionByName(dirty2nd).unionByName(dirtyLast)
+        .unionByName(dirtyVowel).distinct()
       snmPairs(univ, reverse(col("name")))
         .unionByName(snmPairs(univ, col("name")))
+        .unionByName(snmPairs(univ,
+          concat(phoneticKey(col("name")), lit("|"), col("name"))))
         .select(least(col("i"), col("j")).as("i"),
           greatest(col("i"), col("j")).as("j"))
         .distinct()
@@ -259,6 +278,20 @@ object Analytics {
         .select(col("i"), col("j"), col("lev"))
     })
   )
+
+  /** Consonant-skeleton phonetic sort key: first character (uppercased)
+    * plus the remaining consonants with vowels/Y/H/W and non-letters
+    * stripped — the soundex drop-set without the digit coding, so the key
+    * stays a plain string both engines compute with one regexp_replace
+    * (no backreferences: DuckDB's RE2 has none). NOT injective by design
+    * (that is the clustering); callers append `"|" + name` to restore the
+    * total order [[snmPairs]] requires while keeping equal-skeleton names
+    * adjacent.
+    */
+  private[queries] def phoneticKey(c: Column): Column =
+    concat(upper(c.substr(lit(1), lit(1))),
+      regexp_replace(upper(c.substr(lit(2), length(c))),
+        "[AEIOUYHW]|[^A-Z]", ""))
 
   /** One sorted-neighborhood pass: all pairs at rank distance ≤
     * [[SnmWindow]] in the total order induced by `sk` (which must be
@@ -585,17 +618,35 @@ object Analytics {
          |  SELECT substr(name, 1, 1) || substr(name, 3) AS name FROM clean),
          |dirtyl AS (
          |  SELECT substr(name, 1, length(name) - 1) AS name FROM clean),
+         |dirtyv AS (
+         |  SELECT substr(name, 1, 1)
+         |      || translate(substr(name, 2, 1), 'aeiou', 'uoaie')
+         |      || substr(name, 3, length(name) - 3)
+         |      || translate(substr(name, length(name), 1), 'aeiou', 'uoaie')
+         |      AS name
+         |  FROM clean
+         |  WHERE length(name) >= 4
+         |    AND substr(name, 2, 1) IN ('a','e','i','o','u')
+         |    AND substr(name, length(name), 1) IN ('a','e','i','o','u')),
          |univ AS (SELECT DISTINCT name FROM (
          |  SELECT name FROM clean UNION ALL SELECT name FROM dirty2
-         |  UNION ALL SELECT name FROM dirtyl)),
+         |  UNION ALL SELECT name FROM dirtyl
+         |  UNION ALL SELECT name FROM dirtyv)),
          |rrev AS (SELECT name, row_number() OVER (ORDER BY reverse(name)) AS r FROM univ),
          |rfwd AS (SELECT name, row_number() OVER (ORDER BY name) AS r FROM univ),
+         |rpho AS (SELECT name, row_number() OVER (ORDER BY
+         |  upper(substr(name, 1, 1))
+         |    || regexp_replace(upper(substr(name, 2)), '[AEIOUYHW]|[^A-Z]', '', 'g')
+         |    || '|' || name) AS r FROM univ),
          |pairs AS (
          |  SELECT least(a.name, b.name) AS i, greatest(a.name, b.name) AS j
          |  FROM rrev a JOIN rrev b ON b.r > a.r AND b.r - a.r <= $SnmWindow
          |  UNION
          |  SELECT least(a.name, b.name), greatest(a.name, b.name)
-         |  FROM rfwd a JOIN rfwd b ON b.r > a.r AND b.r - a.r <= $SnmWindow)
+         |  FROM rfwd a JOIN rfwd b ON b.r > a.r AND b.r - a.r <= $SnmWindow
+         |  UNION
+         |  SELECT least(a.name, b.name), greatest(a.name, b.name)
+         |  FROM rpho a JOIN rpho b ON b.r > a.r AND b.r - a.r <= $SnmWindow)
          |SELECT i, j, levenshtein(i, j) AS lev
          |FROM pairs WHERE levenshtein(i, j) <= 2""".stripMargin
   )

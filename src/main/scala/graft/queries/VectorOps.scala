@@ -194,26 +194,67 @@ object VectorOps {
       .filter(col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
 
-  /** Multi-probe candidates: each vector probes its exact bucket plus every
-    * bucket at hamming distance 1 (NPLANES one-bit flips); probes join
-    * against EXACT signatures so the join stays an equi-join on the bucket
-    * string.
+  /** The one-bit-flip probe expansion shared by full and anchor-restricted
+    * multiprobe: each row of `sigs` probes its exact bucket (f = 0) plus
+    * every bucket at hamming distance 1.
     */
-  private def multiprobeCandidates(sigs: DataFrame): DataFrame = {
-    val probes = sigs
-      .select(col("vec_id"), col("bucket"),
-        explode(sequence(lit(0), lit(NPLANES))).as("f"))
+  private def probeExpansion(sigs: DataFrame): DataFrame =
+    sigs.select(col("vec_id"), col("bucket"),
+      explode(sequence(lit(0), lit(NPLANES))).as("f"))
       .withColumn("probe",
         when(col("f") === 0, col("bucket"))
           .otherwise(concat(
             col("bucket").substr(lit(1), col("f") - 1),
             when(col("bucket").substr(col("f"), lit(1)) === "0", "1").otherwise("0"),
             col("bucket").substr(col("f") + 1, lit(NPLANES)))))
-    probes.select(col("probe").as("bucket"), col("vec_id").as("i"))
+
+  /** Multi-probe candidates: each vector probes its exact bucket plus every
+    * bucket at hamming distance 1 (NPLANES one-bit flips); probes join
+    * against EXACT signatures so the join stays an equi-join on the bucket
+    * string.
+    */
+  private def multiprobeCandidates(sigs: DataFrame): DataFrame =
+    probeExpansion(sigs)
+      .select(col("probe").as("bucket"), col("vec_id").as("i"))
       .join(sigs.select(col("bucket"), col("vec_id").as("j")), Seq("bucket"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
-  }
+
+  /** Candidate pairs TOUCHING AN ANCHOR, built anchor-side-first: the
+    * anchor rows of `keyed` (a semi-join against the ~s-row anchor set)
+    * equi-join the full table on `key`, normalized to i < j. Because
+    * "shares a bucket" / "same cell" is symmetric, this is EXACTLY the
+    * touching-an-anchor subset of the full i<j candidate set
+    * ([[QueryInvariantSpec]] pins the equality) — so a semi-join of
+    * anchored truth against it counts the same n_found as against the full
+    * set, at O(s·bucket) instead of O(Σ bucket²). Recall estimation that
+    * audits a corpus-scale index must itself stay sub-quadratic, truth AND
+    * candidates both.
+    */
+  private def anchorCandidates(keyed: DataFrame, key: String,
+      anchors: DataFrame): DataFrame =
+    keyed.join(anchors, Seq("vec_id"), "left_semi")
+      .select(col(key), col("vec_id").as("u"))
+      .join(keyed.select(col(key), col("vec_id").as("v")), Seq(key))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("i"),
+        greatest(col("u"), col("v")).as("j"))
+      .distinct()
+
+  /** Anchor-touching multiprobe pairs: only ANCHORS probe (the hamming-1
+    * relation is symmetric, so anchor-as-prober already covers every pair
+    * with an anchor on either side), joined against the full exact
+    * signature table on the bucket string.
+    */
+  private def multiprobeAnchorCandidates(sigs: DataFrame,
+      anchors: DataFrame): DataFrame =
+    probeExpansion(sigs.join(anchors, Seq("vec_id"), "left_semi"))
+      .select(col("probe").as("bucket"), col("vec_id").as("u"))
+      .join(sigs.select(col("bucket"), col("vec_id").as("v")), Seq("bucket"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("i"),
+        greatest(col("u"), col("v")).as("j"))
+      .distinct()
 
   /** Random-hyperplane signatures: w ∈ {+1,-1} from md5 parity of "p:d",
     * projections via one shuffle on (vec_id, p), bit-string bucket.
@@ -433,12 +474,14 @@ object VectorOps {
       val emb = augmented(s, dir)
       val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
         .select(col("i"), col("j")).persist())
+      // the same anchor set the truth side samples (same universe → same
+      // broadcast-derived modulus → identical membership)
+      val anchors = ScratchCache.register(
+        AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
+          .filter(col("is_anchor")).select(col("vec_id")).persist())
       val sigs = sharedLshSigs(s, dir)
       val assign = sharedIvfAssign(s, dir)
-      val ivfCand = assign.select(col("ck"), col("vec_id").as("i"))
-        .join(assign.select(col("ck"), col("vec_id").as("j")), Seq("ck"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j")).distinct()
+      val ivfCand = anchorCandidates(assign, "ck", anchors)
       def recallRow(method: String, cand: DataFrame, thr: Double): DataFrame =
         truth.join(cand, Seq("i", "j"), "left_semi")
           .agg(count(lit(1)).as("n_found"))
@@ -447,8 +490,10 @@ object VectorOps {
             round(col("n_found").cast(DoubleType) / col("n_true"), 6).as("recall"),
             (col("n_found").cast(DoubleType) / col("n_true") >= thr).as("recall_ok"))
       recallRow("ivf", ivfCand, RECALL_IVF_T)
-        .unionByName(recallRow("lsh", lshCandidates(sigs), RECALL_LSH_T))
-        .unionByName(recallRow("lsh_multiprobe", multiprobeCandidates(sigs), RECALL_MP_T))
+        .unionByName(recallRow("lsh",
+          anchorCandidates(sigs, "bucket", anchors), RECALL_LSH_T))
+        .unionByName(recallRow("lsh_multiprobe",
+          multiprobeAnchorCandidates(sigs, anchors), RECALL_MP_T))
     })
   )
 

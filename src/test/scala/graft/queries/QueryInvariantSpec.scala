@@ -283,7 +283,18 @@ class QueryInvariantSpec extends SparkSpec {
       concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("name"))
     val dirtyLast = clean.select(
       expr("substring(name, 1, length(name) - 1)").as("name"))
-    val univ = clean.unionByName(dirty2nd).unionByName(dirtyLast).distinct()
+    val dirtyVowel = clean
+      .filter(length($"name") >= 4 &&
+        substring($"name", 2, 1).isin("a", "e", "i", "o", "u") &&
+        expr("substring(name, length(name), 1)").isin("a", "e", "i", "o", "u"))
+      .select(concat(
+        substring($"name", 1, 1),
+        translate(substring($"name", 2, 1), "aeiou", "uoaie"),
+        expr("substring(name, 3, length(name) - 3)"),
+        translate(expr("substring(name, length(name), 1)"), "aeiou", "uoaie"))
+        .as("name"))
+    val univ = clean.unionByName(dirty2nd).unionByName(dirtyLast)
+      .unionByName(dirtyVowel).distinct()
     def passPairs(sk: org.apache.spark.sql.Column): Set[(String, String)] =
       Analytics.snmPairs(univ, sk)
         .select(least($"i", $"j").as("i"), greatest($"i", $"j").as("j"))
@@ -311,10 +322,42 @@ class QueryInvariantSpec extends SparkSpec {
       "no trailing-edit pair was recovered exclusively by the forward pass")
     assert(revOnly.nonEmpty,
       "no leading-edit pair was recovered exclusively by the reversed pass")
-    // the gated query is exactly the union of the two passes
+    // the gated query is exactly the union of the three passes
+    val pho = passPairs(
+      concat(Analytics.phoneticKey($"name"), lit("|"), $"name"))
     val gated = q("er_sorted_neighborhood").select("i", "j").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(gated === (rev ++ fwd))
+    assert(gated === (rev ++ fwd ++ pho))
+  }
+
+  test("phonetic SNM pass catches the both-ends vowel error class that " +
+    "forward AND reversed keys each scatter") {
+    // planted pair: vowel substitutions at position 2 and the last char —
+    // the query's dirtyVowel transform (a→u, e→o), lev = 2. The forward
+    // order separates the pair on the early edit (ga… vs gu…), the
+    // reversed order on the late one (eor… vs oor…); > SnmWindow filler
+    // names are planted in EACH gap so both passes provably scatter the
+    // pair, while the consonant skeleton (GMMDLTR) is vowel-invariant so
+    // the phonetic order sorts the pair adjacent.
+    val base = "gamma delta roe"
+    val dirty = "gumma delta roo"
+    val fwdFill = Seq("gb", "gc", "gd", "gf", "gg", "gh", "gk", "gl")
+      .map(p => s"$p fwdfill")                     // sort between ga… and gu…
+    val revFill = ('f' to 'n').map(ch => s"revfill aa$ch") // reversed: e… < ch… < o…
+    val univ = (fwdFill ++ revFill :+ base :+ dirty).toDF("name")
+    assert(levenshtein(lit(base), lit(dirty)).expr.eval() === 2)
+    def passPairs(sk: org.apache.spark.sql.Column): Set[(String, String)] =
+      Analytics.snmPairs(univ, sk)
+        .select(least($"i", $"j").as("i"), greatest($"i", $"j").as("j"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val target = (base.min(dirty), base.max(dirty))
+    assert(!passPairs($"name")(target),
+      "premise: the forward pass must scatter the both-ends vowel pair")
+    assert(!passPairs(reverse($"name"))(target),
+      "premise: the reversed pass must scatter the both-ends vowel pair")
+    assert(passPairs(
+      concat(Analytics.phoneticKey($"name"), lit("|"), $"name"))(target),
+      "phonetic pass failed to sort the vowel-noise pair adjacent")
   }
 
   test("SNM backstop recovers a typo pair whose every shared block was " +
