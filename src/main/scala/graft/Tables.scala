@@ -24,14 +24,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) refuses outright. Read nanos as long and convert — the
-    * generator emits whole-microsecond values, so `div 1000` is lossless.
+  /** `events.ts` normalization, adaptive to the generator's on-disk type.
+    * Older drops wrote parquet TIMESTAMP(NANOS) — which Spark's
+    * TimestampType (micros) refuses outright — so those read as long
+    * (whole-microsecond values; `div 1000` is lossless). Current drops
+    * write TIMESTAMP(MICROS, isAdjustedToUTC=false), surfacing as
+    * TIMESTAMP_NTZ; cast to TimestampType under the UTC session zone
+    * (value-preserving) so every downstream query and oracle sees one
+    * type regardless of the generator vintage.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    val ts = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      case _ =>
+        org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType)
+    }
+    df.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

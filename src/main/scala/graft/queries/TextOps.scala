@@ -51,6 +51,16 @@ object TextOps {
     */
   private val SEG_TOKENS = 10
 
+  /** OVERLAPPING window width for duplicated-span detection
+    * (`dedup_span_removal`). Overlapping windows (stride 1) — unlike the
+    * stride-SEG_TOKENS windows of `dedup_segments` — detect copied spans at
+    * ANY alignment, which is what the suffix-array pass of Lee et al. 2022
+    * buys; runs of consecutive duplicated window starts then merge into
+    * maximal spans. 8 tokens scales the paper's 50-token minimum span to
+    * this corpus's ~60-token documents.
+    */
+  private val SPAN_W = 8
+
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 6
   private val SIMHASH_BAND_BITS = 10
@@ -336,6 +346,51 @@ object TextOps {
           sum(when(col("enc") > col("first_enc"), 1L).otherwise(0L)).as("n_dup_segments"))
         .withColumn("dup_frac",
           round(col("n_dup_segments").cast(DoubleType) / col("n_segments"), 6))
+    }),
+
+    // Duplicated-SPAN removal signal (the alignment-free complement of
+    // `dedup_segments`): OVERLAPPING SPAN_W-token windows (stride 1) are
+    // content-hashed; a window whose hash occurs more than once anywhere in
+    // the corpus is duplicated, and runs of consecutive duplicated starts
+    // within a document merge into MAXIMAL spans — the distributed
+    // fingerprint-window equivalent of the suffix-array duplicated-substring
+    // pass of Lee et al. 2022 (arXiv:2107.06499 §4). Output is the per-doc
+    // trim signal: span count, duplicated token total (overlaps merged, so
+    // never over n_tokens), duplicated fraction. Scale shape: the token
+    // array is sliced BEFORE the shuffle (whole-stage codegen, nothing but
+    // the 16-byte hash + (doc_id, start) ever shuffles), one shuffle on the
+    // window hash for the global occurrence count, one join back on the
+    // hash, then a per-doc window for the island merge — O(n_tokens) rows
+    // end to end, no pair join at any alignment.
+    "dedup_span_removal" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      // sequence(1, n) flips direction for n < 1 instead of returning
+      // empty, so short docs are excluded BEFORE the window expansion
+      val wins = toks.filter(col("n_tokens") >= SPAN_W)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1),
+            (col("n_tokens") - lit(SPAN_W) + 1).cast(IntegerType))).as("st"))
+        .select(col("doc_id"), col("st"),
+          md5(concat_ws(" ", slice(col("toks"), col("st"), lit(SPAN_W)))).as("h"))
+      val dupHashes = wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("hc")).filter(col("hc") > 1).select("h")
+      val wnd = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      val spans = wins.join(dupHashes, Seq("h"))
+        .withColumn("grp", col("st") - row_number().over(wnd))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg((max(col("st")) - min(col("st")) + lit(SPAN_W)).cast(LongType)
+          .as("span_tokens"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+      toks.select(col("doc_id"), col("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens"), 6).as("dup_frac"))
     }),
 
     // Exact n-gram Jaccard near-dup pairs — ANCHORED ground truth (each of
@@ -661,6 +716,40 @@ object TextOps {
          |SELECT doc_id, n_segments, n_dup_segments,
          |  round(CAST(n_dup_segments AS DOUBLE) / n_segments, 6) AS dup_frac
          |FROM per""".stripMargin,
+
+    // overlapping windows via 1-based inclusive list slices; occurrence
+    // count, island merge (start - row_number), and the left-join zero
+    // fill are spelled exactly as the Spark side computes them
+    "dedup_span_removal" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+         |wins AS (
+         |  SELECT doc_id, st,
+         |    md5(array_to_string(toks[st:st + ${SPAN_W - 1}], ' ')) AS h
+         |  FROM base,
+         |    UNNEST(generate_series(1, CAST(n_tokens AS INTEGER) - $SPAN_W + 1)) AS u(st)
+         |  WHERE n_tokens >= $SPAN_W),
+         |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+         |dup AS (SELECT doc_id, st FROM wins JOIN duph USING (h)),
+         |isl AS (
+         |  SELECT doc_id, st,
+         |    st - row_number() OVER (PARTITION BY doc_id ORDER BY st) AS grp
+         |  FROM dup),
+         |spans AS (
+         |  SELECT doc_id, CAST(max(st) - min(st) + $SPAN_W AS BIGINT) AS span_tokens
+         |  FROM isl GROUP BY doc_id, grp),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(per.n_spans, 0) AS n_spans,
+         |  coalesce(per.dup_tokens, 0) AS dup_tokens,
+         |  round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         |    AS dup_frac
+         |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // the anchored twin: the same derived modulus, anchor predicate, and
     // least/greatest pair normalization as the Spark side

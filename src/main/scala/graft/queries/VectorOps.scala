@@ -35,6 +35,14 @@ object VectorOps {
   private val NPLANES = 12
   private val ANN_T = 0.999
 
+  /** Quantized-prefilter relaxation (`sim_ann_quantized_rescore`): must
+    * exceed the worst-case int8 cosine error so the code-space filter can
+    * never drop a pair the exact rescore would keep. Bound at 64-d:
+    * |cos_q − cos| ≤ (0.5·√d/127)·(max_a/‖a‖ + max_b/‖b‖) ≈ 0.024 for
+    * random vectors (max/‖·‖ ≈ 0.38); 0.05 leaves 2× headroom.
+    */
+  private val QP_MARGIN = 0.05
+
   /** Exact double dot product, sequential fold (oracle-portable). Uses the
     * native FloatVecDot expression (graft.expr) — bit-identical to the
     * zip_with/aggregate spelling but allocation-free inside codegen, which
@@ -349,7 +357,7 @@ object VectorOps {
       .withColumn("ck", when(col("cn") > CELL_CAP,
         concat_ws(":", col("cell"), coalesce(col("cell2"), col("cell"))))
         .otherwise(col("cell").cast(StringType)))
-      .select(col("vec_id"), col("cell"), col("ck"))
+      .select(col("vec_id"), col("cell"), col("cell2"), col("ck"))
   }
 
   /** Deterministic IVF cell assignments: k-means seeds = the first vec_ids,
@@ -400,6 +408,76 @@ object VectorOps {
       val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
       val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
       l.join(r, Seq("ck")).filter(col("i") < col("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // IVF search with nprobe=2 — THE recall lever the `sim_ann_ivf`
+    // scaladoc names: every vector probes its nearest AND second-nearest
+    // centroid's cell (`cell2` rides along from the same assignment window
+    // at zero extra cost), so pairs split across a cell boundary — the
+    // boundary-loss failure mode of nprobe=1 IVF — become candidates.
+    // Probes join the home-cell index on the raw cell id as a plain
+    // equi-join (candidate volume is nprobe× the nprobe=1 path; at
+    // production scale the probed join reuses the identical CELL_CAP
+    // refined-key discipline, which the home cells here already carry).
+    // By construction the candidate set is a superset of `sim_ann_ivf`'s
+    // same-cell pairs, so probe recall ≥ nprobe=1 recall — pinned in
+    // [[QueryInvariantSpec]].
+    "sim_ann_ivf_probe" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val assign = sharedIvfAssign(s, dir)
+      val probes = assign.select(col("vec_id"), col("cell").as("pc"))
+        .unionByName(assign.filter(col("cell2").isNotNull)
+          .select(col("vec_id"), col("cell2").as("pc")))
+      val cand = probes
+        .join(assign.select(col("cell").as("pc"), col("vec_id").as("v")), Seq("pc"))
+        .filter(col("vec_id") =!= col("v"))
+        .select(least(col("vec_id"), col("v")).as("i"),
+          greatest(col("vec_id"), col("v")).as("j"))
+        .distinct()
+      val n = withNorm(emb)
+      cand
+        .join(n.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na")), Seq("i"))
+        .join(n.select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // IVF candidates scored on INT8-QUANTIZED vectors first, exact-cosine
+    // rescore second — the two-tier scoring every production ANN system
+    // runs at 100 TB: the index stores 4×-compressed int8 codes
+    // (emb_quantize_sq's scheme: per-vector max-abs scale, q=⌊x·s+0.5⌋),
+    // the within-cell candidate pass scores on codes (integer dot products,
+    // exact in double), and only candidates clearing a margin-relaxed
+    // threshold fetch full-precision vectors for the exact rescore. The
+    // margin (QP_MARGIN) dominates the worst-case int8 cosine error
+    // (~(4/127)·(max_a/‖a‖ + max_b/‖b‖) ≈ 0.024 at 64-d), so the prefilter
+    // can only drop pairs whose EXACT cosine is also below ANN_T — output ≡
+    // `sim_ann_ivf`, pinned in [[QueryInvariantSpec]]. At scale the rescore
+    // fetch is O(candidates), and the candidate scan reads 1/4 the bytes.
+    "sim_ann_quantized_rescore" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val assign = sharedIvfAssign(s, dir)
+      val mx = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+      val e = withNorm(emb).join(assign, Seq("vec_id"))
+        .withColumn("sc", lit(127.0d) / mx)
+        .withColumn("qv", transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * col("sc") + 0.5d).cast(DoubleType)))
+      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("qv").as("qa"), col("sc").as("sa"))
+      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("qv").as("qb"), col("sc").as("sb"))
+      val qdot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+        lit(0.0d), (acc, p) => acc + p)
+      l.join(r, Seq("ck")).filter(col("i") < col("j"))
+        .withColumn("qcos", qdot / (col("sa") * col("sb") * col("na") * col("nb")))
+        .filter(col("qcos") >= ANN_T - QP_MARGIN)
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
@@ -574,6 +652,48 @@ object VectorOps {
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
          |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the nprobe=2 twin: the same assignment chain, probes = home cell ∪
+    // second-nearest cell, candidates normalized to i < j, exact-cosine
+    // verification at the same threshold
+    "sim_ann_ivf_probe" ->
+      s"""WITH $ivfCellCtes,
+         |probes AS (
+         |  SELECT vec_id, cell AS pc FROM assign
+         |  UNION ALL
+         |  SELECT vec_id, cell2 AS pc FROM assign WHERE cell2 IS NOT NULL),
+         |cand AS (
+         |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
+         |    greatest(p.vec_id, t.vec_id) AS j
+         |  FROM probes p JOIN assign t ON p.pc = t.cell
+         |  WHERE p.vec_id <> t.vec_id)
+         |SELECT c.i, c.j,
+         |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
+         |FROM cand c
+         |JOIN a x ON x.vec_id = c.i
+         |JOIN a y ON y.vec_id = c.j
+         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the two-tier twin: the same IVF chain, per-vector scale and int8
+    // codes as lateral aliases, integer code dots (exact in double) for
+    // the prefilter, exact-cosine rescore at the same threshold
+    "sim_ann_quantized_rescore" ->
+      s"""WITH $ivfCellCtes,
+         |qe AS (
+         |  SELECT vec_id, embedding, nrm, ck,
+         |    127.0 / list_aggregate(
+         |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS sc,
+         |    list_transform(embedding,
+         |      x -> floor(CAST(x AS DOUBLE) * sc + 0.5)) AS qv
+         |  FROM e)
+         |SELECT i, j, round(cos, 6) AS cosine FROM (
+         |  SELECT x.vec_id AS i, y.vec_id AS j,
+         |    list_sum(list_transform(list_zip(x.qv, y.qv),
+         |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+         |      / (x.sc * y.sc * x.nrm * y.nrm) AS qcos,
+         |    ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |  FROM qe x JOIN qe y ON x.ck = y.ck AND x.vec_id < y.vec_id)
+         |WHERE qcos >= ${ANN_T - QP_MARGIN} AND cos >= $ANN_T""".stripMargin,
 
     // the dedup_semantic twin replays the IVF chain, finds within-cell
     // ≥ANN_T pairs, closes them by recursive transitive closure, and emits

@@ -345,12 +345,13 @@ class QueryInvariantSpec extends SparkSpec {
       .map(p => s"$p fwdfill")                     // sort between ga… and gu…
     val revFill = ('f' to 'n').map(ch => s"revfill aa$ch") // reversed: e… < ch… < o…
     val univ = (fwdFill ++ revFill :+ base :+ dirty).toDF("name")
-    assert(levenshtein(lit(base), lit(dirty)).expr.eval() === 2)
+    assert(spark.range(1).select(levenshtein(lit(base), lit(dirty)))
+      .head.getInt(0) === 2)
     def passPairs(sk: org.apache.spark.sql.Column): Set[(String, String)] =
       Analytics.snmPairs(univ, sk)
         .select(least($"i", $"j").as("i"), greatest($"i", $"j").as("j"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    val target = (base.min(dirty), base.max(dirty))
+    val target = if (base < dirty) (base, dirty) else (dirty, base)
     assert(!passPairs($"name")(target),
       "premise: the forward pass must scatter the both-ends vowel pair")
     assert(!passPairs(reverse($"name"))(target),
@@ -469,6 +470,48 @@ class QueryInvariantSpec extends SparkSpec {
     // join — is back under the cap after the split
     val maxSz = rk.groupBy("ck").count().agg(max("count")).collect()(0).getLong(0)
     assert(maxSz <= VectorOps.CELL_CAP)
+  }
+
+  test("IVF nprobe=2 output is a superset of the nprobe=1 output") {
+    // same-ck pairs share a home cell, so every nprobe=1 candidate is also
+    // an nprobe=2 candidate; both verify at the same cosine threshold —
+    // the recall lever must only ever ADD pairs
+    def pairs(name: String): Set[(Long, Long)] =
+      q(name).select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs("sim_ann_ivf")
+    val two = pairs("sim_ann_ivf_probe")
+    assert(one.nonEmpty, "fixture should contain planted duplicate pairs")
+    assert(one.subsetOf(two),
+      s"nprobe=2 lost ${(one -- two).size} nprobe=1 pairs")
+  }
+
+  test("quantized rescore output equals the exact IVF output") {
+    // the int8 prefilter margin must dominate quantization error, so the
+    // two-tier path may never lose (or add) a pair vs full-precision
+    // scoring over the same cells
+    def pairs(name: String): Set[(Long, Long)] =
+      q(name).select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("sim_ann_ivf")
+    val tiered = pairs("sim_ann_quantized_rescore")
+    assert(exact.nonEmpty, "fixture should contain planted duplicate pairs")
+    assert(tiered === exact,
+      s"lost ${(exact -- tiered).size}, gained ${(tiered -- exact).size}")
+  }
+
+  test("heavy hitters: exactly the planted hot keys, none of the tail") {
+    // half the events collapse onto user_id % 2 → those two keys tower
+    // over the uniform tail; the CMS prefilter + exact verify must return
+    // exactly them (a candidate-set false positive that LEAKED to the
+    // output would show up here as a tail key)
+    val hh = q("approx_heavy_hitters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hh.keySet === Set(0L, 1L),
+      s"expected the two planted hot keys, got ${hh.keySet}")
+    val total = graft.Tables.events(spark, dir).count()
+    assert(hh.values.sum >= (total * 0.49).toLong,
+      "planted keys should hold at least half the total traffic")
   }
 
   test("pipeline e2e: every dim-join outcome path is populated") {
