@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{BloomMightContain, FarmFingerprint, FloatVecDot}
+import graft.expr.{BloomMightContain, CmsEstimate, FarmFingerprint, FloatVecDot}
 
 /** Cluster-deployment registration of the engine's native expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` makes
@@ -45,7 +45,10 @@ object GraftExtensions {
       arity("vec_dot", 2)(exprs => FloatVecDot(exprs.head, exprs(1)))),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      arity("bloom_might_contain", 2)(exprs => BloomMightContain(exprs.head, exprs(1)))))
+      arity("bloom_might_contain", 2)(exprs => BloomMightContain(exprs.head, exprs(1)))),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      arity("cms_estimate", 2)(exprs => CmsEstimate(exprs.head, exprs(1)))))
 
   /** Builder lookup for the per-session register() helpers. */
   def builder(name: String): Seq[Expression] => Expression =

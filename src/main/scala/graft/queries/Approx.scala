@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
+import graft.expr.CmsEstimate
 
 /** Approximate aggregates — the 100 TB replacements for exact operators
   * whose state doesn't fit: HyperLogLog++ for COUNT(DISTINCT) (constant
@@ -56,6 +57,44 @@ object Approx {
            abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) <= element_at(col("exact"), 2) * 0.01 &&
            abs(element_at(col("approx"), 3) - element_at(col("exact"), 3)) <= element_at(col("exact"), 3) * 0.01)
             .as("approx_within_1pct"))
+    }),
+
+    // Heavy hitters via a Count-Min Sketch prefilter + exact verify — the
+    // frequent-items pattern when per-key exact state doesn't fit: the CMS
+    // is one pass, a few MB at ANY key cardinality, and mergeable across
+    // executors (stat.countMinSketch merges partition sketches on the
+    // driver — the same artifact shape as the bloom sketch). Its error is
+    // ONE-SIDED (estimate ≥ true count), so keys the sketch puts under the
+    // threshold are DEFINITIVELY light and never aggregate; candidates
+    // (true heavy hitters + an ε·N estimation sliver) take an exact
+    // broadcast-semi-join count, so exact per-key state is O(candidates),
+    // not O(keys). The output depends only on exact counts — sketch noise
+    // can widen the candidate set, never flip a result row. Heavy keys are
+    // PLANTED (skew_salted_agg's trick: half the traffic collapses onto
+    // user_id % 2) because the generator's user traffic is uniform; the
+    // threshold derives from the corpus (2× the mean per-key count, a
+    // broadcast 1-row scalar, never a driver constant — sized so the
+    // planted keys clear it and the uniform tail cannot even at the
+    // 15-user sf0.001 fixture, where hot/mean bottoms out at ~3.75).
+    "approx_heavy_hitters" -> ((s, dir) => {
+      CmsEstimate.register(s)
+      val keyed = Tables.events(s, dir).select(
+        when(col("event_id") % 2 === 0, col("user_id") % 2)
+          .otherwise(col("user_id")).as("k"))
+      val cms = keyed.stat.countMinSketch("k", eps = 0.001, confidence = 0.99, seed = 42)
+      val sketch = lit(CmsEstimate.serialize(cms))
+      val thr = keyed.agg(
+        (count(lit(1)).cast(DoubleType) / countDistinct(col("k")) * 2.0d).as("hh_t"))
+      val cand = keyed.distinct()
+        .crossJoin(broadcast(thr))
+        .filter(call_function("cms_estimate", sketch, col("k")).cast(DoubleType) >= col("hh_t"))
+        .select(col("k"))
+      keyed.join(broadcast(cand), Seq("k"), "left_semi")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(thr))
+        .filter(col("n_events").cast(DoubleType) >= col("hh_t"))
+        .select(col("k"), col("n_events"))
     })
   )
 
@@ -71,6 +110,22 @@ object Approx {
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         |  TRUE AS approx_within_1pct
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the exact twin: same planted key collapse, same corpus-derived
+    // threshold; the CMS prefilter is invisible to the result by
+    // construction (one-sided error + exact verify)
+    "approx_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN user_id % 2
+        |    ELSE user_id END AS k
+        |  FROM events),
+        |t AS (
+        |  SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT k) * 2.0 AS hh_t
+        |  FROM keyed)
+        |SELECT k, count(*) AS n_events
+        |FROM keyed, t
+        |GROUP BY k, hh_t
+        |HAVING CAST(count(*) AS DOUBLE) >= hh_t""".stripMargin
   )
 }

@@ -192,6 +192,49 @@ object SinkRoundTrip {
           sum(length(col("text")).cast(LongType)).as("n_chars"),
           sum(graft.functions.TextFns.md5Hash60(col("text")) % 1000000007L)
             .as("text_hashsum"))
+    }),
+
+    // S16: bucketed-table co-located join — the write-side layout that
+    // retires the SHUFFLE from every future join on the bucket key, the
+    // single biggest recurring cost of a 100 TB fact table joined daily.
+    // Both sides are written `bucketBy(8, key).sortBy(key)` catalog tables;
+    // a bucketed scan then exposes HashPartitioning(key, 8), so the
+    // sort-merge join plans with ZERO ShuffleExchange on either side — the
+    // gate counts exchanges in the executed join plan and folds the zero
+    // into the result (`bucketed_no_shuffle`), so a layout regression flips
+    // the hash red, exactly like s10's compact_ok. Conf discipline: the
+    // whole query lives on an isolated child session (broadcast joins off
+    // to force the SMJ the assertion targets; AQE off so the executed plan
+    // is inspectable pre-run) — the caller's session never sees the
+    // overrides (the stream_join pattern). Table names are per-thread, the
+    // backing dirs per-invocation (TempDirs), so parallel suites never race
+    // and re-runs reclaim their predecessor's files.
+    "s16_bucketed_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val tag = Thread.currentThread().getId
+      val ordT = s"graft_s16_orders_$tag"
+      val custT = s"graft_s16_customer_$tag"
+      Tables.orders(s2, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").option("path", freshDir("s16o"))
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordT)
+      Tables.customer(s2, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("path", freshDir("s16c"))
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(custT)
+      val joined = s2.table(ordT)
+        .join(s2.table(custT), col("o_custkey") === col("c_custkey"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"))
+        .withColumn("bucketed_no_shuffle", lit(shuffles == 0))
     })
   )
 
@@ -249,6 +292,16 @@ object SinkRoundTrip {
          |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
          |  CAST(sum(${graft.functions.TextFns.md5Hash60Sql("text")} % 1000000007)
          |    AS BIGINT) AS text_hashsum
-         |FROM documents GROUP BY source""".stripMargin
+         |FROM documents GROUP BY source""".stripMargin,
+
+    // the shuffle-count boolean is the gate: an unbucketed write (or a
+    // bucket-count mismatch between the sides) re-plans the join with
+    // exchanges → FALSE ≠ TRUE
+    "s16_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  TRUE AS bucketed_no_shuffle
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

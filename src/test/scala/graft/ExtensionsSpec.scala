@@ -45,4 +45,33 @@ class ExtensionsSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)))").collect())
     assert(e2.getMessage.contains("vec_dot"))
   }
+
+  test("cms_estimate is one-sided: estimate >= exact count for every key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a planted heavy key among a uniform tail — the approx_heavy_hitters
+    // shape in miniature
+    val df = (Seq.fill(100)(7L) ++ (1L to 50L)).toDF("k")
+    val cms = df.stat.countMinSketch("k", eps = 0.001, confidence = 0.99, seed = 42)
+    graft.expr.CmsEstimate.register(spark)
+    val sketch = lit(graft.expr.CmsEstimate.serialize(cms))
+    val rows = df.groupBy($"k").agg(count(lit(1)).as("exact"))
+      .withColumn("est", call_function("cms_estimate", sketch, $"k"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, exact, est) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"key $k: estimate $est under-counts exact $exact")
+    }
+    // the heavy key's estimate is exact at this sketch width (ε·N ≪ 1)
+    val heavy = rows.find(_.getLong(0) == 7L).get
+    assert(heavy.getLong(2) === heavy.getLong(1))
+  }
+
+  test("cms_estimate rejects a null-folding sketch at analysis time") {
+    graft.expr.CmsEstimate.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT cms_estimate(CAST(NULL AS BINARY), 1L)").collect())
+    assert(e.getMessage.contains("non-null serialized sketch"))
+  }
 }
