@@ -465,19 +465,30 @@ object VectorOps {
       val assign = sharedIvfAssign(s, dir)
       val mx = aggregate(col("embedding"), lit(0.0d),
         (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
-      val e = withNorm(emb).join(assign, Seq("vec_id"))
+      // The candidate join carries ONLY the int8 codes (float-exact ≤ 127,
+      // so vec_dot scores them codegen'd and allocation-free), the scale,
+      // and the norm — the full-precision vectors stay out of the shuffle
+      // entirely, which is the actual byte saving of a quantized index.
+      val q8 = withNorm(emb).join(assign, Seq("vec_id"))
         .withColumn("sc", lit(127.0d) / mx)
         .withColumn("qv", transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * col("sc") + 0.5d).cast(DoubleType)))
-      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"),
-        col("nrm").as("na"), col("qv").as("qa"), col("sc").as("sa"))
-      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"),
-        col("nrm").as("nb"), col("qv").as("qb"), col("sc").as("sb"))
-      val qdot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-        lit(0.0d), (acc, p) => acc + p)
-      l.join(r, Seq("ck")).filter(col("i") < col("j"))
-        .withColumn("qcos", qdot / (col("sa") * col("sb") * col("na") * col("nb")))
+          x => floor(x.cast(DoubleType) * col("sc") + 0.5d).cast(FloatType)))
+        .select(col("ck"), col("vec_id"), col("qv"), col("sc"), col("nrm"))
+      val l = q8.select(col("ck"), col("vec_id").as("i"), col("qv").as("qa"),
+        col("sc").as("sa"), col("nrm").as("na"))
+      val r = q8.select(col("ck"), col("vec_id").as("j"), col("qv").as("qb"),
+        col("sc").as("sb"), col("nrm").as("nb"))
+      val cand = l.join(r, Seq("ck")).filter(col("i") < col("j"))
+        .withColumn("qcos",
+          dot(col("qa"), col("qb")) / (col("sa") * col("sb") * col("na") * col("nb")))
         .filter(col("qcos") >= ANN_T - QP_MARGIN)
+        .select(col("i"), col("j"))
+      // rescore fetch: candidates are O(near-dups), so these two vec_id
+      // equi-joins touch full-precision vectors for a sliver of the corpus
+      val n = withNorm(emb)
+      cand
+        .join(n.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na")), Seq("i"))
+        .join(n.select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("j"))
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
@@ -684,12 +695,11 @@ object VectorOps {
          |    127.0 / list_aggregate(
          |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS sc,
          |    list_transform(embedding,
-         |      x -> floor(CAST(x AS DOUBLE) * sc + 0.5)) AS qv
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * sc + 0.5) AS REAL)) AS qv
          |  FROM e)
          |SELECT i, j, round(cos, 6) AS cosine FROM (
          |  SELECT x.vec_id AS i, y.vec_id AS j,
-         |    list_sum(list_transform(list_zip(x.qv, y.qv),
-         |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+         |    ${dSql("x.qv", "y.qv")}
          |      / (x.sc * y.sc * x.nrm * y.nrm) AS qcos,
          |    ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
          |  FROM qe x JOIN qe y ON x.ck = y.ck AND x.vec_id < y.vec_id)
