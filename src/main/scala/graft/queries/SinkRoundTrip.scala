@@ -235,6 +235,59 @@ object SinkRoundTrip {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("sum_price"))
         .withColumn("bucketed_no_shuffle", lit(shuffles == 0))
+    }),
+
+    // S17: Z-ORDER (Morton-interleaved) data layout — the multi-dimension
+    // generalization of s11's zone maps: 1-D sort prunes on ONE key; at
+    // 100 TB a fact table is probed by several (customer AND date here),
+    // and interleaving the dims' bit-ranks clusters rows so every file's
+    // bounding BOX is small in BOTH dims. Layout: ranks scaled to 10 bits
+    // against broadcast corpus bounds, bits interleaved with shift/mask
+    // builtins (whole-stage codegen, no UDF), range-partitioned into 16
+    // files ≈ a 4×4 grid of (custkey, day) cells. The gate reads the
+    // files back, rebuilds each file's 2-D bounding box from
+    // input_file_name(), and asserts a MIDPOINT query on EITHER dim alone
+    // touches at most half the files — the both-dims-prune property a
+    // single-key sort provably cannot give (its second-dim probe touches
+    // every file). Flags fold into the result, so a broken interleave or
+    // a hash repartition flips the hash red.
+    "s17_zorder_layout" -> ((s, dir) => {
+      val out = freshDir("s17")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("dday",
+          datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01"))).cast(LongType))
+      val bounds = o.agg(
+        min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
+        min(col("dday")).as("d0"), max(col("dday")).as("d1"))
+      val ra = (col("o_custkey") - col("ck0")) * 1024L / (col("ck1") - col("ck0") + 1L)
+      val rb = (col("dday") - col("d0")) * 1024L / (col("d1") - col("d0") + 1L)
+      val zval = (0 until 10).map { i =>
+        shiftleft(shiftrightunsigned(col("ra"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftrightunsigned(col("rb"), i).bitwiseAND(lit(1L)), 2 * i))
+      }.reduce(_.bitwiseOR(_))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("ra", ra.cast(LongType)).withColumn("rb", rb.cast(LongType))
+        .withColumn("z", zval)
+        .select(col("o_orderkey"), col("o_custkey"), col("dday"), col("o_totalprice"), col("z"))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(out)
+      val perFile = s.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+          min(col("dday")).as("dd_min"), max(col("dday")).as("dd_max"),
+          count(lit(1)).as("n"))
+      perFile.crossJoin(broadcast(bounds))
+        .agg(count(lit(1)).as("nf"), sum(col("n")).as("n_rows"),
+          sum(when(col("ck_min") <= (col("ck0") + col("ck1")) / 2 &&
+            (col("ck0") + col("ck1")) / 2 <= col("ck_max"), 1L).otherwise(0L)).as("ckf"),
+          sum(when(col("dd_min") <= (col("d0") + col("d1")) / 2 &&
+            (col("d0") + col("d1")) / 2 <= col("dd_max"), 1L).otherwise(0L)).as("ddf"))
+        .select(col("n_rows"),
+          col("nf").between(8, 16).as("files_ok"),
+          (col("ckf") * 2 <= col("nf")).as("ck_prune_ok"),
+          (col("ddf") * 2 <= col("nf")).as("dd_prune_ok"))
     })
   )
 
@@ -302,6 +355,13 @@ object SinkRoundTrip {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  TRUE AS bucketed_no_shuffle
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the prune booleans are the gate: a single-key sort makes the
+    // off-key midpoint probe touch every file → FALSE ≠ TRUE
+    "s17_zorder_layout" ->
+      """SELECT count(*) AS n_rows, TRUE AS files_ok,
+        |  TRUE AS ck_prune_ok, TRUE AS dd_prune_ok
+        |FROM orders""".stripMargin
   )
 }

@@ -35,6 +35,32 @@ object VectorOps {
   private val NPLANES = 12
   private val ANN_T = 0.999
 
+  /** Random-projection output dimension (`emb_random_projection`) and the
+    * corpus dimension it contracts from. The ±1 sign matrix is DERIVED,
+    * not random state: sign(d,k) = parity of md5("d:k") (the engine's
+    * md5Key64 keyspace), so any executor — or the DuckDB oracle — can
+    * regenerate the identical matrix from nothing. It is computed ONCE on
+    * the driver and ships as 16 literal arrays inside the plan (~8 KB):
+    * the per-row path is pure fold arithmetic, no hashing.
+    */
+  private val RP_K = 16
+  private val RP_D = 64
+
+  /** sign[k][d] ∈ {±1}: Scala twin of md5Key64 (md5 hex → first 15 nibbles
+    * as a 60-bit long), parity-mapped. Pinned against the Column-side
+    * md5Key64 in [[QueryInvariantSpec]] so the three spellings (Scala,
+    * Spark md5, DuckDB md5) can never drift apart silently.
+    */
+  private[queries] lazy val rpSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until RP_K).map { k =>
+      (0 until RP_D).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d:$k".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0d else -1.0d
+      }
+    }
+
   /** Quantized-prefilter relaxation (`sim_ann_quantized_rescore`): must
     * exceed the worst-case int8 cosine error so the code-space filter can
     * never drop a pair the exact rescore would keep. Bound at 64-d:
@@ -519,6 +545,28 @@ object VectorOps {
         round(err / size(col("embedding")), 6).as("mse"))
     }),
 
+    // Johnson-Lindenstrauss random projection 64 → 16 (Achlioptas ±1
+    // signs / √k): THE dimensionality contraction a 100 TB embedding
+    // pipeline runs before clustering or coarse ANN — 4× fewer bytes per
+    // vector with pairwise distances preserved in expectation (the JL
+    // concentration is pinned with a tolerance spec, not the oracle). The
+    // sign matrix is derived md5 parity (see [[rpSigns]]) shipped as plan
+    // literals, so the per-row path is RP_K sequential folds — map-only,
+    // whole-stage codegen, zero shuffles, zero hashing. Output is the 16
+    // projected components as scalar columns (the driver's hasher takes
+    // no arrays), each a left-to-right fold matching DuckDB's list_sum.
+    "emb_random_projection" -> ((s, dir) => {
+      val scale = math.sqrt(RP_K.toDouble)
+      val comps = (0 until RP_K).map { k =>
+        val p = aggregate(
+          zip_with(col("embedding"), typedlit(rpSigns(k)),
+            (x, sg) => x.cast(DoubleType) * sg),
+          lit(0.0d), (acc, v) => acc + v) / lit(scale)
+        round(p, 6).as(s"p$k")
+      }
+      Tables.embeddings(s, dir).select(col("vec_id") +: comps: _*)
+    }),
+
     // SemDeDup-shaped semantic dedup: cluster the corpus (the deterministic
     // IVF k-means cells), detect within-cell cosine-≥T pairs, close the pair
     // graph into groups (operators.Components, checked fixpoint), and keep
@@ -684,6 +732,29 @@ object VectorOps {
          |JOIN a x ON x.vec_id = c.i
          |JOIN a y ON y.vec_id = c.j
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the JL twin regenerates the sign matrix from the same md5-parity
+    // derivation (md5Key64 spelling), zips it against each embedding, and
+    // folds — list_sum matches the Spark aggregate fold bit-for-bit
+    "emb_random_projection" -> {
+      val pCols = (0 until RP_K).map(k =>
+        s"round(max(CASE WHEN k = $k THEN pv END), 6) AS p$k").mkString(",\n         |  ")
+      s"""WITH sgn AS (
+         |  SELECT k, list(CASE WHEN
+         |      CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+         |  FROM generate_series(0, ${RP_K - 1}) t(k),
+         |    generate_series(0, ${RP_D - 1}) u(d)
+         |  GROUP BY k),
+         |p AS (
+         |  SELECT e.vec_id, s.k,
+         |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+         |      q -> CAST(q[1] AS DOUBLE) * q[2])) / ${math.sqrt(RP_K.toDouble)} AS pv
+         |  FROM embeddings e CROSS JOIN sgn s)
+         |SELECT vec_id,
+         |  $pCols
+         |FROM p GROUP BY vec_id""".stripMargin
+    },
 
     // the two-tier twin: the same IVF chain, per-vector scale and int8
     // codes as lateral aliases, integer code dots (exact in double) for

@@ -500,6 +500,30 @@ class QueryInvariantSpec extends SparkSpec {
       s"lost ${(exact -- tiered).size}, gained ${(tiered -- exact).size}")
   }
 
+  test("random projection: sign spellings agree and norms concentrate") {
+    // pin the Scala-side md5 parity against the engine's md5Key64 Column —
+    // the third spelling (DuckDB) is pinned by the gate's hash compare
+    val probe = Seq((0, 0), (7, 3), (12, 9), (63, 15))
+    val colSigns = probe.toDF("d", "k")
+      .withColumn("sgn", when(
+        graft.functions.TextFns.md5Hash60(concat_ws(":", $"d", $"k")) % 2 === 0,
+        1.0d).otherwise(-1.0d))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    probe.foreach { case (d, k) =>
+      assert(colSigns((d, k)) === VectorOps.rpSigns(k)(d),
+        s"sign($d,$k) diverges between Scala and Column md5")
+    }
+    // JL: E[‖Px‖²] = ‖x‖² under ±1/√k signs; the corpus mean concentrates
+    val proj = q("emb_random_projection")
+    val pn2 = proj.select($"vec_id",
+      (0 until 16).map(k => col(s"p$k") * col(s"p$k")).reduce(_ + _).as("pn2"))
+    val on2 = q("emb_norms").select($"vec_id", ($"l2_norm" * $"l2_norm").as("on2"))
+    val ratio = pn2.join(on2, Seq("vec_id"))
+      .agg(avg($"pn2" / $"on2")).head.getDouble(0)
+    assert(ratio > 0.9 && ratio < 1.1,
+      s"projected/original mean squared-norm ratio $ratio outside [0.9, 1.1]")
+  }
+
   test("heavy hitters: exactly the planted hot keys, none of the tail") {
     // half the events collapse onto user_id % 2 → those two keys tower
     // over the uniform tail; the CMS prefilter + exact verify must return
