@@ -500,6 +500,23 @@ class QueryInvariantSpec extends SparkSpec {
       s"lost ${(exact -- tiered).size}, gained ${(tiered -- exact).size}")
   }
 
+  test("bm25: the query-by-example anchor retrieves near the top, scores descend") {
+    val rows = q("text_bm25_topk").collect()
+    assert(rows.length === 10)
+    // BM25 does NOT guarantee self-retrieval at rank 1 (a near-dup that
+    // REPEATS high-idf query terms can out-score the anchor's tf=1 — on
+    // this fixture doc 82 does exactly that); the honest invariant is the
+    // anchor lands in the top ranks with the duplicate cluster
+    val anchor = graft.Tables.documents(spark, dir)
+      .agg(min($"doc_id")).head.getLong(0)
+    val anchorRank = rows.find(_.getLong(0) == anchor)
+      .map(_.getInt(1)).getOrElse(Int.MaxValue)
+    assert(anchorRank <= 3, s"query doc ranked $anchorRank, expected top-3")
+    val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      "bm25 scores must be non-increasing in rank order")
+  }
+
   test("random projection: sign spellings agree and norms concentrate") {
     // pin the Scala-side md5 parity against the engine's md5Key64 Column —
     // the third spelling (DuckDB) is pinned by the gate's hash compare
