@@ -184,4 +184,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 2, p.take(1200))
     assert(p.contains("monotonically_increasing_id") || p.contains("_salt"), p.take(1200))
   }
+
+  test("span removal: window-hash joins only — no pair join at any alignment") {
+    val p = plan("dedup_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the dup-hash restriction joins back on the 16-byte window hash
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("heavy hitters: candidates broadcast; the corpus never shuffles for the verify") {
+    val p = plan("approx_heavy_hitters")
+    // the semi-join against the candidate sliver must be broadcast — a
+    // sort-merge here would shuffle the whole event stream to count a
+    // handful of keys
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("bm25: top-k is TakeOrderedAndProject; query terms broadcast into the postings") {
+    // the only nested-loop-shaped node is the broadcast 1-row corpus-stats
+    // join (Cross BuildRight over one row), the repo's scalar pattern
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("quantized rescore: code-space candidates and per-candidate fetches are equi-joins") {
+    // nested-loop nodes may appear only for the broadcast 1-row derived-k
+    // scalar in the IVF chain — the pair space itself must be an equi-join
+    val p = plan("sim_ann_quantized_rescore")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }
