@@ -477,7 +477,11 @@ object Curation {
     "text_bm25_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val toks = docs.select(col("doc_id"), explode(TextFns.rawTokens(col("text"))).as("tok"))
-      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // tf feeds BOTH the df aggregate and the scoring join — persist the
+      // postings once (ScratchCache: released after the terminal action)
+      // instead of re-exploding and re-shuffling the corpus per consumer
+      val tf = ScratchCache.register(
+        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).persist())
       val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
         avg(col("dl").cast(DoubleType)).as("avgdl"))
