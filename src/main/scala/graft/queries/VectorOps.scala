@@ -545,6 +545,47 @@ object VectorOps {
         round(err / size(col("embedding")), 6).as("mse"))
     }),
 
+    // Product quantization encode (M=8 subspaces × 8 dims, K=16 codes):
+    // the 100-TB embedding-index compression beyond scalar quantization —
+    // 8 one-byte codes per 64-d float vector (32×), with asymmetric
+    // distances computable from per-query lookup tables downstream. The
+    // codebook derives deterministically from the corpus (the IVF-seeds
+    // discipline: entry c of subspace m = the c-th vector's m-th
+    // subvector, c < 16); per (vector, subspace) the nearest entry by
+    // exact L2 wins, ties to the lower code. Scale shape: the codebook is
+    // 128 tiny rows → broadcast; encode is one window over (vec_id, m) —
+    // candidate volume n×M×K, linear in the corpus; per-subspace
+    // distortions DECIMAL-cast before the per-vector sum (exact, order
+    // independent). Codebook-member vectors must self-encode at zero
+    // distortion — pinned in [[QueryInvariantSpec]].
+    "emb_pq_encode" -> ((s, dir) => {
+      register(s)
+      val emb = Tables.embeddings(s, dir)
+      val ms = explode(sequence(lit(0), lit(7))).as("m")
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast(IntegerType).as("code"), ms, col("embedding"))
+        .select(col("code"), col("m"), slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("cb"))
+      val sv = emb.select(col("vec_id"), ms, col("embedding"))
+        .select(col("vec_id"), col("m"), slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("sv"))
+      val d2 = aggregate(
+        zip_with(col("sv"), col("cb"), (a, b) => {
+          val d = a.cast(DoubleType) - b.cast(DoubleType)
+          d * d
+        }), lit(0.0d), (acc, v) => acc + v)
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2").asc, col("code").asc)
+      val enc = sv.join(broadcast(cb), Seq("m"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("d2x", col("d2").cast(DecimalType(28, 12)))
+      val codeCols = (0 until 8).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"c$m"))
+      enc.groupBy(col("vec_id"))
+        .agg(codeCols.head, codeCols.tail :+
+          round(sum(col("d2x")).cast(DoubleType) / 64.0d, 6).as("mse"): _*)
+    }),
+
     // Johnson-Lindenstrauss random projection 64 → 16 (Achlioptas ±1
     // signs / √k): THE dimensionality contraction a 100 TB embedding
     // pipeline runs before clustering or coarse ANN — 4× fewer bytes per
@@ -732,6 +773,37 @@ object VectorOps {
          |JOIN a x ON x.vec_id = c.i
          |JOIN a y ON y.vec_id = c.j
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the PQ twin: same seeded codebook (vector c's subvector for code c),
+    // same exact-L2 fold, same (d2, code) tie-break, DECIMAL distortions
+    "emb_pq_encode" -> {
+      val codeSel = (0 until 8).map(m =>
+        s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n         |  ")
+      s"""WITH cb AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS code, m,
+         |    embedding[m*8+1 : m*8+8] AS cb
+         |  FROM embeddings, generate_series(0, 7) t(m) WHERE vec_id < 16),
+         |sv AS (
+         |  SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS sv
+         |  FROM embeddings, generate_series(0, 7) t(m)),
+         |d AS (
+         |  SELECT sv.vec_id, sv.m, cb.code,
+         |    list_sum(list_transform(list_zip(sv.sv, cb.cb),
+         |      q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+         |         * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))) AS d2
+         |  FROM sv JOIN cb ON sv.m = cb.m),
+         |best AS (
+         |  SELECT vec_id, m, code, d2, row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+         |  FROM d),
+         |enc AS (
+         |  SELECT vec_id, m, code, CAST(d2 AS DECIMAL(28,12)) AS d2x
+         |  FROM best WHERE rn = 1)
+         |SELECT vec_id,
+         |  $codeSel,
+         |  round(CAST(sum(d2x) AS DOUBLE) / 64.0, 6) AS mse
+         |FROM enc GROUP BY vec_id""".stripMargin
+    },
 
     // the JL twin regenerates the sign matrix from the same md5-parity
     // derivation (md5Key64 spelling), zips it against each embedding, and

@@ -500,6 +500,22 @@ class QueryInvariantSpec extends SparkSpec {
       s"lost ${(exact -- tiered).size}, gained ${(tiered -- exact).size}")
   }
 
+  test("PQ: codebook-member vectors self-encode at zero distortion") {
+    // entry c of every subspace IS vector c's subvector, so vectors 0..15
+    // must pick their own code in all 8 subspaces with d2 = 0 exactly —
+    // any drift (wrong slice bounds, tie-break inversion, lossy fold)
+    // breaks self-encoding first
+    val rows = q("emb_pq_encode").filter($"vec_id" < 16).collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      val vid = r.getLong(0).toInt
+      (0 until 8).foreach { m =>
+        assert(r.getInt(1 + m) === vid, s"vec $vid subspace $m picked ${r.getInt(1 + m)}")
+      }
+      assert(r.getDouble(9) === 0.0, s"vec $vid mse ${r.getDouble(9)}")
+    }
+  }
+
   test("bm25: the query-by-example anchor retrieves near the top, scores descend") {
     val rows = q("text_bm25_topk").collect()
     assert(rows.length === 10)
