@@ -61,6 +61,44 @@ object VectorOps {
       }
     }
 
+  /** Exact L2² between two float subvectors — sequential fold, the
+    * oracle-portable spelling (matches list_sum over list_zip).
+    */
+  private def pqDist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast(DoubleType) - y.cast(DoubleType)
+      d * d
+    }), lit(0.0d), (acc, v) => acc + v)
+
+  /** PQ codebook: entry c of subspace m = vector c's m-th subvector
+    * (c < 16) — the IVF-seeds discipline; 128 rows, always broadcast.
+    */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast(IntegerType).as("code"),
+        explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+      .select(col("code"), col("m"),
+        slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("cb"))
+
+  /** (vec_id, m, sv): every vector exploded into its 8 subvectors. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("sv"))
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): exact-L2
+    * argmin with (d2, code) tie-break. Returns (vec_id, m, code, d2).
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code").asc)
+    sv.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", pqDist2(col("sv"), col("cb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("d2"))
+  }
+
   /** Quantized-prefilter relaxation (`sim_ann_quantized_rescore`): must
     * exceed the worst-case int8 cosine error so the code-space filter can
     * never drop a pair the exact rescore would keep. Bound at 64-d:
@@ -545,6 +583,7 @@ object VectorOps {
         round(err / size(col("embedding")), 6).as("mse"))
     }),
 
+    // (PQ helpers live below pqDist2; queries: emb_pq_encode, sim_ann_pq_adc)
     // Product quantization encode (M=8 subspaces × 8 dims, K=16 codes):
     // the 100-TB embedding-index compression beyond scalar quantization —
     // 8 one-byte codes per 64-d float vector (32×), with asymmetric
@@ -561,29 +600,53 @@ object VectorOps {
     "emb_pq_encode" -> ((s, dir) => {
       register(s)
       val emb = Tables.embeddings(s, dir)
-      val ms = explode(sequence(lit(0), lit(7))).as("m")
-      val cb = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast(IntegerType).as("code"), ms, col("embedding"))
-        .select(col("code"), col("m"), slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("cb"))
-      val sv = emb.select(col("vec_id"), ms, col("embedding"))
-        .select(col("vec_id"), col("m"), slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("sv"))
-      val d2 = aggregate(
-        zip_with(col("sv"), col("cb"), (a, b) => {
-          val d = a.cast(DoubleType) - b.cast(DoubleType)
-          d * d
-        }), lit(0.0d), (acc, v) => acc + v)
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2").asc, col("code").asc)
-      val enc = sv.join(broadcast(cb), Seq("m"))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val enc = pqAssign(pqSubvectors(emb), pqCodebook(emb))
         .withColumn("d2x", col("d2").cast(DecimalType(28, 12)))
       val codeCols = (0 until 8).map(m =>
         max(when(col("m") === m, col("code"))).as(s"c$m"))
       enc.groupBy(col("vec_id"))
         .agg(codeCols.head, codeCols.tail :+
           round(sum(col("d2x")).cast(DoubleType) / 64.0d, 6).as("mse"): _*)
+    }),
+
+    // PQ asymmetric-distance search (the IVF-PQ scoring half): each ANCHOR
+    // query builds a lookup table of exact L2² against every codebook
+    // entry (s×8×16 rows — broadcast), and the coded corpus is scored by
+    // summing 8 table entries per vector — the corpus side never touches
+    // floats, only one-byte codes, which is why a 100 TB index scans at
+    // code width. Distances are code-space approximations; top-k per
+    // anchor with (adist, id) tie-break. Per-(anchor, m) entries are
+    // DECIMAL-cast before the 8-way sum (exact, order independent). Runs
+    // over the AUGMENTED corpus (planted exact duplicates, like every ANN
+    // gate): an anchor's twin shares all 8 codes, so its adist is the
+    // anchor's own reconstruction distortion — planted-duplicate recall is
+    // pinned in [[QueryInvariantSpec]]. (Top-k recall on UNSTRUCTURED
+    // random vectors is inherently low for any 16-entry codebook —
+    // near-equidistant points — which is why the gate plants structure.)
+    "sim_ann_pq_adc" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val cb = pqCodebook(emb)
+      val sv = pqSubvectors(emb)
+      val codes = pqAssign(sv, cb).select(col("vec_id"), col("m"), col("code"))
+      val anchSv = AnchorSample.withAnchors(emb, col("vec_id"))
+        .filter(col("is_anchor")).select(col("vec_id"), col("embedding"))
+        .select(col("vec_id").as("q"), explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+        .select(col("q"), col("m"), slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("sv"))
+      val lut = anchSv.join(broadcast(cb), Seq("m"))
+        .withColumn("ld2", pqDist2(col("sv"), col("cb")))
+        .select(col("q"), col("m"), col("code"), col("ld2"))
+      val w = Window.partitionBy(col("q"))
+        .orderBy(col("adist").asc, col("neighbor_id").asc)
+      codes.join(broadcast(lut), Seq("m", "code"))
+        .filter(col("q") =!= col("vec_id"))
+        .groupBy(col("q"), col("vec_id"))
+        .agg(sum(col("ld2").cast(DecimalType(28, 12))).as("adist"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select(col("q").as("vec_id"), col("rn").cast(IntegerType).as("rank"),
+          col("neighbor_id"), round(col("adist").cast(DoubleType), 6).as("adist"))
     }),
 
     // Johnson-Lindenstrauss random projection 64 → 16 (Achlioptas ±1
@@ -685,6 +748,34 @@ object VectorOps {
   private def dSql(a: String, b: String): String =
     dotSql.replace("%A", a).replace("%B", b)
 
+  /** DuckDB twin of [[pqDist2]] — the exact-L2² fold between two lists. */
+  private def pqD2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+       |         * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))))""".stripMargin
+
+  /** Shared PQ CTEs (codebook → subvectors → distances → argmin ranks)
+    * over `src`, the oracle twin of [[pqCodebook]]/[[pqSubvectors]]/
+    * [[pqAssign]] — reused by `emb_pq_encode` (base corpus) and
+    * `sim_ann_pq_adc` (augmented corpus).
+    */
+  private def pqCtes(src: String): String =
+    s"""cb AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS code, m,
+       |    embedding[m*8+1 : m*8+8] AS cb
+       |  FROM $src, generate_series(0, 7) t(m) WHERE vec_id < 16),
+       |sv AS (
+       |  SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS sv
+       |  FROM $src, generate_series(0, 7) t(m)),
+       |d AS (
+       |  SELECT sv.vec_id, sv.m, cb.code,
+       |    ${pqD2Sql("sv.sv", "cb.cb")} AS d2
+       |  FROM sv JOIN cb ON sv.m = cb.m),
+       |best AS (
+       |  SELECT vec_id, m, code, d2, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+       |  FROM d)""".stripMargin
+
   /** Shared IVF chain CTEs (aug → seeds → assign0 → Lloyd means → refined
     * centroids → final assignment → `e`) — the oracle twin of
     * `ivfAssignments` over the augmented corpus, reused by `sim_ann_ivf`
@@ -779,23 +870,7 @@ object VectorOps {
     "emb_pq_encode" -> {
       val codeSel = (0 until 8).map(m =>
         s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n         |  ")
-      s"""WITH cb AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS code, m,
-         |    embedding[m*8+1 : m*8+8] AS cb
-         |  FROM embeddings, generate_series(0, 7) t(m) WHERE vec_id < 16),
-         |sv AS (
-         |  SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS sv
-         |  FROM embeddings, generate_series(0, 7) t(m)),
-         |d AS (
-         |  SELECT sv.vec_id, sv.m, cb.code,
-         |    list_sum(list_transform(list_zip(sv.sv, cb.cb),
-         |      q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
-         |         * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))) AS d2
-         |  FROM sv JOIN cb ON sv.m = cb.m),
-         |best AS (
-         |  SELECT vec_id, m, code, d2, row_number() OVER (
-         |    PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
-         |  FROM d),
+      s"""WITH ${pqCtes("embeddings")},
          |enc AS (
          |  SELECT vec_id, m, code, CAST(d2 AS DECIMAL(28,12)) AS d2x
          |  FROM best WHERE rn = 1)
@@ -804,6 +879,38 @@ object VectorOps {
          |  round(CAST(sum(d2x) AS DOUBLE) / 64.0, 6) AS mse
          |FROM enc GROUP BY vec_id""".stripMargin
     },
+
+    // the ADC twin: anchors via the shared modulus, per-anchor lookup
+    // tables from the same fold, 8-entry DECIMAL sums, (adist, id) ranks
+    "sim_ann_pq_adc" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+         |${pqCtes("aug")},
+         |codes AS (SELECT vec_id, m, code FROM best WHERE rn = 1),
+         |m0 AS (${AnchorSample.modSql("aug")}),
+         |anch AS (
+         |  SELECT vec_id AS q FROM aug, m0
+         |  WHERE ${AnchorSample.predSql("vec_id")}),
+         |lut AS (
+         |  SELECT sv.vec_id AS q, sv.m, cb.code,
+         |    ${pqD2Sql("sv.sv", "cb.cb")} AS ld2
+         |  FROM sv JOIN anch ON sv.vec_id = anch.q
+         |  JOIN cb ON sv.m = cb.m),
+         |adc AS (
+         |  SELECT lut.q, codes.vec_id AS neighbor_id,
+         |    sum(CAST(ld2 AS DECIMAL(28,12))) AS adist
+         |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+         |  WHERE lut.q <> codes.vec_id
+         |  GROUP BY lut.q, codes.vec_id)
+         |SELECT q AS vec_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+         |  round(CAST(adist AS DOUBLE), 6) AS adist
+         |FROM (
+         |  SELECT q, neighbor_id, adist, row_number() OVER (
+         |    PARTITION BY q ORDER BY adist ASC, neighbor_id ASC) AS rn
+         |  FROM adc)
+         |WHERE rn <= $TOPK""".stripMargin,
 
     // the JL twin regenerates the sign matrix from the same md5-parity
     // derivation (md5Key64 spelling), zips it against each embedding, and
