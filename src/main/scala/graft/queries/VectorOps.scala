@@ -558,6 +558,47 @@ object VectorOps {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
+    // IVF-PQ search — THE production trillion-vector ANN shape (FAISS's
+    // IVF*,PQ*): the IVF assignment restricts candidates to the anchor's
+    // cell (the shared refined-key discipline), and those candidates are
+    // scored from their 8 one-byte PQ codes via the anchor's broadcast
+    // lookup table — so the pair scan touches neither full vectors nor
+    // even int8 vectors, only codes. Composes the two shared indexes a
+    // deployment maintains (cell assignment + code table); per-candidate
+    // cost is 8 table adds. Planted-twin recall pinned in
+    // [[QueryInvariantSpec]] (a twin shares cell AND codes).
+    "sim_ann_ivf_pq" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val assign = sharedIvfAssign(s, dir)
+      val cb = pqCodebook(emb)
+      val codes = pqAssign(pqSubvectors(emb), cb)
+        .select(col("vec_id").as("nb"), col("m"), col("code"))
+      val anch = AnchorSample.withAnchors(emb, col("vec_id"))
+        .filter(col("is_anchor"))
+      val anchSv = anch
+        .select(col("vec_id").as("q"), explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+        .select(col("q"), col("m"), slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("sv"))
+      val lut = anchSv.join(broadcast(cb), Seq("m"))
+        .withColumn("ld2", pqDist2(col("sv"), col("cb")))
+        .select(col("q"), col("m"), col("code"), col("ld2"))
+      val cand = anch.select(col("vec_id").as("q"))
+        .join(assign.select(col("vec_id").as("q"), col("ck")), Seq("q"))
+        .join(assign.select(col("ck"), col("vec_id").as("nb")), Seq("ck"))
+        .filter(col("q") =!= col("nb"))
+        .select(col("q"), col("nb"))
+      val w = Window.partitionBy(col("q"))
+        .orderBy(col("adist").asc, col("nb").asc)
+      cand.join(codes, Seq("nb"))
+        .join(broadcast(lut), Seq("q", "m", "code"))
+        .groupBy(col("q"), col("nb"))
+        .agg(sum(col("ld2").cast(DecimalType(28, 12))).as("adist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select(col("q").as("vec_id"), col("rn").cast(IntegerType).as("rank"),
+          col("nb").as("neighbor_id"), round(col("adist").cast(DoubleType), 6).as("adist"))
+    }),
+
     // Int8 scalar quantization (the SQ compression step ANN infrastructure
     // runs before indexing 100 TB of embeddings — 4× smaller vectors, dot
     // products on int8): per-vector max-abs scaling, q = ⌊x·scale + 0.5⌋
@@ -909,6 +950,40 @@ object VectorOps {
          |FROM (
          |  SELECT q, neighbor_id, adist, row_number() OVER (
          |    PARTITION BY q ORDER BY adist ASC, neighbor_id ASC) AS rn
+         |  FROM adc)
+         |WHERE rn <= $TOPK""".stripMargin,
+
+    // the IVF-PQ twin composes the two shared CTE chains (cell assignment
+    // and code table, both over aug), restricts candidates to the
+    // anchor's refined cell key, and replays the 8-entry DECIMAL sums
+    "sim_ann_ivf_pq" ->
+      s"""WITH $ivfCellCtes,
+         |${pqCtes("aug")},
+         |codes AS (SELECT vec_id AS nb, m, code FROM best WHERE rn = 1),
+         |m0 AS (${AnchorSample.modSql("aug")}),
+         |anch AS (
+         |  SELECT vec_id AS q FROM aug, m0
+         |  WHERE ${AnchorSample.predSql("vec_id")}),
+         |lut AS (
+         |  SELECT sv.vec_id AS q, sv.m, cb.code,
+         |    ${pqD2Sql("sv.sv", "cb.cb")} AS ld2
+         |  FROM sv JOIN anch ON sv.vec_id = anch.q
+         |  JOIN cb ON sv.m = cb.m),
+         |cand AS (
+         |  SELECT a.q, t.vec_id AS nb
+         |  FROM anch a JOIN e x ON x.vec_id = a.q
+         |  JOIN e t ON t.ck = x.ck
+         |  WHERE t.vec_id <> a.q),
+         |adc AS (
+         |  SELECT c.q, c.nb, sum(CAST(l.ld2 AS DECIMAL(28,12))) AS adist
+         |  FROM cand c JOIN codes k ON k.nb = c.nb
+         |  JOIN lut l ON l.q = c.q AND l.m = k.m AND l.code = k.code
+         |  GROUP BY c.q, c.nb)
+         |SELECT q AS vec_id, CAST(rn AS INTEGER) AS rank, nb AS neighbor_id,
+         |  round(CAST(adist AS DOUBLE), 6) AS adist
+         |FROM (
+         |  SELECT q, nb, adist, row_number() OVER (
+         |    PARTITION BY q ORDER BY adist ASC, nb ASC) AS rn
          |  FROM adc)
          |WHERE rn <= $TOPK""".stripMargin,
 

@@ -516,17 +516,19 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
-  test("PQ ADC: every anchor retrieves its planted twin at rank 1") {
-    // an exact copy shares all 8 codes, so its adist is the anchor's own
-    // reconstruction distortion — strictly below any random neighbor's on
-    // this corpus; a slicing/LUT/rank bug surfaces here immediately
-    val rows = q("sim_ann_pq_adc").collect()
-    val top1 = rows.filter(_.getInt(1) == 1)
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(top1.nonEmpty)
-    top1.foreach { case (qv, nb) =>
-      val twin = if (qv >= 100000L) qv - 100000L else qv + 100000L
-      assert(nb === twin, s"anchor $qv rank-1 neighbor $nb, expected twin $twin")
+  test("PQ search (flat ADC and IVF-PQ): every anchor retrieves its planted twin at rank 1") {
+    // an exact copy shares all 8 codes (and, for IVF-PQ, the cell), so its
+    // adist is the anchor's own reconstruction distortion — strictly below
+    // any random neighbor's on this corpus; a slicing/LUT/cell/rank bug
+    // surfaces here immediately
+    Seq("sim_ann_pq_adc", "sim_ann_ivf_pq").foreach { name =>
+      val top1 = q(name).collect().filter(_.getInt(1) == 1)
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(top1.nonEmpty, name)
+      top1.foreach { case (qv, nb) =>
+        val twin = if (qv >= 100000L) qv - 100000L else qv + 100000L
+        assert(nb === twin, s"$name: anchor $qv rank-1 $nb, expected twin $twin")
+      }
     }
   }
 
