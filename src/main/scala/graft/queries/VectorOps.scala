@@ -86,6 +86,18 @@ object VectorOps {
       .select(col("vec_id"), col("m"),
         slice(col("embedding"), col("m") * 8 + 1, lit(8)).as("sv"))
 
+  /** PQ code table over the augmented corpus, built ONCE per (session,
+    * corpus) and served to both search paths (`sim_ann_pq_adc`,
+    * `sim_ann_ivf_pq`) — the same maintained-index discipline as the LSH
+    * signature and IVF assignment tables.
+    */
+  private def sharedPqCodes(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"pqcodes:$dir") {
+      val aug = augmented(s, dir)
+      pqAssign(pqSubvectors(aug), pqCodebook(aug))
+        .select(col("vec_id"), col("m"), col("code"))
+    }
+
   /** Nearest-codebook-entry assignment per (vector, subspace): exact-L2
     * argmin with (d2, code) tie-break. Returns (vec_id, m, code, d2).
     */
@@ -572,7 +584,7 @@ object VectorOps {
       val emb = augmented(s, dir)
       val assign = sharedIvfAssign(s, dir)
       val cb = pqCodebook(emb)
-      val codes = pqAssign(pqSubvectors(emb), cb)
+      val codes = sharedPqCodes(s, dir)
         .select(col("vec_id").as("nb"), col("m"), col("code"))
       val anch = AnchorSample.withAnchors(emb, col("vec_id"))
         .filter(col("is_anchor"))
@@ -668,8 +680,7 @@ object VectorOps {
       register(s)
       val emb = augmented(s, dir)
       val cb = pqCodebook(emb)
-      val sv = pqSubvectors(emb)
-      val codes = pqAssign(sv, cb).select(col("vec_id"), col("m"), col("code"))
+      val codes = sharedPqCodes(s, dir)
       val anchSv = AnchorSample.withAnchors(emb, col("vec_id"))
         .filter(col("is_anchor")).select(col("vec_id"), col("embedding"))
         .select(col("vec_id").as("q"), explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
