@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** Incremental MERGE without Delta (ref: Incremental_load_template.sql:1-8 —
   * incremental_strategy='merge', unique_key=[order_id, product_id],
@@ -25,4 +26,21 @@ object Merge {
   def incrementalWindow(target: DataFrame, source: DataFrame, uniqueKey: Seq[String],
                         tsCol: String, watermark: String): DataFrame =
     upsert(target, source.filter(col(tsCol) >= watermark), uniqueKey)
+
+  /** VERSIONED CDC apply: merge a change batch into the target with
+    * latest-version-wins per key — the Debezium/CDC-ingest semantics where
+    * the winner is decided by the change's version (LSN, commit ts), NOT
+    * by processing order. Order-independence is the point: micro-batches
+    * may arrive split, coalesced, or replayed (at-least-once sources), and
+    * any interleaving converges to the same table. One shuffle on the
+    * unique key; requires (key, version) unique, which CDC logs guarantee.
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, uniqueKey: Seq[String],
+               versionCol: String): DataFrame = {
+    val w = Window.partitionBy(uniqueKey.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    target.unionByName(changes, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -189,6 +189,61 @@ object StreamGate {
         .select(col("event_type"), col("n"), col("sv").cast(DoubleType).as("sum_value"))
     }),
 
+    // Streaming CDC apply — the Debezium-shaped production ingest: change
+    // batches flow through foreachBatch and MERGE into a parquet target
+    // via Merge.applyCdc (latest VERSION wins per key, so at-least-once
+    // delivery, batch splits, and replays all converge to the same
+    // table), with each epoch's result swapped in via the crash-safe
+    // write-to-tmp + rename pattern. The input carries a v1 snapshot
+    // (even order keys, ver 1) and a v2 change batch (keys % 3 = 0,
+    // doubled price, ver 2); maxFilesPerTrigger=1 forces a multi-batch
+    // run so the gate actually exercises merge-over-merged state. The
+    // read-back faces file-layer bytes; the oracle recomputes the merge
+    // declaratively. (×2 on a double is exponent-only — exact.)
+    "stream_cdc_apply" -> ((s, dir) => {
+      val in = TempDirs.fresh("cdc_in")
+      val ckpt = TempDirs.fresh("cdc_ck")
+      val tgt = TempDirs.fresh("cdc_tgt") + "/t"
+      Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"), lit("v1").as("batch"), lit(1L).as("ver"))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("price"), lit("v2").as("batch"), lit(2L).as("ver"))
+        .coalesce(1).write.mode("append").parquet(in)
+      val applyBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, _) => {
+          val s2 = batch.sparkSession
+          val cur =
+            if (new java.io.File(tgt).exists) s2.read.parquet(tgt)
+            else batch.limit(0)
+          val tmp = tgt + "_tmp"
+          graft.operators.Merge.applyCdc(cur, batch, Seq("o_orderkey"), "ver")
+            .write.mode("overwrite").parquet(tmp)
+          val del = (f: java.io.File) => {
+            def rec(x: java.io.File): Unit = {
+              val cs = x.listFiles(); if (cs != null) cs.foreach(rec); x.delete(); ()
+            }
+            rec(f)
+          }
+          del(new java.io.File(tgt))
+          require(new java.io.File(tmp).renameTo(new java.io.File(tgt)),
+            s"cdc target swap failed: $tmp -> $tgt")
+        }
+      val q = s.readStream
+        .schema("o_orderkey LONG, o_custkey LONG, price DOUBLE, batch STRING, ver LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .writeStream
+        .foreachBatch(applyBatch)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, 300000)
+      s.read.parquet(tgt)
+        .select(col("o_orderkey"), col("o_custkey"), col("price"), col("batch"))
+    }),
+
     // Stream-static enrichment join — the OTHER production streaming join:
     // each micro-batch of the event stream joins the static customer dim
     // (broadcast — no state store at all, unlike the stream-stream case).
@@ -306,6 +361,20 @@ object StreamGate {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the CDC merge recompute: v2 (higher version) wins every overlapping
+    // key regardless of the order batches were applied
+    "stream_cdc_apply" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice AS price, 'v1' AS batch
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS price, 'v2' AS batch
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM v1
+        |WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.o_orderkey = v1.o_orderkey)
+        |UNION ALL
+        |SELECT * FROM v2""".stripMargin,
 
     // stateless stream-static join ≡ the batch join
     "stream_static_join" ->

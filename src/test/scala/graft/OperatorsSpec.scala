@@ -73,6 +73,21 @@ class MergeSpec extends SparkSpec {
     assert(m.columns.toSet === Set("k", "v", "w"))
     assert(m.filter($"k" === 1).collect().head.getAs[Any]("w") == null)
   }
+
+  test("applyCdc: latest version wins regardless of batch application order") {
+    // the CDC-ingest property that ORDER-based upsert lacks: any
+    // interleaving of change batches converges to the same table
+    val b1 = Seq((1, "a", 1L), (2, "a", 1L)).toDF("k", "v", "ver")
+    val b2 = Seq((2, "b", 2L), (3, "b", 2L)).toDF("k", "v", "ver")
+    val empty = b1.limit(0)
+    def table(df: org.apache.spark.sql.DataFrame): Map[Int, (String, Long)] =
+      df.collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    val fwd = table(Merge.applyCdc(Merge.applyCdc(empty, b1, Seq("k"), "ver"), b2, Seq("k"), "ver"))
+    val rev = table(Merge.applyCdc(Merge.applyCdc(empty, b2, Seq("k"), "ver"), b1, Seq("k"), "ver"))
+    val one = table(Merge.applyCdc(empty, b1.unionByName(b2), Seq("k"), "ver"))
+    val want = Map(1 -> ("a", 1L), 2 -> ("b", 2L), 3 -> ("b", 2L))
+    assert(fwd === want && rev === want && one === want)
+  }
 }
 
 class AssertionsSpec extends SparkSpec {
