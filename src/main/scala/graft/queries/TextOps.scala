@@ -37,6 +37,11 @@ object TextOps {
   private def bj(j: Int): Long = 5L * j + 7
   private val JACCARD_T = 0.7
 
+  /** Directed containment threshold (`dedup_containment`): 0.8 of the
+    * contained document's shingles must appear in the host.
+    */
+  private val CONTAIN_T = 0.8
+
   // Shared Java/RE2 regex subset (no lookaround, no backrefs) so Spark and
   // DuckDB compile the identical pattern.
   private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -401,6 +406,32 @@ object TextOps {
         .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
     }),
 
+    // Directed shingle CONTAINMENT (doc-within-doc / quote detection):
+    // C(u→v) = |sh(u) ∩ sh(v)| / |sh(u)| — catches a document embedded in
+    // a much larger one, where symmetric Jaccard stays low (the containment
+    // case MinHash famously under-estimates). Anchored on the CONTAINED
+    // side (the production shape: "is this doc quoted anywhere?" is an
+    // inverted-index lookup per source doc): anchors' shingles probe the
+    // shared index, one group per (src, host), sizes of the anchor side
+    // broadcast. Directed output — no pair collapse.
+    "dedup_containment" -> ((s, dir) => {
+      val sh = sharedShingleIndex(s, dir)
+      val ids = sh.select(col("doc_id")).distinct()
+      val anchors = AnchorSample.withAnchors(ids, col("doc_id"))
+        .filter(col("is_anchor")).select(col("doc_id"))
+      val a = sh.join(broadcast(anchors), Seq("doc_id"))
+        .select(col("doc_id").as("u"), col("shingle"))
+      val nu = a.groupBy(col("u")).agg(count(lit(1)).as("nu"))
+      val inter = a.join(sh.select(col("doc_id").as("v"), col("shingle")), Seq("shingle"))
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      inter.join(broadcast(nu), Seq("u"))
+        .withColumn("containment", col("c").cast(DoubleType) / col("nu"))
+        .filter(col("containment") >= CONTAIN_T)
+        .select(col("u").as("src_doc"), col("v").as("within_doc"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     // MinHash + LSH banding + exact-Jaccard verification (the shared
     // production pair set — see lshVerifiedPairs).
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -750,6 +781,26 @@ object TextOps {
          |  round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
          |    AS dup_frac
          |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // the directed-containment twin: same anchors, the divisor is the
+    // CONTAINED side's shingle count only, no pair collapse
+    "dedup_containment" ->
+      s"""WITH sh AS ($shingleSql),
+         |ids AS (SELECT DISTINCT doc_id FROM sh),
+         |m AS (${AnchorSample.modSql("ids")}),
+         |anch AS (SELECT doc_id FROM ids, m WHERE ${AnchorSample.predSql("doc_id")}),
+         |nu AS (
+         |  SELECT sh.doc_id AS u, count(*) AS nu
+         |  FROM sh JOIN anch ON sh.doc_id = anch.doc_id GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+         |  FROM sh a JOIN anch ON a.doc_id = anch.doc_id
+         |  JOIN sh b ON a.shingle = b.shingle AND b.doc_id <> a.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT u AS src_doc, v AS within_doc,
+         |  round(CAST(c AS DOUBLE) / nu.nu, 6) AS containment
+         |FROM inter JOIN nu USING (u)
+         |WHERE CAST(c AS DOUBLE) / nu.nu >= $CONTAIN_T""".stripMargin,
 
     // the anchored twin: the same derived modulus, anchor predicate, and
     // least/greatest pair normalization as the Spark side
