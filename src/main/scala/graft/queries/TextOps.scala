@@ -406,6 +406,48 @@ object TextOps {
         .select(col("i"), col("j"), round(col("jc"), 6).as("jaccard"))
     }),
 
+    // CCNet-style LM perplexity filter: score every document under a
+    // BIGRAM language model trained on the corpus itself (add-one
+    // smoothing over the corpus vocabulary), emit the per-token average
+    // negative log-likelihood (log-perplexity) and the corpus-relative
+    // keep decision — the quality filter every LLM data pipeline runs
+    // (CCNet/ RefinedWeb use a KenLM; the Spark-shaped equivalent is the
+    // same count tables as joins). Scale shape: bigram/unigram counts are
+    // the one-shuffle LM "training"; scoring joins each doc's bigrams
+    // against the broadcast-scale count tables (at 100 TB the LM tables
+    // shard and the join is an equi-join on the bigram); per-token logs
+    // are DECIMAL-cast before the per-doc sum so aggregation order can't
+    // drift the hash; the keep threshold derives from the corpus (p90 of
+    // the score distribution as a broadcast scalar).
+    "text_lm_perplexity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextFns.rawTokens(col("text"))).as(Seq("p", "w")))
+      // bigrams via lead over the in-doc position — one shuffle on doc_id,
+      // not a token-table self-join
+      val wp = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val big = toks.withColumn("w2", lead(col("w"), 1).over(wp))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      val bigN = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val uniN = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val vocab = toks.agg(countDistinct(col("w")).cast(DoubleType).as("v"))
+      val scored = big
+        .join(bigN, Seq("w1", "w2"))
+        .join(uniN.withColumnRenamed("w", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("nll", (-log((col("cb") + lit(1.0d)) / (col("cu") + col("v"))))
+          .cast(DecimalType(28, 12)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"))
+        .withColumn("avg_nll",
+          round(col("nll_sum").cast(DoubleType) / col("n_bigrams"), 6))
+      val thr = scored.agg(
+        round(expr("percentile(avg_nll, 0.9)"), 6).as("p90"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          (col("avg_nll") <= col("p90")).as("keep"))
+    }),
+
     // Directed shingle CONTAINMENT (doc-within-doc / quote detection):
     // C(u→v) = |sh(u) ∩ sh(v)| / |sh(u)| — catches a document embedded in
     // a much larger one, where symmetric Jaccard stays low (the containment
@@ -781,6 +823,34 @@ object TextOps {
          |  round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
          |    AS dup_frac
          |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // the LM twin: identical add-one bigram model, per-token DECIMAL
+    // negative log-likelihoods, corpus-derived p90 keep threshold
+    "text_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |  FROM toks),
+        |bigf AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |bn AS (SELECT w1, w2, count(*) AS cb FROM bigf GROUP BY 1, 2),
+        |un AS (SELECT w, count(*) AS cu FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+        |sc AS (
+        |  SELECT bigf.doc_id,
+        |    CAST(-ln((cb + 1.0) / (cu + v)) AS DECIMAL(28,12)) AS nll
+        |  FROM bigf JOIN bn USING (w1, w2)
+        |  JOIN un ON un.w = bigf.w1 CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        |  FROM sc GROUP BY doc_id),
+        |t AS (SELECT round(quantile_cont(avg_nll, 0.9), 6) AS p90 FROM agg)
+        |SELECT doc_id, n_bigrams, avg_nll, avg_nll <= p90 AS keep
+        |FROM agg, t""".stripMargin,
 
     // the directed-containment twin: same anchors, the divisor is the
     // CONTAINED side's shingle count only, no pair collapse
