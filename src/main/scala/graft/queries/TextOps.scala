@@ -525,6 +525,28 @@ object TextOps {
         .withColumn("is_canonical", col("doc_id") === col("component_id"))
     }),
 
+    // Keep-BEST-per-cluster — the actual curation decision: inside each
+    // near-dup component (the shared banded pair chain + components
+    // closure), survive the highest QUALITY document, not the lowest id —
+    // what production dedup does when duplicates differ in boilerplate or
+    // truncation. Composes the two maintained artifacts (pair index,
+    // quality score) with one left join and one per-component window;
+    // singleton docs are their own component and trivially keep.
+    "dedup_keep_best" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir).select(col("i"), col("j"))
+      val labels = graft.operators.Components.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label").as("component_id"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), qualityScoreCol.as("quality_score"))
+      val w = Window.partitionBy(col("component_id"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      scored.join(labels, Seq("doc_id"), "left")
+        .withColumn("component_id", coalesce(col("component_id"), col("doc_id")))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("component_id"), col("quality_score"),
+          (col("rn") === 1).as("keep"))
+    }),
+
     // SimHash signature: one pass, 60 conditional sums over distinct tokens.
     "dedup_simhash" -> ((s, dir) => simhashSigs(Tables.documents(s, dir))),
 
@@ -918,6 +940,40 @@ object TextOps {
     "dedup_minhash_lsh" ->
       s"""WITH $lshPairsSql
          |SELECT i, j, round(jc, 6) AS jaccard FROM lsh_pairs""".stripMargin,
+
+    // the keep-best twin: the recursive closure over the same pair chain,
+    // the same quality expression, argmax by (quality desc, id asc)
+    "dedup_keep_best" -> {
+      val stopHits = TextFns.vocabHitsSql(
+        "regexp_split_to_array(trim(text), '\\s+')", Langs.stopwords)
+      s"""WITH RECURSIVE $lshPairsSql,
+         |edges AS (
+         |  SELECT i, j FROM lsh_pairs
+         |  UNION ALL
+         |  SELECT j AS i, i AS j FROM lsh_pairs),
+         |reach(a, b) AS (
+         |  SELECT i AS a, j AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.j AS b FROM reach r JOIN edges e ON r.b = e.i),
+         |comp AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS component_id
+         |  FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0) * 0.5 +
+         |      (1.0 - CAST(STOPHITS AS DOUBLE)
+         |        / len(regexp_split_to_array(trim(text), '\\s+'))) * 0.5, 6)
+         |      AS quality_score
+         |  FROM documents),
+         |j AS (
+         |  SELECT q.doc_id, coalesce(comp.component_id, q.doc_id) AS component_id,
+         |    q.quality_score
+         |  FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id)
+         |SELECT doc_id, component_id, quality_score,
+         |  row_number() OVER (PARTITION BY component_id
+         |    ORDER BY quality_score DESC, doc_id ASC) = 1 AS keep
+         |FROM j""".stripMargin.replace("STOPHITS", stopHits)
+    },
 
     "dedup_incremental" ->
       s"""WITH $jaccardSql,
