@@ -231,6 +231,46 @@ object Pipeline {
         .toDF("n_rows", "n_null_user", "n_purchases", "sum_value")
     }),
 
+    // QA: distribution-drift monitor (Population Stability Index) between
+    // two snapshots of the value column — the retrain/alert trigger every
+    // production feature pipeline computes between yesterday's and today's
+    // data. Snapshot A = even event ids; snapshot B = odd ids with a
+    // PLANTED heavy-tail shift (20% of B's rows scaled ×10 — the values
+    // distribution is right-skewed, so a mild multiplier barely moves bin
+    // mass) so the gate proves the monitor FIRES, not just runs. Ten
+    // fixed-width bins over broadcast corpus bounds; out-of-range mass
+    // lands in the clamp bin (least(…, 9)) exactly as production PSI
+    // handles never-seen-before values; PSI = Σ (p_a − p_b)·ln(p_a/p_b)
+    // with add-one count smoothing (no empty-bin infinities); per-bin
+    // terms DECIMAL-cast before the 10-way sum. Scale shape: two shuffles
+    // of bin-cardinality (10 rows) after map-side partial counts — the
+    // corpus is scanned once per side and never reshuffled.
+    "qa_drift_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val a = ev.filter(col("event_id") % 2 === 0).select(col("value"))
+      val b = ev.filter(col("event_id") % 2 =!= 0)
+        .select(when(col("event_id") % 10 === 1, col("value") * lit(10.0d))
+          .otherwise(col("value")).as("value"))
+      val bounds = ev.agg(min(col("value")).as("mn"),
+        (max(col("value")) * lit(1.5d)).as("mx"))
+      def binCounts(df: DataFrame, tag: String): DataFrame =
+        df.crossJoin(broadcast(bounds))
+          .withColumn("bin", least(floor((col("value") - col("mn")) /
+            (col("mx") - col("mn")) * 10.0d), lit(9.0d)).cast(IntegerType))
+          .groupBy(col("bin")).agg(count(lit(1)).as(s"c_$tag"))
+      val bins = binCounts(a, "a").join(binCounts(b, "b"), Seq("bin"), "full")
+        .select(col("bin"), coalesce(col("c_a"), lit(0L)).as("ca"),
+          coalesce(col("c_b"), lit(0L)).as("cb"))
+      val totals = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val pa = (col("ca") + lit(1.0d)) / (col("na") + lit(10.0d))
+      val pb = (col("cb") + lit(1.0d)) / (col("nb") + lit(10.0d))
+      bins.crossJoin(broadcast(totals))
+        .withColumn("term", ((pa - pb) * log(pa / pb)).cast(DecimalType(28, 12)))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          round(sum(col("term")).cast(DoubleType), 6).as("psi"))
+        .withColumn("drift_detected", col("psi") > lit(0.1d))
+    }),
+
     "qa_row_rules" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val lineTotal = dec(col("l_quantity")) * dec(col("l_extendedprice"))
@@ -394,6 +434,39 @@ object Pipeline {
         |SELECT email_ok, ip_ok, is_private_ip,
         |  (email_ok AND ip_ok AND NOT is_private_ip) AS is_row_valid, count(*) AS n
         |FROM f GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // the PSI twin: same planted shift, same bounds/bins/smoothing, the
+    // same add-one probabilities and DECIMAL per-bin terms
+    "qa_drift_psi" ->
+      """WITH ev AS (SELECT event_id, value FROM events),
+        |a AS (SELECT value FROM ev WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT CASE WHEN event_id % 10 = 1 THEN value * 10.0
+        |    ELSE value END AS value
+        |  FROM ev WHERE event_id % 2 <> 0),
+        |bounds AS (SELECT min(value) AS mn, max(value) * 1.5 AS mx FROM ev),
+        |ba AS (
+        |  SELECT CAST(least(floor((value - mn) / (mx - mn) * 10.0), 9.0) AS INTEGER) AS bin,
+        |    count(*) AS ca
+        |  FROM a, bounds GROUP BY 1),
+        |bb AS (
+        |  SELECT CAST(least(floor((value - mn) / (mx - mn) * 10.0), 9.0) AS INTEGER) AS bin,
+        |    count(*) AS cb
+        |  FROM b, bounds GROUP BY 1),
+        |bins AS (
+        |  SELECT coalesce(ba.bin, bb.bin) AS bin,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ba FULL JOIN bb ON ba.bin = bb.bin),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM bins),
+        |terms AS (
+        |  SELECT CAST(((ca + 1.0) / (na + 10.0) - (cb + 1.0) / (nb + 10.0))
+        |    * ln(((ca + 1.0) / (na + 10.0)) / ((cb + 1.0) / (nb + 10.0)))
+        |    AS DECIMAL(28,12)) AS term, na, nb
+        |  FROM bins, tot)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+        |  round(CAST(sum(term) AS DOUBLE), 6) > 0.1 AS drift_detected
+        |FROM terms""".stripMargin,
 
     // the in-flight observed metrics must equal the declarative aggregates
     "qa_observe_metrics" ->
