@@ -219,4 +219,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("IVF-PQ: the LUT and codebook broadcast; no cartesian pair space") {
+    val p = plan("sim_ann_ivf_pq")
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("LM perplexity: bigrams come from a window, not a token self-join") {
+    val p = plan("text_lm_perplexity")
+    // lead() over (doc_id, p) — a Window node must exist and the plan must
+    // not pair the token table against itself on position arithmetic
+    assert(p.contains("Window ["), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"), p.take(1200))
+  }
+
+  test("containment: anchors broadcast into the shared index probe") {
+    val p = plan("dedup_containment")
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
