@@ -237,6 +237,37 @@ object SinkRoundTrip {
         .withColumn("bucketed_no_shuffle", lit(shuffles == 0))
     }),
 
+    // S18: RUNTIME bloom-filter join pruning (Spark's InjectRuntimeFilter)
+    // — the optimizer feature that makes selective fact⋈dim joins cheap at
+    // 100 TB without bucketing: a bloom sketch of the SELECTIVE side's
+    // join keys is built at runtime and pushed into the big side's scan,
+    // so rows that cannot join are dropped before the shuffle. The gate
+    // runs a deliberately-selective orders filter against lineitem on an
+    // isolated child session (broadcast off so the join is shuffle-shaped
+    // — the case runtime filtering exists for; the application-side size
+    // threshold lowered since the test corpus is not 10 GB), asserts the
+    // optimized plan carries the bloom_filter/might_contain pair, and
+    // folds the flag into the hash-gated result.
+    "s18_runtime_bloom_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(s2, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val ord = Tables.orders(s2, dir)
+        .filter(col("o_totalprice") > 400000.0d)
+        .select(col("o_orderkey"))
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      val pruned = opt.contains("bloom_filter") || opt.contains("might_contain")
+      j.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+        .withColumn("bloom_pruned", lit(pruned))
+    }),
+
     // S17: Z-ORDER (Morton-interleaved) data layout — the multi-dimension
     // generalization of s11's zone maps: 1-D sort prunes on ONE key; at
     // 100 TB a fact table is probed by several (customer AND date here),
@@ -356,6 +387,16 @@ object SinkRoundTrip {
         |  TRUE AS bucketed_no_shuffle
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the runtime-filter boolean is the gate: if the optimizer stops
+    // injecting the bloom for this selective shuffle join → FALSE ≠ TRUE
+    "s18_runtime_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  TRUE AS bloom_pruned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY l_returnflag""".stripMargin,
 
     // the prune booleans are the gate: a single-key sort makes the
     // off-key midpoint probe touch every file → FALSE ≠ TRUE
