@@ -224,6 +224,58 @@ object Joins {
             (col("valid_to").isNull || col("ts") < col("valid_to")), "left")
         .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
           coalesce(col("state"), lit("unknown")).as("state_at_purchase"))
+    }),
+
+    // J17: AQE SKEW-JOIN mitigation — the runtime re-plan the brief names
+    // next to salting: when one join key holds most of a side's rows, AQE
+    // splits the oversized shuffle partition across tasks instead of
+    // letting one straggler run the stage. The gate manufactures the skew
+    // (the skew_salted_agg trick: 70% of events collapse onto one key),
+    // joins against a uniform side on an isolated child session with the
+    // detection thresholds scaled to the test corpus, executes once to
+    // materialize the ADAPTIVE final plan, and folds the plan's
+    // `isSkewJoin=true` marker into the hash-gated aggregate. At 100 TB
+    // the same conf defaults detect 256 MB-plus partitions; here only the
+    // thresholds differ, the mechanism is identical.
+    "j17_skew_join_aqe" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Three conditions this gate had to discover the hard way, each a
+      // production lesson: (1) thresholds scale to the fixture (hot
+      // partition ≈ 6 KB at sf0.001 vs the 256 MB default); (2) AQE
+      // splits a skewed partition on MAPPER boundaries, so a one-mapper
+      // input (single parquet row group) can never split — the repartition
+      // below manufactures 8 mappers the way a real cluster's thousands of
+      // scan tasks do naturally; (3) the downstream aggregate could have
+      // reused the join's partitioning, so the split is declined unless
+      // forced — the trade a skew-dominated stage wants.
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val hot = Tables.events(s2, dir)
+        .repartition(8, col("event_id"))
+        .select(col("event_id"),
+          when(col("event_id") % 10 < 7, lit(1L)).otherwise(col("event_id") % 1000).as("k"),
+          col("value"))
+      val dim = Tables.customer(s2, dir)
+        .filter(col("c_custkey") <= 999)
+        .select(col("c_custkey").as("k"), col("c_name").as("k_name"))
+      val j = hot.join(dim, Seq("k"))
+      val agg = j.groupBy(col("k_name").isNotNull.as("matched"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      // drive THIS QueryExecution to its adaptive final plan (a sink write
+      // would execute a clone and leave this plan isFinalPlan=false), then
+      // read the skew marker off it
+      agg.queryExecution.toRdd.count()
+      val fin = agg.queryExecution.executedPlan.toString
+      val skewHandled = fin.contains("skew=true") || fin.contains("isSkewJoin=true")
+      agg.withColumn("skew_split_applied", lit(skewHandled))
     })
   )
 
@@ -352,6 +404,23 @@ object Joins {
         |SELECT f.event_id, f.user_id, f.ts AS purchase_ts,
         |  coalesce(h.event_type, 'unknown') AS state_at_purchase
         |FROM f LEFT JOIN hist h ON f.user_id = h.user_id
-        |  AND h.valid_from <= f.ts AND (h.valid_to IS NULL OR f.ts < h.valid_to)""".stripMargin
+        |  AND h.valid_from <= f.ts AND (h.valid_to IS NULL OR f.ts < h.valid_to)""".stripMargin,
+
+    // the skew-split boolean is the gate: AQE failing to split the hot
+    // partition (conf regression, marker rename) → FALSE ≠ TRUE
+    "j17_skew_join_aqe" ->
+      """WITH hot AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 < 7 THEN 1 ELSE event_id % 1000 END AS k,
+        |    value
+        |  FROM events),
+        |dimn AS (
+        |  SELECT c_custkey AS k, c_name AS k_name
+        |  FROM customer WHERE c_custkey <= 999)
+        |SELECT k_name IS NOT NULL AS matched, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  TRUE AS skew_split_applied
+        |FROM hot JOIN dimn USING (k)
+        |GROUP BY 1""".stripMargin
   )
 }
