@@ -276,6 +276,55 @@ object Joins {
       val fin = agg.queryExecution.executedPlan.toString
       val skewHandled = fin.contains("skew=true") || fin.contains("isSkewJoin=true")
       agg.withColumn("skew_split_applied", lit(skewHandled))
+    }),
+
+    // J18: DYNAMIC PARTITION PRUNING — the other runtime prune: when a
+    // date-partitioned fact joins a dim whose own filter is only known at
+    // plan time, Spark injects the dim's surviving join keys as a runtime
+    // subquery into the fact scan's PartitionFilters, so a 100 TB fact
+    // reads only the matching date directories. The fact is written
+    // date-partitioned through the production sink path; the dim is the
+    // per-date activity profile filtered by an AGGREGATE attribute
+    // (busier-than-average days — deliberately not a function of the key,
+    // so constraint propagation cannot pre-prune statically and the
+    // runtime mechanism is what does the work). The `dynamicpruning`
+    // marker in the fact scan is folded into the hash-gated result.
+    "j18_dynamic_partition_pruning" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      // the cost heuristic compares fact-scan savings against the dim
+      // subquery's ESTIMATED size; an aggregate dim has no stats, so its
+      // default estimate dwarfs a test-scale fact and pruning is declined
+      // on size alone — disable the stats path and raise the fallback
+      // ratio so the decision reflects the mechanism, not the fixture
+      s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000000.0")
+      val out = TempDirs.fresh("j18")
+      Tables.events(s2, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date"))
+        .write.partitionBy("event_date").mode("overwrite").parquet(out)
+      val fact = s2.read.parquet(out)
+      val perDay = Tables.events(s2, dir)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("nd"))
+      // threshold via a global window over the per-day table (tiny — one
+      // row per day) so the comparison stays a FILTER node: a broadcast
+      // scalar crossJoin folds the predicate into a join condition, which
+      // DPP's selectivity check does not see
+      val dim = perDay
+        .withColumn("bar", avg(col("nd").cast(DoubleType)).over(Window.partitionBy()))
+        .filter(col("nd").cast(DoubleType) > col("bar"))
+        .select(col("event_date"))
+      // the dim must BROADCAST for the default reuseBroadcastOnly DPP
+      // path (the runtime filter reuses the broadcast exchange for free —
+      // exactly the production configuration)
+      val j = fact.join(broadcast(dim), Seq("event_date"))
+      val dpp = j.queryExecution.executedPlan.toString.contains("dynamicpruning")
+      j.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .withColumn("dpp_applied", lit(dpp))
     })
   )
 
@@ -421,6 +470,22 @@ object Joins {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  TRUE AS skew_split_applied
         |FROM hot JOIN dimn USING (k)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // the pruning boolean is the gate: the optimizer dropping the runtime
+    // subquery from the fact scan → FALSE ≠ TRUE
+    "j18_dynamic_partition_pruning" ->
+      """WITH perday AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS nd
+        |  FROM events GROUP BY 1),
+        |bar AS (SELECT avg(CAST(nd AS DOUBLE)) AS bar FROM perday),
+        |dim AS (
+        |  SELECT event_date FROM perday, bar
+        |  WHERE CAST(nd AS DOUBLE) > bar)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  TRUE AS dpp_applied
+        |FROM events JOIN dim ON CAST(ts AS DATE) = dim.event_date
+        |GROUP BY event_type""".stripMargin
   )
 }
