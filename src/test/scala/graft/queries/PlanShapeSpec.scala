@@ -239,4 +239,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("NEGATIVE CONTROL — a 1-D sort fails the z-order both-dims probe") {
+    // prove s17's assertion can fail: lay the same data out sorted by
+    // custkey ONLY and recompute the gate's bounding-box probes — the
+    // custkey probe prunes, but the date probe must touch (nearly) every
+    // file, flipping the dd_prune_ok flag the real layout passes
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val out = TempDirs.fresh("s17neg")
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("dday",
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01"))).cast(LongType))
+    o.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(out)
+    val bounds = o.agg(min(col("o_custkey")).as("ck0"), max(col("o_custkey")).as("ck1"),
+      min(col("dday")).as("d0"), max(col("dday")).as("d1"))
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+        min(col("dday")).as("dd_min"), max(col("dday")).as("dd_max"))
+    val r = perFile.crossJoin(broadcast(bounds))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("nf"),
+        sum(when(col("ck_min") <= (col("ck0") + col("ck1")) / 2 &&
+          (col("ck0") + col("ck1")) / 2 <= col("ck_max"), 1L).otherwise(0L)).as("ckf"),
+        sum(when(col("dd_min") <= (col("d0") + col("d1")) / 2 &&
+          (col("d0") + col("d1")) / 2 <= col("dd_max"), 1L).otherwise(0L)).as("ddf"))
+      .head
+    val (nf, ckf, ddf) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ckf * 2 <= nf, s"custkey probe should prune under a custkey sort ($ckf/$nf)")
+    assert(ddf * 2 > nf, s"date probe must NOT prune under a custkey-only sort ($ddf/$nf)")
+  }
+
+  test("NEGATIVE CONTROL — an unpartitioned fact gets no dynamicpruning subquery") {
+    // prove j18's flag is earned: the identical join over a fact written
+    // WITHOUT partitionBy carries no runtime pruning subquery
+    import org.apache.spark.sql.functions._
+    val out = TempDirs.fresh("j18neg")
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("event_date"))
+      .write.mode("overwrite").parquet(out)
+    val fact = spark.read.parquet(out)
+    val perDay = graft.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("nd"))
+    val dim = perDay
+      .withColumn("bar", avg(col("nd").cast("double"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("nd").cast("double") > col("bar"))
+      .select(col("event_date"))
+    val j = fact.join(broadcast(dim), Seq("event_date"))
+    assert(!j.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "an unpartitioned scan must not carry a pruning subquery")
+  }
 }
