@@ -277,11 +277,15 @@ object SinkRoundTrip {
     // builtins (whole-stage codegen, no UDF), range-partitioned into 16
     // files ≈ a 4×4 grid of (custkey, day) cells. The gate reads the
     // files back, rebuilds each file's 2-D bounding box from
-    // input_file_name(), and asserts a MIDPOINT query on EITHER dim alone
-    // touches at most half the files — the both-dims-prune property a
-    // single-key sort provably cannot give (its second-dim probe touches
-    // every file). Flags fold into the result, so a broken interleave or
-    // a hash repartition flips the hash red.
+    // input_file_name(), and asserts the MEAN per-file EXTENT of each dim
+    // stays under 0.6 of that dim's full range — a clean z cell covers
+    // ~1/4, a z-range that crosses a major boundary of the OTHER dim
+    // wraps to ~1.0, and their mix lands ≈ 0.44; a single-key sort pins
+    // the off-key dim at ~1.0 (the negative-control spec). Extent means
+    // are robust to the range-sampler boundary wobble that makes
+    // midpoint-touch COUNTS flip right at half (observed at sf0.1).
+    // Flags fold into the result, so a broken interleave or a hash
+    // repartition flips the hash red.
     "s17_zorder_layout" -> ((s, dir) => {
       val out = freshDir("s17")
       val o = Tables.orders(s, dir)
@@ -311,14 +315,14 @@ object SinkRoundTrip {
           count(lit(1)).as("n"))
       perFile.crossJoin(broadcast(bounds))
         .agg(count(lit(1)).as("nf"), sum(col("n")).as("n_rows"),
-          sum(when(col("ck_min") <= (col("ck0") + col("ck1")) / 2 &&
-            (col("ck0") + col("ck1")) / 2 <= col("ck_max"), 1L).otherwise(0L)).as("ckf"),
-          sum(when(col("dd_min") <= (col("d0") + col("d1")) / 2 &&
-            (col("d0") + col("d1")) / 2 <= col("dd_max"), 1L).otherwise(0L)).as("ddf"))
+          sum((col("ck_max") - col("ck_min")).cast(DoubleType)).as("cke"),
+          sum((col("dd_max") - col("dd_min")).cast(DoubleType)).as("dde"),
+          max((col("ck1") - col("ck0")).cast(DoubleType)).as("ckr"),
+          max((col("d1") - col("d0")).cast(DoubleType)).as("ddr"))
         .select(col("n_rows"),
           col("nf").between(8, 16).as("files_ok"),
-          (col("ckf") * 2 <= col("nf")).as("ck_prune_ok"),
-          (col("ddf") * 2 <= col("nf")).as("dd_prune_ok"))
+          (col("cke") < col("ckr") * col("nf") * 0.6d).as("ck_prune_ok"),
+          (col("dde") < col("ddr") * col("nf") * 0.6d).as("dd_prune_ok"))
     })
   )
 

@@ -263,14 +263,15 @@ class PlanShapeSpec extends SparkSpec {
         min(col("dday")).as("dd_min"), max(col("dday")).as("dd_max"))
     val r = perFile.crossJoin(broadcast(bounds))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("nf"),
-        sum(when(col("ck_min") <= (col("ck0") + col("ck1")) / 2 &&
-          (col("ck0") + col("ck1")) / 2 <= col("ck_max"), 1L).otherwise(0L)).as("ckf"),
-        sum(when(col("dd_min") <= (col("d0") + col("d1")) / 2 &&
-          (col("d0") + col("d1")) / 2 <= col("dd_max"), 1L).otherwise(0L)).as("ddf"))
+        sum((col("ck_max") - col("ck_min")).cast("double")).as("cke"),
+        sum((col("dd_max") - col("dd_min")).cast("double")).as("dde"),
+        max((col("ck1") - col("ck0")).cast("double")).as("ckr"),
+        max((col("d1") - col("d0")).cast("double")).as("ddr"))
       .head
-    val (nf, ckf, ddf) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    assert(ckf * 2 <= nf, s"custkey probe should prune under a custkey sort ($ckf/$nf)")
-    assert(ddf * 2 > nf, s"date probe must NOT prune under a custkey-only sort ($ddf/$nf)")
+    val (nf, cke, dde, ckr, ddr) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(cke < ckr * nf * 0.6, s"custkey extents should shrink under a custkey sort ($cke vs ${ckr * nf})")
+    assert(dde > ddr * nf * 0.9, s"date extents must stay ~full under a custkey-only sort ($dde vs ${ddr * nf})")
   }
 
   test("NEGATIVE CONTROL — an unpartitioned fact gets no dynamicpruning subquery") {
