@@ -274,6 +274,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(dde > ddr * nf * 0.9, s"date extents must stay ~full under a custkey-only sort ($dde vs ${ddr * nf})")
   }
 
+  test("NEGATIVE CONTROL — the same join over UNBUCKETED tables plans with exchanges") {
+    // prove s16's zero-shuffle flag is earned: identical join, plain
+    // parquet instead of bucketed catalog tables, broadcast off — the
+    // sort-merge join must now shuffle both sides
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val j = graft.Tables.orders(s2, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.customer(s2, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+    val shuffles = j.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(shuffles >= 2, s"unbucketed SMJ must shuffle both sides, saw $shuffles")
+  }
+
   test("NEGATIVE CONTROL — an unpartitioned fact gets no dynamicpruning subquery") {
     // prove j18's flag is earned: the identical join over a fact written
     // WITHOUT partitionBy carries no runtime pruning subquery
