@@ -76,9 +76,16 @@ object Approx {
     // broadcast 1-row scalar, never a driver constant — sized so the
     // planted keys clear it and the uniform tail cannot even at the
     // 15-user sf0.001 fixture, where hot/mean bottoms out at ~3.75).
+    // NULL keys are excluded up front (the events convention everywhere
+    // else in this repo): cms_estimate(NULL) is null so a NULL group could
+    // never clear the candidate filter on the Spark side, while a SQL
+    // GROUP BY would retain it — filtering both twins keeps the gate
+    // null-robust instead of fixture-dependent.
     "approx_heavy_hitters" -> ((s, dir) => {
       CmsEstimate.register(s)
-      val keyed = Tables.events(s, dir).select(
+      val keyed = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(
         when(col("event_id") % 2 === 0, col("user_id") % 2)
           .otherwise(col("user_id")).as("k"))
       val cms = keyed.stat.countMinSketch("k", eps = 0.001, confidence = 0.99, seed = 42)
@@ -119,7 +126,7 @@ object Approx {
       """WITH keyed AS (
         |  SELECT CASE WHEN event_id % 2 = 0 THEN user_id % 2
         |    ELSE user_id END AS k
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |t AS (
         |  SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT k) * 2.0 AS hh_t
         |  FROM keyed)

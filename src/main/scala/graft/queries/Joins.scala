@@ -233,8 +233,9 @@ object Joins {
     // (the skew_salted_agg trick: 70% of events collapse onto one key),
     // joins against a uniform side on an isolated child session with the
     // detection thresholds scaled to the test corpus, executes once to
-    // materialize the ADAPTIVE final plan, and folds the plan's
-    // `isSkewJoin=true` marker into the hash-gated aggregate. At 100 TB
+    // materialize the ADAPTIVE final plan, and folds the typed
+    // `ShuffledJoin.isSkewJoin` flag (PlanProbe) into the hash-gated
+    // aggregate. At 100 TB
     // the same conf defaults detect 256 MB-plus partitions; here only the
     // thresholds differ, the mechanism is identical.
     "j17_skew_join_aqe" -> ((s, dir) => {
@@ -271,10 +272,10 @@ object Joins {
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
       // drive THIS QueryExecution to its adaptive final plan (a sink write
       // would execute a clone and leave this plan isFinalPlan=false), then
-      // read the skew marker off it
+      // read the typed isSkewJoin marker off it (PlanProbe — not a plan
+      // string match, which a Spark marker rename would silently break)
       agg.queryExecution.toRdd.count()
-      val fin = agg.queryExecution.executedPlan.toString
-      val skewHandled = fin.contains("skew=true") || fin.contains("isSkewJoin=true")
+      val skewHandled = PlanProbe.skewJoinFired(agg.queryExecution.executedPlan)
       agg.withColumn("skew_split_applied", lit(skewHandled))
     }),
 
@@ -287,8 +288,9 @@ object Joins {
     // per-date activity profile filtered by an AGGREGATE attribute
     // (busier-than-average days — deliberately not a function of the key,
     // so constraint propagation cannot pre-prune statically and the
-    // runtime mechanism is what does the work). The `dynamicpruning`
-    // marker in the fact scan is folded into the hash-gated result.
+    // runtime mechanism is what does the work). The typed DynamicPruning
+    // predicate in the fact scan's partitionFilters (PlanProbe) is folded
+    // into the hash-gated result.
     "j18_dynamic_partition_pruning" -> ((s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "32")
@@ -320,7 +322,7 @@ object Joins {
       // path (the runtime filter reuses the broadcast exchange for free —
       // exactly the production configuration)
       val j = fact.join(broadcast(dim), Seq("event_date"))
-      val dpp = j.queryExecution.executedPlan.toString.contains("dynamicpruning")
+      val dpp = PlanProbe.dppFired(j.queryExecution.executedPlan)
       j.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))

@@ -246,8 +246,8 @@ object SinkRoundTrip {
     // isolated child session (broadcast off so the join is shuffle-shaped
     // — the case runtime filtering exists for; the application-side size
     // threshold lowered since the test corpus is not 10 GB), asserts the
-    // optimized plan carries the bloom_filter/might_contain pair, and
-    // folds the flag into the hash-gated result.
+    // optimized plan carries an injected BloomFilterMightContain (typed,
+    // via PlanProbe), and folds the flag into the hash-gated result.
     "s18_runtime_bloom_join" -> ((s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "32")
@@ -260,8 +260,7 @@ object SinkRoundTrip {
         .filter(col("o_totalprice") > 400000.0d)
         .select(col("o_orderkey"))
       val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      val opt = j.queryExecution.optimizedPlan.toString
-      val pruned = opt.contains("bloom_filter") || opt.contains("might_contain")
+      val pruned = PlanProbe.bloomFilterInjected(j.queryExecution.optimizedPlan)
       j.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))

@@ -193,8 +193,15 @@ object StreamGate {
     // batches flow through foreachBatch and MERGE into a parquet target
     // via Merge.applyCdc (latest VERSION wins per key, so at-least-once
     // delivery, batch splits, and replays all converge to the same
-    // table), with each epoch's result swapped in via the crash-safe
-    // write-to-tmp + rename pattern. The input carries a v1 snapshot
+    // table), with each epoch's result swapped in via write-to-tmp +
+    // rename-ASIDE (tgt -> tgt_old, tmp -> tgt, drop tgt_old): at every
+    // instant either tgt or tgt_old holds the last committed state, and
+    // the next batch rolls tgt_old back if a crash landed between the two
+    // renames — so a checkpoint replay never merges against an empty
+    // target. Each single-directory rename is atomic on the local POSIX
+    // fs this harness runs on; a production deployment on an object store
+    // would use a transactional table format instead. The input carries a
+    // v1 snapshot
     // (even order keys, ver 1) and a v2 change batch (keys % 3 = 0,
     // doubled price, ver 2); maxFilesPerTrigger=1 forces a multi-batch
     // run so the gate actually exercises merge-over-merged state. The
@@ -215,21 +222,29 @@ object StreamGate {
       val applyBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
         (batch, _) => {
           val s2 = batch.sparkSession
-          val cur =
-            if (new java.io.File(tgt).exists) s2.read.parquet(tgt)
-            else batch.limit(0)
-          val tmp = tgt + "_tmp"
-          graft.operators.Merge.applyCdc(cur, batch, Seq("o_orderkey"), "ver")
-            .write.mode("overwrite").parquet(tmp)
+          val tgtF = new java.io.File(tgt)
+          val oldF = new java.io.File(tgt + "_old")
+          val tmpF = new java.io.File(tgt + "_tmp")
           val del = (f: java.io.File) => {
             def rec(x: java.io.File): Unit = {
               val cs = x.listFiles(); if (cs != null) cs.foreach(rec); x.delete(); ()
             }
             rec(f)
           }
-          del(new java.io.File(tgt))
-          require(new java.io.File(tmp).renameTo(new java.io.File(tgt)),
-            s"cdc target swap failed: $tmp -> $tgt")
+          // crash recovery: a crash between the rename-aside and the
+          // commit rename leaves tgt absent with tgt_old holding the last
+          // committed state — roll it back; a crash before dropping
+          // tgt_old leaves both, and tgt (post-commit) wins.
+          if (!tgtF.exists && oldF.exists)
+            require(oldF.renameTo(tgtF), s"cdc rollback failed: $oldF -> $tgtF")
+          del(oldF); del(tmpF)
+          val cur = if (tgtF.exists) s2.read.parquet(tgt) else batch.limit(0)
+          graft.operators.Merge.applyCdc(cur, batch, Seq("o_orderkey"), "ver")
+            .write.mode("overwrite").parquet(tmpF.getPath)
+          if (tgtF.exists)
+            require(tgtF.renameTo(oldF), s"cdc rename-aside failed: $tgt -> $oldF")
+          require(tmpF.renameTo(tgtF), s"cdc target swap failed: $tmpF -> $tgt")
+          del(oldF)
         }
       val q = s.readStream
         .schema("o_orderkey LONG, o_custkey LONG, price DOUBLE, batch STRING, ver LONG")

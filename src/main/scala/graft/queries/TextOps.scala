@@ -356,8 +356,9 @@ object TextOps {
     // Duplicated-SPAN removal signal (the alignment-free complement of
     // `dedup_segments`): OVERLAPPING SPAN_W-token windows (stride 1) are
     // content-hashed; a window whose hash occurs more than once anywhere in
-    // the corpus is duplicated, and runs of consecutive duplicated starts
-    // within a document merge into MAXIMAL spans — the distributed
+    // the corpus is duplicated, and duplicated starts whose SPAN_W-token
+    // coverages chain (next start within SPAN_W of the previous, i.e. the
+    // token ranges overlap or touch) merge into MAXIMAL spans — the distributed
     // fingerprint-window equivalent of the suffix-array duplicated-substring
     // pass of Lee et al. 2022 (arXiv:2107.06499 §4). Output is the per-doc
     // trim signal: span count, duplicated token total (overlaps merged, so
@@ -381,9 +382,21 @@ object TextOps {
           md5(concat_ws(" ", slice(col("toks"), col("st"), lit(SPAN_W)))).as("h"))
       val dupHashes = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("hc")).filter(col("hc") > 1).select("h")
+      // Island merge by COVERAGE, not consecutiveness: a new island starts
+      // only when the gap to the previous duplicated start is >= SPAN_W
+      // (token ranges disjoint). Within an island consecutive gaps are
+      // < SPAN_W so the covered ranges chain into one contiguous
+      // [min_st, max_st + SPAN_W - 1] — span_tokens is exactly the union
+      // size, islands never overlap, and sum(dup_tokens) <= n_tokens.
+      // (A start - row_number() grouping would split windows at gap
+      // 2 <= g < SPAN_W into separate islands whose ranges overlap,
+      // double-counting the overlap and letting dup_frac exceed 1.)
       val wnd = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      val prevSt = lag(col("st"), 1).over(wnd)
       val spans = wins.join(dupHashes, Seq("h"))
-        .withColumn("grp", col("st") - row_number().over(wnd))
+        .withColumn("brk",
+          when(prevSt.isNull || col("st") - prevSt >= SPAN_W, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("brk")).over(wnd))
         .groupBy(col("doc_id"), col("grp"))
         .agg((max(col("st")) - min(col("st")) + lit(SPAN_W)).cast(LongType)
           .as("span_tokens"))
@@ -813,8 +826,9 @@ object TextOps {
          |FROM per""".stripMargin,
 
     // overlapping windows via 1-based inclusive list slices; occurrence
-    // count, island merge (start - row_number), and the left-join zero
-    // fill are spelled exactly as the Spark side computes them
+    // count, coverage island merge (break when gap >= SPAN_W, running-sum
+    // group id), and the left-join zero fill are spelled exactly as the
+    // Spark side computes them
     "dedup_span_removal" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -828,10 +842,15 @@ object TextOps {
          |  WHERE n_tokens >= $SPAN_W),
          |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
          |dup AS (SELECT doc_id, st FROM wins JOIN duph USING (h)),
+         |brks AS (
+         |  SELECT doc_id, st,
+         |    CASE WHEN lag(st) OVER w IS NULL
+         |           OR st - lag(st) OVER w >= $SPAN_W THEN 1 ELSE 0 END AS brk
+         |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY st)),
          |isl AS (
          |  SELECT doc_id, st,
-         |    st - row_number() OVER (PARTITION BY doc_id ORDER BY st) AS grp
-         |  FROM dup),
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS grp
+         |  FROM brks),
          |spans AS (
          |  SELECT doc_id, CAST(max(st) - min(st) + $SPAN_W AS BIGINT) AS span_tokens
          |  FROM isl GROUP BY doc_id, grp),

@@ -311,7 +311,52 @@ class PlanShapeSpec extends SparkSpec {
       .filter(col("nd").cast("double") > col("bar"))
       .select(col("event_date"))
     val j = fact.join(broadcast(dim), Seq("event_date"))
-    assert(!j.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+    assert(!graft.queries.PlanProbe.dppFired(j.queryExecution.executedPlan),
       "an unpartitioned scan must not carry a pruning subquery")
+  }
+
+  test("NEGATIVE CONTROL — a uniform-key join is never skew-split") {
+    // prove j17's typed probe is earned: the identical session confs but
+    // UNIFORM keys (no hot-key collapse) must leave isSkewJoin false on
+    // every shuffled join in the adaptive final plan
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    val uniform = graft.Tables.events(s2, dir)
+      .repartition(8, col("event_id"))
+      .select(col("event_id"), (col("event_id") % 1000).as("k"), col("value"))
+    val dim = graft.Tables.customer(s2, dir)
+      .filter(col("c_custkey") <= 999)
+      .select(col("c_custkey").as("k"), col("c_name").as("k_name"))
+    val agg = uniform.join(dim, Seq("k"))
+      .groupBy(col("k_name").isNotNull.as("matched"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    agg.queryExecution.toRdd.count()
+    assert(!graft.queries.PlanProbe.skewJoinFired(agg.queryExecution.executedPlan),
+      "uniform keys must not trigger a skew split")
+  }
+
+  test("NEGATIVE CONTROL — with runtime bloom filters disabled, no BloomFilterMightContain is injected") {
+    // prove s18's typed probe is earned: the identical selective join with
+    // the InjectRuntimeFilter rule off carries no bloom expression
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val li = graft.Tables.lineitem(s2, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val ord = graft.Tables.orders(s2, dir)
+      .filter(col("o_totalprice") > 400000.0d)
+      .select(col("o_orderkey"))
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(!graft.queries.PlanProbe.bloomFilterInjected(j.queryExecution.optimizedPlan),
+      "disabled runtime bloom filters must not inject")
   }
 }

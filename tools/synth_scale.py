@@ -7,7 +7,11 @@ c > 0 shifts ids; `documents` get a deterministic token-order rotation per
 copy so no fake cross-copy near-dups are planted; `embeddings` get a
 dimension roll + alternating sign flip per copy (norm-preserving,
 direction-decorrelating) so no fake cosine near-dups. Relational tables
-are plain id shifts.
+shift EVERY key column (…_id and …key — both primary keys like
+c_custkey/p_partkey and the foreign keys that point at them) so each copy
+is a self-contained universe: a fact-dim join scales linearly with the
+copy count instead of fanning out ~N^2 across copies with duplicated
+dimension PKs.
 
 Usage: python3 tools/synth_scale.py <src_sf_dir> <out_dir> <copies> [tables...]
 """
@@ -42,7 +46,10 @@ def synth(src: str, out: str, copies: int, tables):
             cols = {}
             for name in tbl.column_names:
                 col = tbl.column(name)
-                if name.endswith("_id") or name.startswith(("o_order", "l_order")):
+                # every key column: _id suffixes (events/documents) and the
+                # TPC-H *key family (custkey, orderkey, partkey, suppkey,
+                # nationkey, regionkey) on both the PK and FK side
+                if name.endswith(("_id", "key")):
                     if pa.types.is_integer(col.type):
                         cols[name] = pa.compute.add(col, c * ID_SHIFT)
                         continue
