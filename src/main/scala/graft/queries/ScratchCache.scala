@@ -19,13 +19,32 @@ import org.apache.spark.sql.Dataset
   */
 object ScratchCache {
 
+  /** Upper bound on simultaneously-registered scratch persists. The gate
+    * drivers drain after every query, so they never approach it; the cap
+    * exists for an EMBEDDING caller that issues many queries without ever
+    * draining — its storage footprint stays bounded at MaxLive scratch
+    * tables instead of growing with query count. Eviction is oldest-first
+    * (registration order): a scratch persist's useful life is its own
+    * query, so the oldest entry is always the safest to release — at worst
+    * an evicted-but-still-referenced plan silently recomputes.
+    */
+  val MaxLive = 64
+
   private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
-  /** Register an already-persisted dataset for the next drain; returns it. */
+  /** Register an already-persisted dataset for the next drain; returns it.
+    * Past MaxLive the oldest registrations are unpersisted (async) and
+    * dropped so the registry — and executor storage — stays bounded.
+    */
   def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
     live += ds
+    while (live.size > MaxLive)
+      live.remove(0).unpersist(false)
     ds
   }
+
+  /** Number of currently-registered (not yet drained/evicted) datasets. */
+  def liveCount: Int = synchronized(live.size)
 
   /** Unpersist every registered dataset (async) and clear the registry. */
   def drain(): Unit = synchronized {
