@@ -1,0 +1,56 @@
+package graft.queries
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.DurationInt
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import graft.SparkSpec
+
+/** Concurrency soak (round-7 verdict item #5): the gate sweeps run queries
+  * serially, but a production deployment serves them CONCURRENTLY over the
+  * same session — the WeakReference/CorpusCache/ScratchCache discipline is
+  * designed for that and must be exercised under real thread overlap.
+  *
+  * Eight gate queries — biased toward the CorpusCache-shared family
+  * (shingle index, LSH pair set, signature tables, IVF assignment), where
+  * concurrent getOrBuild races would bite — run on a fixed thread pool
+  * against the shared session, after a clearCache() so the threads also
+  * race the external-eviction re-persist path. Every concurrent result
+  * must equal its serial run row-for-row.
+  */
+class ConcurrencySoakSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // no newSession()/sink/stream queries here: those isolate on purpose;
+  // this spec targets the SHARED-state paths
+  private val names = Seq(
+    "dedup_minhash_lsh", "sim_ann_lsh", "sim_ann_ivf", "dedup_components",
+    "dedup_semantic", "sim_topk_bruteforce", "q0_flagship_star",
+    "j10_orphan_audit")
+
+  private def run(n: String): Seq[String] =
+    graft.SparkEntry.queries(n)(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+
+  test("8 gate queries under concurrent threads equal their serial runs") {
+    val serial = names.map(n => n -> run(n)).toMap
+    // drop every cached block so the concurrent wave has to rebuild the
+    // shared indexes from scratch, racing on CorpusCache.getOrBuild and
+    // the re-persist-after-eviction branch
+    ScratchCache.drain()
+    spark.catalog.clearCache()
+    val pool = Executors.newFixedThreadPool(names.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val conc = Await.result(
+        Future.sequence(names.map(n => Future(n -> run(n)))), 10.minutes).toMap
+      for (n <- names)
+        assert(conc(n) == serial(n), s"$n: concurrent result differs from serial")
+    } finally {
+      pool.shutdown()
+      ScratchCache.drain()
+    }
+  }
+}
