@@ -404,6 +404,74 @@ object VectorOps {
     CorpusCache.getOrBuild(s, s"ivfassign:$dir")(
       refinedAssign(ivfAssignments(s, dir, augmented(s, dir))))
 
+  /** Two-level (coarse-quantized) IVF cell assignment, built ONCE per
+    * (session, corpus) — the fix for the flat chain's scale cliff: with
+    * k = ⌈n/TARGET_CELL⌉ fine centroids, a flat nearest-centroid pass
+    * ([[assignCells]]) costs O(n·k·d) = O(n²·d/1024) — quadratic in the
+    * corpus, measured as the dominant term at n = 10⁶ (SCALE.md round-8
+    * probe). Here each vector first picks its nearest of ⌈√k⌉ COARSE
+    * centroids, then its nearest FINE centroid within that coarse group
+    * only: O(n·√k·d) total — the coarse-quantizer discipline of
+    * billion-scale IVF indexes (FAISS's IVF coarse quantizer / IMI).
+    */
+  private def sharedCoarseAssign(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"ivfcoarse:$dir")(
+      refinedAssign(coarseAssignments(s, dir, augmented(s, dir))))
+
+  /** The two-level assignment chain. Fine centroids are the seed codebook
+    * (first k vec_ids — the PQ-codebook discipline; at scale the codebook
+    * trains offline on a bounded sample, which is why this path gates
+    * ASSIGNMENT cost, while the flat `sim_ann_ivf` chain gates the Lloyd
+    * step). Coarse centroids are the first ⌈√k⌉ vec_ids; every fine
+    * centroid joins its nearest coarse centroid (k·√k rows, tiny), and
+    * vectors only ever compare against (a) the non-empty coarse table
+    * (n·√k rows) and (b) the fine centroids of their own coarse group
+    * (n·E[k/√k] rows). Both centroid tables broadcast — the corpus never
+    * shuffles for assignment; at n = 10⁹, k = 10⁶ fine centroids × 64
+    * floats ≈ 256 MB, the standard residency assumption of an IVF
+    * codebook on every index node.
+    *
+    * Determinism: identical vectors take identical coarse and fine argmax
+    * decisions (cos desc, id asc tie-break), so planted duplicates can
+    * never be separated — the property the gate verifies.
+    */
+  private def coarseAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
+    val nk = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
+      ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    val fine = Tables.embeddings(s, dir).crossJoin(broadcast(nk))
+      .filter(col("vec_id") < col("k"))
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", norm(col("ce")))
+    val coarse = Tables.embeddings(s, dir).crossJoin(broadcast(nk))
+      .filter(col("vec_id") < ceil(sqrt(col("k").cast(DoubleType))))
+      .select(col("vec_id").cast(IntegerType).as("gid"), col("embedding").as("ge"))
+      .withColumn("ng", norm(col("ge")))
+    // fine centroid → coarse group: k×√k candidate rows, never corpus-sized
+    val wf = Window.partitionBy(col("cid")).orderBy(col("cos_g").desc, col("gid").asc)
+    val fgrp = fine.crossJoin(broadcast(coarse))
+      .withColumn("cos_g", dot(col("ce"), col("ge")) / (col("nc") * col("ng")))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      .select(col("gid"), col("cid"), col("ce"), col("nc"))
+    // a coarse centroid that wins no fine members must not strand the
+    // vectors that would pick it: vectors choose among NON-EMPTY groups
+    val coarseNE = coarse.join(broadcast(fgrp.select(col("gid")).distinct()), Seq("gid"))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("cos_g").desc, col("gid").asc)
+    val vg = withNorm(emb).crossJoin(broadcast(coarseNE))
+      .withColumn("cos_g", dot(col("embedding"), col("ge")) / (col("nrm") * col("ng")))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("gid"))
+    // vector → nearest fine centroid WITHIN its coarse group: the equi-join
+    // on gid restricts candidates to E[k/√k] = √k per vector
+    val wa = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
+    vg.join(broadcast(fgrp), Seq("gid"))
+      .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cell"),
+        max(when(col("rn") === 2, col("cid"))).as("cell2"))
+  }
+
   /** Nearest- and second-nearest-centroid assignment by cosine (spherical
     * k-means step): broadcast the centroid table, argmax via row_number
     * with cid tie-break. `cell2` (the runner-up, null when k = 1) is the
@@ -787,6 +855,30 @@ object VectorOps {
           anchorCandidates(sigs, "bucket", anchors), RECALL_LSH_T))
         .unionByName(recallRow("lsh_multiprobe",
           multiprobeAnchorCandidates(sigs, anchors), RECALL_MP_T))
+    }),
+
+    // IVF under a COARSE QUANTIZER — the billion-vector assignment shape.
+    // `sim_ann_ivf`'s flat assignment compares every vector against every
+    // centroid: O(n·k·d), and since the derived k is n/1024, O(n²·d/1024)
+    // — the round-8 n=10⁶ probe measured this as the family's scale cliff.
+    // Here assignment is two-level (nearest coarse group of ⌈√k⌉, then
+    // nearest fine centroid within the group — see [[coarseAssignments]]):
+    // O(n·√k·d), sub-quadratic at any corpus size. The within-cell pair
+    // join, hot-cell split, and 0.999 verification are identical to the
+    // flat path; identical (planted) vectors co-assign under either
+    // scheme, so both recover exactly the planted duplicate set — pinned
+    // against `sim_ann_ivf` in [[QueryInvariantSpec]].
+    "sim_ann_ivf_coarse" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val assign = sharedCoarseAssign(s, dir)
+      val e = withNorm(emb).join(assign, Seq("vec_id"))
+      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+      l.join(r, Seq("ck")).filter(col("i") < col("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     })
   )
 
@@ -1151,7 +1243,77 @@ object VectorOps {
          |SELECT method, (SELECT n_true FROM tc) AS n_true, n_found,
          |  round(CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc), 6) AS recall,
          |  CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc) >= thr AS recall_ok
-         |FROM found""".stripMargin
+         |FROM found""".stripMargin,
+
+    // the coarse-quantizer twin: seeds-as-codebook fine centroids, first
+    // ⌈√k⌉ vectors as coarse centroids, fine→coarse grouping by the same
+    // (cos DESC, id ASC) argmax, vectors restricted to NON-EMPTY coarse
+    // groups, then the within-group fine argmax — the exact replica of
+    // [[coarseAssignments]] — and the flat path's cell-cap key and
+    // 0.999-pair verification
+    "sim_ann_ivf_coarse" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+         |nk AS (
+         |  SELECT greatest($MIN_CENTROIDS,
+         |    CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM aug),
+         |fine AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nc
+         |  FROM embeddings WHERE vec_id < (SELECT k FROM nk)),
+         |coarse AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS gid, embedding AS ge,
+         |    sqrt(${dSql("embedding", "embedding")}) AS ng
+         |  FROM embeddings WHERE vec_id < (
+         |    SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) FROM nk)),
+         |fgrp AS (
+         |  SELECT gid, cid, ce, nc FROM (
+         |    SELECT coarse.gid, fine.cid, fine.ce, fine.nc, row_number() OVER (
+         |      PARTITION BY fine.cid
+         |      ORDER BY ${dSql("fine.ce", "coarse.ge")} / (fine.nc * coarse.ng) DESC,
+         |        coarse.gid ASC) AS rn
+         |    FROM fine CROSS JOIN coarse)
+         |  WHERE rn = 1),
+         |a AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+         |  FROM aug),
+         |vg AS (
+         |  SELECT vec_id, gid FROM (
+         |    SELECT a.vec_id, c.gid, row_number() OVER (
+         |      PARTITION BY a.vec_id
+         |      ORDER BY ${dSql("a.embedding", "c.ge")} / (a.nrm * c.ng) DESC,
+         |        c.gid ASC) AS rn
+         |    FROM a CROSS JOIN coarse c
+         |    WHERE c.gid IN (SELECT DISTINCT gid FROM fgrp))
+         |  WHERE rn = 1),
+         |assign AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
+         |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
+         |  FROM (
+         |    SELECT v.vec_id, f.cid, row_number() OVER (
+         |      PARTITION BY v.vec_id
+         |      ORDER BY ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) DESC,
+         |        f.cid ASC) AS rn
+         |    FROM vg v JOIN a ax ON ax.vec_id = v.vec_id
+         |    JOIN fgrp f ON f.gid = v.gid)
+         |  WHERE rn <= 2 GROUP BY vec_id),
+         |cellsz AS (SELECT cell, count(*) AS cn FROM assign GROUP BY cell),
+         |e AS (
+         |  SELECT a.vec_id, a.embedding, a.nrm, assign.cell,
+         |    CASE WHEN cellsz.cn > $CELL_CAP THEN
+         |      CAST(assign.cell AS VARCHAR) || ':' ||
+         |        CAST(coalesce(assign.cell2, assign.cell) AS VARCHAR)
+         |    ELSE CAST(assign.cell AS VARCHAR) END AS ck
+         |  FROM a JOIN assign ON a.vec_id = assign.vec_id
+         |  JOIN cellsz ON cellsz.cell = assign.cell)
+         |SELECT x.vec_id AS i, y.vec_id AS j,
+         |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
+         |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
+         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin
   )
 
   def oracleSql: Map[String, String] = Map(

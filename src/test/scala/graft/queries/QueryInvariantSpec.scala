@@ -69,6 +69,20 @@ class QueryInvariantSpec extends SparkSpec {
     assert(single.subsetOf(multi))
   }
 
+  test("coarse-quantized IVF recovers exactly the planted pair set (≡ flat IVF)") {
+    // the two assignment schemes produce DIFFERENT cells (seeds-only
+    // codebook vs Lloyd-refined), but identical vectors co-assign under
+    // either, and on the random fixture only planted (v, v+100000) twins
+    // clear the 0.999 threshold — so the verified outputs must be equal
+    val coarse = q("sim_ann_ivf_coarse").collect()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(coarse.length === nVecs)
+    assert(coarse.forall(r => r.getAs[Long]("j") === r.getAs[Long]("i") + 100000L))
+    assert(coarse.forall(_.getAs[Double]("cosine") === 1.0))
+    val flat = q("sim_ann_ivf").collect().map(_.toString).toSet
+    assert(coarse.map(_.toString).toSet === flat)
+  }
+
   test("semantic dedup groups every planted duplicate and keeps exactly one per group") {
     val out = q("dedup_semantic").cache()
     val n = graft.Tables.embeddings(spark, dir).count()
