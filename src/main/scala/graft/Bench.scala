@@ -109,6 +109,7 @@ object Bench {
     // sim_ann_ivf_pq; the three truth fixtures are the anchored exact
     // computations the LSH/cosine/ANN paths are recall-checked against.
     val baselines = Map(
+      "sim_ann_ivf" -> "flat O(n*k) centroid assignment; deployment twin at scale sim_ann_ivf_coarse",
       "sim_ann_pq_adc" -> "flat ADC baseline; deployment twin sim_ann_ivf_pq",
       "sim_topk_bruteforce" -> "anchored exact top-k truth; deployment twin sim_ann_ivf",
       "dedup_embedding_cosine" -> "anchored exact cosine truth; deployment twin dedup_semantic",

@@ -440,11 +440,11 @@ object VectorOps {
       ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
     val fine = Tables.embeddings(s, dir).crossJoin(broadcast(nk))
       .filter(col("vec_id") < col("k"))
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .withColumn("nc", norm(col("ce")))
     val coarse = Tables.embeddings(s, dir).crossJoin(broadcast(nk))
       .filter(col("vec_id") < ceil(sqrt(col("k").cast(DoubleType))))
-      .select(col("vec_id").cast(IntegerType).as("gid"), col("embedding").as("ge"))
+      .select(col("vec_id").as("gid"), col("embedding").as("ge"))
       .withColumn("ng", norm(col("ge")))
     // fine centroid → coarse group: k×√k candidate rows, never corpus-sized
     val wf = Window.partitionBy(col("cid")).orderBy(col("cos_g").desc, col("gid").asc)
@@ -516,9 +516,14 @@ object VectorOps {
     // no-driver-action scalar pattern as the percentile-bounds broadcasts
     val k = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
       ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    // cid stays BIGINT (here and in coarseAssignments): a cast to INT in
+    // this projection gets pushed below the crossJoin's filter and then
+    // evaluates on EVERY corpus row — ANSI-overflowing once vec_ids pass
+    // 2^31 (hit at the round-8 n=10⁶ probe). Cell ids are internal, so
+    // the wider type changes no gated output.
     val seeds = Tables.embeddings(s, dir).crossJoin(broadcast(k))
       .filter(col("vec_id") < col("k"))
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .withColumn("nc", norm(col("ce")))
     val assign0 = assignCells(emb, seeds)
     val refined = emb.join(assign0, Seq("vec_id"))
@@ -931,7 +936,7 @@ object VectorOps {
        |  UNION ALL
        |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
        |cent0 AS (
-       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
+       |  SELECT vec_id AS cid, embedding AS ce,
        |    sqrt(${dSql("embedding", "embedding")}) AS nc
        |  FROM embeddings WHERE vec_id < (
        |    SELECT greatest($MIN_CENTROIDS,
@@ -1187,7 +1192,7 @@ object VectorOps {
          |  SELECT DISTINCT p.vec_id AS i, s.vec_id AS j
          |  FROM probes p JOIN sigs s ON p.probe = s.bucket AND p.vec_id < s.vec_id),
          |cent0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
+         |  SELECT vec_id AS cid, embedding AS ce,
          |    sqrt(${dSql("embedding", "embedding")}) AS nc
          |  FROM embeddings WHERE vec_id < (
          |    SELECT greatest($MIN_CENTROIDS,
@@ -1260,11 +1265,11 @@ object VectorOps {
          |  SELECT greatest($MIN_CENTROIDS,
          |    CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM aug),
          |fine AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce,
+         |  SELECT vec_id AS cid, embedding AS ce,
          |    sqrt(${dSql("embedding", "embedding")}) AS nc
          |  FROM embeddings WHERE vec_id < (SELECT k FROM nk)),
          |coarse AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS gid, embedding AS ge,
+         |  SELECT vec_id AS gid, embedding AS ge,
          |    sqrt(${dSql("embedding", "embedding")}) AS ng
          |  FROM embeddings WHERE vec_id < (
          |    SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) FROM nk)),
