@@ -414,7 +414,7 @@ object VectorOps {
     * only: O(n·√k·d) total — the coarse-quantizer discipline of
     * billion-scale IVF indexes (FAISS's IVF coarse quantizer / IMI).
     */
-  private def sharedCoarseAssign(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sharedCoarseAssign(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"ivfcoarse:$dir")(
       refinedAssign(coarseAssignments(s, dir, augmented(s, dir))))
 

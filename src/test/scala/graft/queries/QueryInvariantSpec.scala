@@ -81,6 +81,13 @@ class QueryInvariantSpec extends SparkSpec {
     assert(coarse.forall(_.getAs[Double]("cosine") === 1.0))
     val flat = q("sim_ann_ivf").collect().map(_.toString).toSet
     assert(coarse.map(_.toString).toSet === flat)
+    // assignment totality: restricting vectors to NON-EMPTY coarse groups
+    // must never strand a vector (the empty-group edge the inner join on
+    // gid would otherwise silently drop) — every augmented vector gets a
+    // cell, so the planted-pair recovery above is structural, not luck
+    val assign = VectorOps.sharedCoarseAssign(spark, dir)
+    assert(assign.count() === 2 * nVecs)
+    assert(assign.filter(col("cell").isNull).count() === 0L)
   }
 
   test("semantic dedup groups every planted duplicate and keeps exactly one per group") {
