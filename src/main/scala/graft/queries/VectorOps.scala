@@ -418,6 +418,35 @@ object VectorOps {
     CorpusCache.getOrBuild(s, s"ivfcoarse:$dir")(
       refinedAssign(coarseAssignments(s, dir, augmented(s, dir))))
 
+  /** Mechanism probes for the assignment-cost claim (PlanShapeSpec): the
+    * FLAT seed-codebook assignment (every vector vs every fine centroid —
+    * n·k candidate rows out of the broadcast join into the argmax window;
+    * the corpus shuffle itself stays O(n), pushed below the broadcast
+    * join) and the two-level chain over the same seeds (n·√k + n·E[k/√k]
+    * candidate rows). Both
+    * return the same (vec_id, cell, cell2) shape over the same augmented
+    * corpus, so the spec can compare executed shuffle-record metrics on
+    * equal work. (Cell choices may differ for boundary vectors — the
+    * standard coarse-quantizer approximation; what both schemes guarantee,
+    * and the invariant spec pins, is that identical vectors co-assign.)
+    */
+  private[queries] def flatAssignProbe(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    val emb = augmented(s, dir)
+    val k = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
+      ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    val seeds = Tables.embeddings(s, dir).crossJoin(broadcast(k))
+      .filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", norm(col("ce")))
+    assignCells(emb, seeds)
+  }
+
+  private[queries] def coarseAssignProbe(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    coarseAssignments(s, dir, augmented(s, dir))
+  }
+
   /** The two-level assignment chain. Fine centroids are the seed codebook
     * (first k vec_ids — the PQ-codebook discipline; at scale the codebook
     * trains offline on a bounded sample, which is why this path gates

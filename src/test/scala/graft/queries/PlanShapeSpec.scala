@@ -359,4 +359,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!graft.queries.PlanProbe.bloomFilterInjected(j.queryExecution.optimizedPlan),
       "disabled runtime bloom filters must not inject")
   }
+
+  test("coarse two-level IVF assignment materializes measurably fewer candidate rows than flat") {
+    // the SCALE.md n=10⁶ claim as an executed-metrics assertion. The cost
+    // that quadratizes (k ∝ n) is the CANDIDATE volume out of the
+    // vector×centroid broadcast joins: flat materializes n·k rows, the
+    // two-level chain n·√k (coarse pick) + n·E[k/√k] (in-group fine pick)
+    // + k·√k (fgrp, tiny). Shuffle volume stays O(n) for BOTH chains —
+    // Catalyst pushes the corpus shuffle below the broadcast join, so the
+    // window's n·k input never crosses the wire; that is exactly why the
+    // mechanism must be gated on join output rows, not shuffle records.
+    // AQE off so the static plan's metrics are directly collectible.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    def candidateRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // executes THIS queryExecution (count() would plan its own)
+      df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val flat = candidateRows(VectorOps.flatAssignProbe(s2, dir))
+    val coarse = candidateRows(VectorOps.coarseAssignProbe(s2, dir))
+    info(s"candidate join output rows: flat=$flat coarse=$coarse")
+    // fixture: n=1000 (augmented), k=16, √k=4 → flat ≥ n·k = 16000;
+    // coarse ≈ n·4 + n·4 + 64 ≈ 8k even under fine-centroid skew. 0.75
+    // leaves headroom while still failing if the in-group restriction is
+    // ever lost (which would put coarse at n·√k + n·k > flat).
+    assert(flat >= 16000L, s"flat probe must materialize the full n·k candidate set, saw $flat")
+    assert(coarse < (flat * 3) / 4,
+      s"two-level assignment must materialize <75% of flat's candidates: coarse=$coarse flat=$flat")
+  }
 }
