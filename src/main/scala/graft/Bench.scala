@@ -77,6 +77,22 @@ object Bench {
       require(names.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in query set (or empty filter): ${unknown.toSeq.sorted}")
     }
+    // Deliberately-unoptimized BASELINE twins, tagged so the bench JSON
+    // self-documents which entries exist to verify an optimized path and
+    // must not be read as the production shape (their deployment twin is
+    // named). sim_ann_pq_adc is the labeled O(s·n·M) flat-ADC scan behind
+    // sim_ann_ivf_pq; the three truth fixtures are the anchored exact
+    // computations the LSH/cosine/ANN paths are recall-checked against.
+    // Validated HERE, before the sweep: a renamed query must abort with
+    // zero queries run, not after 150+ s of bench work is already spent.
+    val baselines = Map(
+      "sim_ann_ivf" -> "flat O(n*k) centroid assignment; deployment twin at scale sim_ann_ivf_coarse",
+      "sim_ann_pq_adc" -> "flat ADC baseline; deployment twin sim_ann_ivf_pq",
+      "sim_topk_bruteforce" -> "anchored exact top-k truth; deployment twin sim_ann_ivf",
+      "dedup_embedding_cosine" -> "anchored exact cosine truth; deployment twin dedup_semantic",
+      "dedup_ngram_jaccard" -> "anchored exact Jaccard truth; deployment twin dedup_minhash_lsh")
+    val unknownTags = baselines.keySet -- SparkEntry.queries.keySet
+    require(unknownTags.isEmpty, s"baseline tag names not in query set: $unknownTags")
     val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     val first = onePass(allQs)
@@ -102,20 +118,6 @@ object Bench {
     // subset — the full dict for 80+ queries would overflow the window and
     // come back unparseable (the round-1/2 "parsed: null" failure).
     System.err.println(s"[bench-full] ${fmt(results)}")
-    // Deliberately-unoptimized BASELINE twins, tagged so the bench JSON
-    // self-documents which entries exist to verify an optimized path and
-    // must not be read as the production shape (their deployment twin is
-    // named). sim_ann_pq_adc is the labeled O(s·n·M) flat-ADC scan behind
-    // sim_ann_ivf_pq; the three truth fixtures are the anchored exact
-    // computations the LSH/cosine/ANN paths are recall-checked against.
-    val baselines = Map(
-      "sim_ann_ivf" -> "flat O(n*k) centroid assignment; deployment twin at scale sim_ann_ivf_coarse",
-      "sim_ann_pq_adc" -> "flat ADC baseline; deployment twin sim_ann_ivf_pq",
-      "sim_topk_bruteforce" -> "anchored exact top-k truth; deployment twin sim_ann_ivf",
-      "dedup_embedding_cosine" -> "anchored exact cosine truth; deployment twin dedup_semantic",
-      "dedup_ngram_jaccard" -> "anchored exact Jaccard truth; deployment twin dedup_minhash_lsh")
-    val unknownTags = baselines.keySet -- SparkEntry.queries.keySet
-    require(unknownTags.isEmpty, s"baseline tag names not in query set: $unknownTags")
     val tagJson = baselines.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(

@@ -148,7 +148,10 @@ object VectorOps {
     val a = n.filter(col("is_anchor"))
       .select(col("vec_id").as("u"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("v"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("u") =!= col("v"))
+    // explicit hint: the anchor side is ~s rows at any corpus size, but
+    // Spark's stats can't see through the is_anchor filter — unhinted it
+    // may shuffle/replicate the corpus side instead of broadcasting a
+    broadcast(a).crossJoin(b).filter(col("u") =!= col("v"))
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= thr)
       .select(least(col("u"), col("v")).as("i"),
@@ -178,7 +181,8 @@ object VectorOps {
       val b = n.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
-      a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
+      // same anchor-side broadcast hint as anchoredCosinePairs
+      broadcast(a).crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TOPK)
@@ -425,8 +429,10 @@ object VectorOps {
     * join) and the two-level chain over the same seeds (n·√k + n·E[k/√k]
     * candidate rows). Both
     * return the same (vec_id, cell, cell2) shape over the same augmented
-    * corpus, so the spec can compare executed shuffle-record metrics on
-    * equal work. (Cell choices may differ for boundary vectors — the
+    * corpus, so the spec can compare executed broadcast-join output-row
+    * metrics on equal work — NOT shuffle records, which stay O(n) for both
+    * chains and carry no signal. (Cell choices may differ for boundary
+    * vectors — the
     * standard coarse-quantizer approximation; what both schemes guarantee,
     * and the invariant spec pins, is that identical vectors co-assign.)
     */

@@ -18,6 +18,14 @@ import graft.SparkSpec
   * against the shared session, after a clearCache() so the threads also
   * race the external-eviction re-persist path. Every concurrent result
   * must equal its serial run row-for-row.
+  *
+  * INVARIANT this spec relies on: the forked test JVM runs suites
+  * SEQUENTIALLY (sbt's default — `Test/fork := true` with no
+  * testForkedParallel). The mid-test `clearCache()`/`ScratchCache.drain()`
+  * here drops every cached dataset in the shared session; that is safe
+  * only because no other suite is mid-flight. If suite-level parallelism
+  * is ever enabled, this spec must move to its own fork (or a dedicated
+  * SparkSession) before anything else.
   */
 class ConcurrencySoakSpec extends SparkSpec {
 

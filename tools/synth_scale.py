@@ -2,16 +2,18 @@
 """Synthesize an N-times scale probe fixture from an sf dir (driver-side
 tooling, not part of the shipped library).
 
-Method (matches the round-6 sf1 probe documented in SCALE.md): each copy
-c > 0 shifts ids; `documents` get a deterministic token-order rotation per
-copy so no fake cross-copy near-dups are planted; `embeddings` get a
-dimension roll + alternating sign flip per copy (norm-preserving,
-direction-decorrelating) so no fake cosine near-dups. Relational tables
-shift EVERY key column (…_id and …key — both primary keys like
-c_custkey/p_partkey and the foreign keys that point at them) so each copy
-is a self-contained universe: a fact-dim join scales linearly with the
-copy count instead of fanning out ~N^2 across copies with duplicated
-dimension PKs.
+Method: each copy c > 0 shifts ids; `documents` get a per-copy token TAG
+so copies share no shingles (an earlier token-order rotation preserved
+the shingle SET, planting c-way true near-dup clusters — round-8
+adjudication in SCALE.md); `embeddings` get a dimension roll + a
+per-(copy, dim) hash-derived sign flip (norm-preserving,
+direction-decorrelating, APERIODIC in c — the earlier roll+parity scheme
+repeated every 64 copies, planting exact duplicates past 64 copies).
+Relational tables shift EVERY key column (…_id and …key — both primary
+keys like c_custkey/p_partkey and the foreign keys that point at them) so
+each copy is a self-contained universe: a fact-dim join scales linearly
+with the copy count instead of fanning out ~N^2 across copies with
+duplicated dimension PKs.
 
 Usage: python3 tools/synth_scale.py <src_sf_dir> <out_dir> <copies> [tables...]
 """
@@ -24,16 +26,51 @@ ID_SHIFT = 10_000_000
 
 
 def permute_text(text: str, c: int) -> str:
+    # Per-copy token TAG, not rotation: a rotation preserves the word
+    # w-gram shingle SET (only the wrap seam changes), so rotated copies
+    # were 100-way TRUE near-dup clusters — pair-output dedup on such a
+    # fixture is output-bound (Omega(#true pairs), ~n*copies pairs), which
+    # measures the corpus, not the operator (round-8 adjudication in
+    # SCALE.md). Suffixing every token with the copy index makes copies
+    # shingle-disjoint self-contained universes (the same discipline as
+    # the key-column shift) while preserving within-copy duplicate
+    # structure and token counts exactly (character lengths grow by the
+    # tag width, so only token-based length metrics are scale-comparable).
     toks = text.split(" ")
-    k = c % max(1, len(toks))
-    return " ".join(toks[k:] + toks[:k])
+    return " ".join(f"{t}_{c}" for t in toks)
+
+
+def _signs(c: int, n: int):
+    # Per-(copy, dim) ±1 from md5 — aperiodic in c. The previous scheme
+    # (roll k=c%n, sign (i+c)%2 with n even) depended only on c%n, so
+    # copies c and c+n carried byte-identical embeddings: at 500 copies of
+    # a 64-dim corpus every vector had ~7 exact cross-copy duplicates at
+    # cosine 1.0, and similarity probes measured the planted duplicates,
+    # not the operator (round-8 adjudication in SCALE.md).
+    import hashlib
+    digest = hashlib.md5(f"signs:{c}".encode()).digest()
+    # stretch 16 bytes to n bits deterministically
+    bits = []
+    block = digest
+    while len(bits) < n:
+        for byte in block:
+            for j in range(8):
+                bits.append(1 if (byte >> j) & 1 else -1)
+        block = hashlib.md5(block).digest()
+    return bits[:n]
+
+
+_SIGN_CACHE = {}
 
 
 def rotate_vec(vec, c: int):
     n = len(vec)
     k = c % n
+    if (c, n) not in _SIGN_CACHE:
+        _SIGN_CACHE[(c, n)] = _signs(c, n)
+    sg = _SIGN_CACHE[(c, n)]
     rolled = list(vec[k:]) + list(vec[:k])
-    return [(-v if (i + c) % 2 else v) for i, v in enumerate(rolled)]
+    return [sg[i] * v for i, v in enumerate(rolled)]
 
 
 def synth(src: str, out: str, copies: int, tables):
