@@ -19,6 +19,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scan-split size tuned to LOCAL fixture scale: the default 128 MB
+      // leaves every fixture file a single split, so scan-side map work
+      // (explodes, parses) runs on one core regardless of local[32]. 8 MB
+      // splits multi-row-group files across cores; on a real cluster the
+      // default is right — this is the local knob, env-overridable.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8388608"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

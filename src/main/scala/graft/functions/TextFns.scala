@@ -19,17 +19,31 @@ object TextFns {
     */
   def rawTokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word 3-gram shingles. Empty array when fewer than 3 tokens —
-    * guarded explicitly because Spark's `sequence(0, n)` flips direction for
-    * negative n instead of returning empty.
+  /** Distinct word 3-gram shingles from a PRE-SPLIT token array. Empty
+    * array when fewer than 3 tokens — guarded explicitly because Spark's
+    * `sequence(0, n)` flips direction for negative n instead of returning
+    * empty.
+    *
+    * The token argument MUST reach this lambda as a bound attribute (a
+    * `.select(..., rawTokens(text).as("toks"))` projection boundary at the
+    * call site), never as an inline `split(...)` expression: higher-order
+    * lambdas re-evaluate captured non-lambda subexpressions PER ELEMENT
+    * and fall outside whole-stage codegen, so an inlined split runs
+    * 3·(n_tokens−2) times per row — measured as a 348 s vs ~10 s cliff on
+    * a 500k-doc corpus (round-8 SCALE.md adjudication).
     */
-  def shingles3(text: Column): Column = {
-    val toks = rawTokens(text)
+  def shingles3FromTokens(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
         concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Convenience spelling of [[shingles3FromTokens]] over raw text — ONLY
+    * for row-scoped/small inputs: the inline split re-evaluates per lambda
+    * element (see the warning above). Corpus-scale scans must pre-project
+    * the tokens.
+    */
+  def shingles3(text: Column): Column = shingles3FromTokens(rawTokens(text))
 
   /** Portable 60-bit hash — delegates to the single definition in
     * [[Keys.md5Key64]] so the Spark and DuckDB spellings that must stay

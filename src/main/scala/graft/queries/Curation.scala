@@ -169,8 +169,9 @@ object Curation {
       val corpusSh = TextOps.sharedShingleIndex(s, dir)
         .filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id").as("i"), col("shingle"))
-      val evalSh = evalSet.select(col("doc_id").as("j"),
-        explode(TextFns.shingles3(col("text"))).as("shingle"))
+      val evalSh = evalSet
+        .select(col("doc_id").as("j"), TextFns.rawTokens(col("text")).as("toks"))
+        .select(col("j"), explode(TextFns.shingles3FromTokens(col("toks"))).as("shingle"))
       val sizes = (shd: DataFrame, idCol: String) =>
         shd.groupBy(col(idCol)).agg(count(lit(1)).as(s"n_$idCol"))
       // eval side is tiny (the held-out set) → broadcast both its shingle

@@ -155,9 +155,15 @@ object TextOps {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** (doc_id, shingle) inverted index, distinct within doc. */
+  /** (doc_id, shingle) inverted index, distinct within doc. The tokens go
+    * through a projection boundary so the shingle lambda reads a bound
+    * attribute — inlining the split re-evaluates it per lambda element
+    * (the 348 s corpus-build cliff, see [[TextFns.shingles3FromTokens]]).
+    */
   private def shingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(TextFns.shingles3(col("text"))).as("shingle"))
+    docs.select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFns.shingles3FromTokens(col("toks"))).as("shingle"))
 
   /** The shingle index PERSISTED ONCE PER (session, sf-dir) and shared by
     * the whole dedup family (ngram-jaccard, minhash-lsh, incremental,
@@ -188,7 +194,10 @@ object TextOps {
     val a = sh.join(broadcast(anchors), Seq("doc_id"))
       .select(col("doc_id").as("u"), col("shingle"))
     val b = sh.select(col("doc_id").as("v"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("u") =!= col("v"))
+    // broadcast the anchor side (bounded by s·shingles-per-doc): without
+    // the hint the probe sort-merge-joins — i.e. SORTS — the corpus-sized
+    // index (same plan flaw measured on dedup_containment at 500k docs)
+    val inter = b.join(broadcast(a), Seq("shingle")).filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col("doc_id").as("u"), col("n_sh").as("na")), Seq("u"))
@@ -477,7 +486,15 @@ object TextOps {
       val a = sh.join(broadcast(anchors), Seq("doc_id"))
         .select(col("doc_id").as("u"), col("shingle"))
       val nu = a.groupBy(col("u")).agg(count(lit(1)).as("nu"))
-      val inter = a.join(sh.select(col("doc_id").as("v"), col("shingle")), Seq("shingle"))
+      // broadcast the ANCHOR side of the probe: it is bounded by
+      // s·shingles-per-doc (~20k rows) regardless of corpus size, while
+      // the index side is corpus-sized — without the hint Spark has no
+      // size stats for `a` (it derives from the persisted index) and
+      // plans a sort-merge join that SORTS the full inverted index
+      // (measured 407 s at 500k docs; broadcast probe scans it once,
+      // round-8 SCALE.md adjudication)
+      val inter = sh.select(col("doc_id").as("v"), col("shingle"))
+        .join(broadcast(a), Seq("shingle"))
         .filter(col("u") =!= col("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
       inter.join(broadcast(nu), Seq("u"))

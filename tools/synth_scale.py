@@ -102,7 +102,11 @@ def synth(src: str, out: str, copies: int, tables):
                 cols[name] = col
             parts.append(pa.table({n: cols[n] for n in tbl.column_names}))
         merged = pa.concat_tables(parts)
-        pq.write_table(merged, f"{out}/{t}.parquet")
+        # multiple row groups, or the file can never split across Spark
+        # tasks: a single-row-group file pins every scan (and any map-heavy
+        # expression over it, e.g. the shingle explode) to ONE core no
+        # matter what spark.sql.files.maxPartitionBytes says
+        pq.write_table(merged, f"{out}/{t}.parquet", row_group_size=32768)
         print(f"{t}: {tbl.num_rows} -> {merged.num_rows}")
 
 
