@@ -160,7 +160,7 @@ object TextOps {
     * attribute — inlining the split re-evaluates it per lambda element
     * (the 348 s corpus-build cliff, see [[TextFns.shingles3FromTokens]]).
     */
-  private def shingleIndex(docs: DataFrame): DataFrame =
+  private[queries] def shingleIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFns.shingles3FromTokens(col("toks"))).as("shingle"))

@@ -360,6 +360,41 @@ class PlanShapeSpec extends SparkSpec {
       "disabled runtime bloom filters must not inject")
   }
 
+  test("shingle-index lambda reads bound token attributes, never an inlined split") {
+    // the 348 s cliff of SCALE.md round 8: a non-attribute subexpression
+    // captured inside a higher-order lambda is re-evaluated PER ELEMENT
+    // (and HOFs don't codegen), so an inlined split(text) inside the
+    // shingle transform runs 3·(n_tokens−2) times per row. The fixed plan
+    // computes the split in a Project below the Generate; a regression
+    // re-inlines it into the Generate's generator expression. The explode
+    // input must therefore reference the bound `toks` attribute — the
+    // Generate node's own string must carry no split call.
+    // raw builder, not the CorpusCache wrapper — a cached InMemoryRelation
+    // would hide the Generate this asserts on
+    val plan = TextOps.shingleIndex(graft.Tables.documents(spark, dir))
+      .queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "shingle index must explode through a Generate node")
+    gens.foreach { g =>
+      val s = g.generator.toString
+      assert(!s.contains("split("),
+        s"generator re-inlines the token split (per-element re-evaluation): $s")
+    }
+    // negative control: the pre-fix shape (split inlined into the lambda)
+    // must trip the same probe — proves the guard can fail
+    import org.apache.spark.sql.functions._
+    val bad = graft.Tables.documents(spark, dir).select(col("doc_id"),
+      explode(graft.functions.TextFns.shingles3(col("text"))).as("shingle"))
+      .queryExecution.optimizedPlan
+    val badGen = bad.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(badGen.exists(_.generator.toString.contains("split(")),
+      "control: the inlined-split shape should show split( in the generator")
+  }
+
   test("coarse two-level IVF assignment materializes measurably fewer candidate rows than flat") {
     // the SCALE.md n=10⁶ claim as an executed-metrics assertion. The cost
     // that quadratizes (k ∝ n) is the CANDIDATE volume out of the
