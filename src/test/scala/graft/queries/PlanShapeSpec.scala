@@ -360,6 +360,17 @@ class PlanShapeSpec extends SparkSpec {
       "disabled runtime bloom filters must not inject")
   }
 
+  test("containment probe broadcasts the anchor side; the inverted index is never sorted") {
+    // round-8 fix: without the hint Spark planned a sort-merge join that
+    // SORTED the corpus-sized shingle index (359 s at 500k docs). The
+    // anchor side is bounded by s·shingles-per-doc at any corpus size, so
+    // every join in this plan must be broadcast — no SMJ, no shuffle join.
+    val p = plan("dedup_containment")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "containment must not shuffle or sort the inverted index for the probe")
+  }
+
   test("shingle-index lambda reads bound token attributes, never an inlined split") {
     // the 348 s cliff of SCALE.md round 8: a non-attribute subexpression
     // captured inside a higher-order lambda is re-evaluated PER ELEMENT
