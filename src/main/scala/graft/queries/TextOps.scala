@@ -195,8 +195,8 @@ object TextOps {
       .select(col("doc_id").as("u"), col("shingle"))
     val b = sh.select(col("doc_id").as("v"), col("shingle"))
     // broadcast the anchor side (bounded by s·shingles-per-doc): without
-    // the hint the probe sort-merge-joins — i.e. SORTS — the corpus-sized
-    // index (same plan flaw measured on dedup_containment at 500k docs)
+    // the hint the static planner sort-merge-joins — i.e. SORTS — the
+    // corpus-sized index (same plan flaw as dedup_containment, round 8)
     val inter = b.join(broadcast(a), Seq("shingle")).filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
     inter
@@ -488,11 +488,12 @@ object TextOps {
       val nu = a.groupBy(col("u")).agg(count(lit(1)).as("nu"))
       // broadcast the ANCHOR side of the probe: it is bounded by
       // s·shingles-per-doc (~20k rows) regardless of corpus size, while
-      // the index side is corpus-sized — without the hint Spark has no
-      // size stats for `a` (it derives from the persisted index) and
-      // plans a sort-merge join that SORTS the full inverted index
-      // (measured 407 s at 500k docs; broadcast probe scans it once,
-      // round-8 SCALE.md adjudication)
+      // the index side is corpus-sized — without the hint Spark's static
+      // planner (no stats for `a`, which derives from the persisted
+      // index) picks a sort-merge join that sorts the full inverted
+      // index (~50 s of the 407 s round-8 probe reading; the rest was
+      // the shingle-lambda build cliff, SCALE.md). The broadcast probe
+      // scans the index exactly once, sort-free at any corpus size.
       val inter = sh.select(col("doc_id").as("v"), col("shingle"))
         .join(broadcast(a), Seq("shingle"))
         .filter(col("u") =!= col("v"))
