@@ -895,6 +895,14 @@ object VectorOps {
           anchorCandidates(sigs, "bucket", anchors), RECALL_LSH_T))
         .unionByName(recallRow("lsh_multiprobe",
           multiprobeAnchorCandidates(sigs, anchors), RECALL_MP_T))
+        // round 8: the coarse-quantized assignment is an APPROXIMATION of
+        // the flat argmax (boundary vectors may land in a different cell),
+        // so its candidate recall is governed like every other ANN path —
+        // a two-level-restriction regression fails the oracle hash here,
+        // not just the wall-clock probe
+        .unionByName(recallRow("ivf_coarse",
+          anchorCandidates(sharedCoarseAssign(s, dir), "ck", anchors),
+          RECALL_IVF_T))
     }),
 
     // IVF under a COARSE QUANTIZER — the billion-vector assignment shape.
@@ -1273,13 +1281,19 @@ object VectorOps {
          |ivf_cand AS (
          |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
          |  FROM rk x JOIN rk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
+         |${coarseAssignCtes("n", "c")},
+         |coarse_cand AS (
+         |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         |  FROM crk x JOIN crk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
          |found(method, thr, n_found) AS (
          |  SELECT 'ivf', $RECALL_IVF_T,
          |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j)
          |  UNION ALL SELECT 'lsh', $RECALL_LSH_T,
          |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j)
          |  UNION ALL SELECT 'lsh_multiprobe', $RECALL_MP_T,
-         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j))
+         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j)
+         |  UNION ALL SELECT 'ivf_coarse', $RECALL_IVF_T,
+         |    (SELECT count(*) FROM truth t JOIN coarse_cand c ON t.i = c.i AND t.j = c.j))
          |SELECT method, (SELECT n_true FROM tc) AS n_true, n_found,
          |  round(CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc), 6) AS recall,
          |  CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc) >= thr AS recall_ok
@@ -1296,60 +1310,14 @@ object VectorOps {
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
-         |nk AS (
-         |  SELECT greatest($MIN_CENTROIDS,
-         |    CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM aug),
-         |fine AS (
-         |  SELECT vec_id AS cid, embedding AS ce,
-         |    sqrt(${dSql("embedding", "embedding")}) AS nc
-         |  FROM embeddings WHERE vec_id < (SELECT k FROM nk)),
-         |coarse AS (
-         |  SELECT vec_id AS gid, embedding AS ge,
-         |    sqrt(${dSql("embedding", "embedding")}) AS ng
-         |  FROM embeddings WHERE vec_id < (
-         |    SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) FROM nk)),
-         |fgrp AS (
-         |  SELECT gid, cid, ce, nc FROM (
-         |    SELECT coarse.gid, fine.cid, fine.ce, fine.nc, row_number() OVER (
-         |      PARTITION BY fine.cid
-         |      ORDER BY ${dSql("fine.ce", "coarse.ge")} / (fine.nc * coarse.ng) DESC,
-         |        coarse.gid ASC) AS rn
-         |    FROM fine CROSS JOIN coarse)
-         |  WHERE rn = 1),
          |a AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${dSql("embedding", "embedding")}) AS nrm
          |  FROM aug),
-         |vg AS (
-         |  SELECT vec_id, gid FROM (
-         |    SELECT a.vec_id, c.gid, row_number() OVER (
-         |      PARTITION BY a.vec_id
-         |      ORDER BY ${dSql("a.embedding", "c.ge")} / (a.nrm * c.ng) DESC,
-         |        c.gid ASC) AS rn
-         |    FROM a CROSS JOIN coarse c
-         |    WHERE c.gid IN (SELECT DISTINCT gid FROM fgrp))
-         |  WHERE rn = 1),
-         |assign AS (
-         |  SELECT vec_id,
-         |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
-         |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
-         |  FROM (
-         |    SELECT v.vec_id, f.cid, row_number() OVER (
-         |      PARTITION BY v.vec_id
-         |      ORDER BY ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) DESC,
-         |        f.cid ASC) AS rn
-         |    FROM vg v JOIN a ax ON ax.vec_id = v.vec_id
-         |    JOIN fgrp f ON f.gid = v.gid)
-         |  WHERE rn <= 2 GROUP BY vec_id),
-         |cellsz AS (SELECT cell, count(*) AS cn FROM assign GROUP BY cell),
+         |${coarseAssignCtes("a", "")},
          |e AS (
-         |  SELECT a.vec_id, a.embedding, a.nrm, assign.cell,
-         |    CASE WHEN cellsz.cn > $CELL_CAP THEN
-         |      CAST(assign.cell AS VARCHAR) || ':' ||
-         |        CAST(coalesce(assign.cell2, assign.cell) AS VARCHAR)
-         |    ELSE CAST(assign.cell AS VARCHAR) END AS ck
-         |  FROM a JOIN assign ON a.vec_id = assign.vec_id
-         |  JOIN cellsz ON cellsz.cell = assign.cell)
+         |  SELECT a.vec_id, a.embedding, a.nrm, rk.ck
+         |  FROM a JOIN rk ON a.vec_id = rk.vec_id)
          |SELECT x.vec_id AS i, y.vec_id AS j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
          |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
@@ -1455,6 +1423,66 @@ object VectorOps {
     * CTE body: aug → planes → component projections → bit-string
     * signatures → normed vectors.
     */
+  /** DuckDB twin of [[coarseAssignments]] as a reusable CTE chain: seeds
+    * codebook fine centroids, first ⌈√k⌉ vectors as coarse centroids,
+    * fine→coarse grouping by the (cos DESC, id ASC) argmax, vectors
+    * restricted to NON-EMPTY coarse groups, then the within-group fine
+    * argmax and the flat path's cell-cap key. `univ` must expose
+    * (vec_id, embedding, nrm); every emitted CTE name carries `p` so two
+    * chains (or a chain plus the flat one) can coexist in one oracle.
+    * Terminal CTE: `${p}rk` = (vec_id, ck).
+    */
+  private def coarseAssignCtes(univ: String, p: String): String =
+    s"""${p}nk AS (
+       |  SELECT greatest($MIN_CENTROIDS,
+       |    CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM $univ),
+       |${p}fine AS (
+       |  SELECT vec_id AS cid, embedding AS ce,
+       |    sqrt(${dSql("embedding", "embedding")}) AS nc
+       |  FROM embeddings WHERE vec_id < (SELECT k FROM ${p}nk)),
+       |${p}coarse AS (
+       |  SELECT vec_id AS gid, embedding AS ge,
+       |    sqrt(${dSql("embedding", "embedding")}) AS ng
+       |  FROM embeddings WHERE vec_id < (
+       |    SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) FROM ${p}nk)),
+       |${p}fgrp AS (
+       |  SELECT gid, cid, ce, nc FROM (
+       |    SELECT c.gid, f.cid, f.ce, f.nc, row_number() OVER (
+       |      PARTITION BY f.cid
+       |      ORDER BY ${dSql("f.ce", "c.ge")} / (f.nc * c.ng) DESC,
+       |        c.gid ASC) AS rn
+       |    FROM ${p}fine f CROSS JOIN ${p}coarse c)
+       |  WHERE rn = 1),
+       |${p}vg AS (
+       |  SELECT vec_id, gid FROM (
+       |    SELECT a.vec_id, c.gid, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY ${dSql("a.embedding", "c.ge")} / (a.nrm * c.ng) DESC,
+       |        c.gid ASC) AS rn
+       |    FROM $univ a CROSS JOIN ${p}coarse c
+       |    WHERE c.gid IN (SELECT DISTINCT gid FROM ${p}fgrp))
+       |  WHERE rn = 1),
+       |${p}assign AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
+       |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
+       |  FROM (
+       |    SELECT v.vec_id, f.cid, row_number() OVER (
+       |      PARTITION BY v.vec_id
+       |      ORDER BY ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) DESC,
+       |        f.cid ASC) AS rn
+       |    FROM ${p}vg v JOIN $univ ax ON ax.vec_id = v.vec_id
+       |    JOIN ${p}fgrp f ON f.gid = v.gid)
+       |  WHERE rn <= 2 GROUP BY vec_id),
+       |${p}cellsz AS (SELECT cell, count(*) AS cn FROM ${p}assign GROUP BY cell),
+       |${p}rk AS (
+       |  SELECT a.vec_id,
+       |    CASE WHEN z.cn > $CELL_CAP THEN
+       |      CAST(a.cell AS VARCHAR) || ':' ||
+       |        CAST(coalesce(a.cell2, a.cell) AS VARCHAR)
+       |    ELSE CAST(a.cell AS VARCHAR) END AS ck
+       |  FROM ${p}assign a JOIN ${p}cellsz z ON z.cell = a.cell)""".stripMargin
+
   private def sigChain(augBody: String): String =
     s"""aug AS ($augBody),
        |planes AS (
