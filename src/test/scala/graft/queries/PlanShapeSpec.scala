@@ -380,9 +380,12 @@ class PlanShapeSpec extends SparkSpec {
     // re-inlines it into the Generate's generator expression. The explode
     // input must therefore reference the bound `toks` attribute — the
     // Generate node's own string must carry no split call.
-    // raw builder, not the CorpusCache wrapper — a cached InMemoryRelation
-    // would hide the Generate this asserts on
-    val plan = TextOps.shingleIndex(graft.Tables.documents(spark, dir))
+    // raw builder, not the CorpusCache wrapper — and over a limited scan,
+    // so the plan is structurally distinct from any index another suite
+    // already persisted (the cache manager substitutes an InMemoryRelation
+    // for a structurally-identical plan, hiding the Generate this asserts
+    // on; bit exactly that way when the full suite ran after a dedup spec)
+    val plan = TextOps.shingleIndex(graft.Tables.documents(spark, dir).limit(7))
       .queryExecution.optimizedPlan
     val gens = plan.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
