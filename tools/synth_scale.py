@@ -88,7 +88,11 @@ def synth(src: str, out: str, copies: int, tables):
                 # nationkey, regionkey) on both the PK and FK side
                 if name.endswith(("_id", "key")):
                     if pa.types.is_integer(col.type):
-                        cols[name] = pa.compute.add(col, c * ID_SHIFT)
+                        # typed scalar: a bare python int promotes int32
+                        # columns to int64 and the per-copy schemas then
+                        # refuse to concat (hit on c_nationkey)
+                        cols[name] = pa.compute.add(
+                            col, pa.scalar(c * ID_SHIFT, type=col.type))
                         continue
                 if t == "documents" and name == "text":
                     cols[name] = pa.array(
