@@ -40,8 +40,12 @@ object Relational {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
+      // rate derives from the REGION (5 of them), not the key VALUE:
+      // % 5 pins the domain so surrogate/shifted keys (hash keys in
+      // production, id-shifted copies in the scale fixtures) can't
+      // overflow the DECIMAL(3,1) — identity on the 0-4 reference keys
       val rate = (lit(1.0).cast(DecimalType(3, 1)) +
-        col("r_regionkey").cast(DecimalType(3, 1)) * lit(0.1).cast(DecimalType(3, 1)))
+        (col("r_regionkey") % 5).cast(DecimalType(3, 1)) * lit(0.1).cast(DecimalType(3, 1)))
       val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -160,7 +164,7 @@ object Relational {
         |  CAST(month(o_orderdate) AS INTEGER) AS m,
         |  count(*) AS n_lines,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |      * (CAST(1.0 AS DECIMAL(3,1)) + CAST(r_regionkey AS DECIMAL(3,1)) * CAST(0.1 AS DECIMAL(3,1)))), 2) AS DOUBLE)
+        |      * (CAST(1.0 AS DECIMAL(3,1)) + CAST(r_regionkey % 5 AS DECIMAL(3,1)) * CAST(0.1 AS DECIMAL(3,1)))), 2) AS DOUBLE)
         |    AS revenue_usd
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
