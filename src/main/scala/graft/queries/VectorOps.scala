@@ -398,11 +398,17 @@ object VectorOps {
   private def sharedLshSigs(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"lshsigs:$dir")(lshSigs(s, augmented(s, dir)))
 
-  /** Refined IVF cell assignment over the augmented corpus, built ONCE per
-    * (session, corpus) — seeds, Lloyd step, final assignment, hot-cell
-    * split — and served to `sim_ann_ivf`, `dedup_semantic`, `ann_recall`.
-    * Also saves the self-join consumers from recomputing the whole centroid
-    * chain for each side of their candidate join.
+  /** FLAT IVF cell assignment over the augmented corpus — seeds, Lloyd
+    * step, final assignment, hot-cell split. Round 9: this chain serves
+    * ONLY the tagged baseline `sim_ann_ivf` (bench_full.json tags it as
+    * the flat O(n·k) twin). Every production consumer — probe, rescore,
+    * IVF-PQ, semantic dedup, recall governance — runs on
+    * [[sharedCoarseAssign]], because with the derived k ∝ n the flat
+    * nearest-centroid pass is O(n²·d/1024): the round-8 n=10⁶ probe
+    * measured it as the family's scale cliff (57.3 s at n=2·10⁵,
+    * unrunnable at 10⁶) while the two-level path ran 3.4× wall on 5×
+    * data. Kept (and still oracle-gated) as the Lloyd-refined quality
+    * baseline the coarse approximation is measured against.
     */
   private def sharedIvfAssign(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"ivfassign:$dir")(
@@ -417,6 +423,10 @@ object VectorOps {
     * centroids, then its nearest FINE centroid within that coarse group
     * only: O(n·√k·d) total — the coarse-quantizer discipline of
     * billion-scale IVF indexes (FAISS's IVF coarse quantizer / IMI).
+    * Round 9: this is THE shared production assignment — `sim_ann_ivf_coarse`,
+    * `sim_ann_ivf_probe`, `sim_ann_quantized_rescore`, `sim_ann_ivf_pq`,
+    * `dedup_semantic`, and `ann_recall` all build on it; the flat chain
+    * survives only behind the tagged baseline `sim_ann_ivf`.
     */
   private[queries] def sharedCoarseAssign(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"ivfcoarse:$dir")(
@@ -606,13 +616,15 @@ object VectorOps {
     // equi-join (candidate volume is nprobe× the nprobe=1 path; at
     // production scale the probed join reuses the identical CELL_CAP
     // refined-key discipline, which the home cells here already carry).
-    // By construction the candidate set is a superset of `sim_ann_ivf`'s
-    // same-cell pairs, so probe recall ≥ nprobe=1 recall — pinned in
-    // [[QueryInvariantSpec]].
+    // Round 9: runs on the COARSE two-level assignment (the production
+    // index — flat assignment quadratizes with k ∝ n, see
+    // [[sharedCoarseAssign]]). By construction the candidate set is a
+    // superset of `sim_ann_ivf_coarse`'s same-cell pairs, so probe
+    // recall ≥ nprobe=1 recall — pinned in [[QueryInvariantSpec]].
     "sim_ann_ivf_probe" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val assign = sharedIvfAssign(s, dir)
+      val assign = sharedCoarseAssign(s, dir)
       val probes = assign.select(col("vec_id"), col("cell").as("pc"))
         .unionByName(assign.filter(col("cell2").isNotNull)
           .select(col("vec_id"), col("cell2").as("pc")))
@@ -641,12 +653,14 @@ object VectorOps {
     // margin (QP_MARGIN) dominates the worst-case int8 cosine error
     // (~(4/127)·(max_a/‖a‖ + max_b/‖b‖) ≈ 0.024 at 64-d), so the prefilter
     // can only drop pairs whose EXACT cosine is also below ANN_T — output ≡
-    // `sim_ann_ivf`, pinned in [[QueryInvariantSpec]]. At scale the rescore
+    // `sim_ann_ivf_coarse` (round 9: the candidate cells come from the
+    // production two-level assignment, [[sharedCoarseAssign]]), pinned in
+    // [[QueryInvariantSpec]]. At scale the rescore
     // fetch is O(candidates), and the candidate scan reads 1/4 the bytes.
     "sim_ann_quantized_rescore" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val assign = sharedIvfAssign(s, dir)
+      val assign = sharedCoarseAssign(s, dir)
       val mx = aggregate(col("embedding"), lit(0.0d),
         (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
       // The candidate join carries ONLY the int8 codes (float-exact ≤ 127,
@@ -679,7 +693,9 @@ object VectorOps {
     }),
 
     // IVF-PQ search — THE production trillion-vector ANN shape (FAISS's
-    // IVF*,PQ*): the IVF assignment restricts candidates to the anchor's
+    // IVF*,PQ*): the COARSE two-level IVF assignment (round 9 — the flat
+    // assignment quadratizes with k ∝ n; [[sharedCoarseAssign]] is the
+    // billion-vector discipline) restricts candidates to the anchor's
     // cell (the shared refined-key discipline), and those candidates are
     // scored from their 8 one-byte PQ codes via the anchor's broadcast
     // lookup table — so the pair scan touches neither full vectors nor
@@ -690,7 +706,7 @@ object VectorOps {
     "sim_ann_ivf_pq" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val assign = sharedIvfAssign(s, dir)
+      val assign = sharedCoarseAssign(s, dir)
       val cb = pqCodebook(emb)
       val codes = sharedPqCodes(s, dir)
         .select(col("vec_id").as("nb"), col("m"), col("code"))
@@ -831,8 +847,11 @@ object VectorOps {
       Tables.embeddings(s, dir).select(col("vec_id") +: comps: _*)
     }),
 
-    // SemDeDup-shaped semantic dedup: cluster the corpus (the deterministic
-    // IVF k-means cells), detect within-cell cosine-≥T pairs, close the pair
+    // SemDeDup-shaped semantic dedup: cluster the corpus (round 9: the
+    // COARSE two-level IVF cells — [[sharedCoarseAssign]], the assignment
+    // that stays O(n·√k·d) as the corpus and the derived k grow — flat
+    // assignment was the round-8 probe's scale cliff), detect within-cell
+    // cosine-≥T pairs, close the pair
     // graph into groups (operators.Components, checked fixpoint), and keep
     // ONE representative per group (the min vec_id). The all-pairs space is
     // never materialized — candidates exist only within a cell — and the
@@ -843,7 +862,7 @@ object VectorOps {
     "dedup_semantic" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val assign = sharedIvfAssign(s, dir)
+      val assign = sharedCoarseAssign(s, dir)
       val e = withNorm(emb).join(assign, Seq("vec_id"))
       val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
       val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -869,7 +888,12 @@ object VectorOps {
     // recall_ok boolean pins the design floor the way the approx_*
     // tolerance gates do. Anchoring subsamples truth uniformly, so the
     // recall estimate is unbiased — and the planted duplicates guarantee
-    // anchored positives at every sf.
+    // anchored positives at every sf. Round 9: the `ivf` row governs the
+    // PRODUCTION index — the coarse two-level assignment every IVF
+    // consumer now runs on ([[sharedCoarseAssign]]); the flat chain is
+    // governed by `sim_ann_ivf`'s own exact oracle gate (a strictly
+    // stronger check than a recall floor), so recall governance no longer
+    // pays — or legitimizes — the quadratic flat assignment.
     "ann_recall" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
@@ -881,8 +905,7 @@ object VectorOps {
         AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
           .filter(col("is_anchor")).select(col("vec_id")).persist())
       val sigs = sharedLshSigs(s, dir)
-      val assign = sharedIvfAssign(s, dir)
-      val ivfCand = anchorCandidates(assign, "ck", anchors)
+      val ivfCand = anchorCandidates(sharedCoarseAssign(s, dir), "ck", anchors)
       def recallRow(method: String, cand: DataFrame, thr: Double): DataFrame =
         truth.join(cand, Seq("i", "j"), "left_semi")
           .agg(count(lit(1)).as("n_found"))
@@ -890,19 +913,16 @@ object VectorOps {
           .select(lit(method).as("method"), col("n_true"), col("n_found"),
             round(col("n_found").cast(DoubleType) / col("n_true"), 6).as("recall"),
             (col("n_found").cast(DoubleType) / col("n_true") >= thr).as("recall_ok"))
+      // the coarse-quantized assignment is an APPROXIMATION of the flat
+      // argmax (boundary vectors may land in a different cell), which is
+      // exactly why the production index needs this recall floor — a
+      // two-level-restriction regression fails the oracle hash here, not
+      // just the wall-clock probe
       recallRow("ivf", ivfCand, RECALL_IVF_T)
         .unionByName(recallRow("lsh",
           anchorCandidates(sigs, "bucket", anchors), RECALL_LSH_T))
         .unionByName(recallRow("lsh_multiprobe",
           multiprobeAnchorCandidates(sigs, anchors), RECALL_MP_T))
-        // round 8: the coarse-quantized assignment is an APPROXIMATION of
-        // the flat argmax (boundary vectors may land in a different cell),
-        // so its candidate recall is governed like every other ANN path —
-        // a two-level-restriction regression fails the oracle hash here,
-        // not just the wall-clock probe
-        .unionByName(recallRow("ivf_coarse",
-          anchorCandidates(sharedCoarseAssign(s, dir), "ck", anchors),
-          RECALL_IVF_T))
     }),
 
     // IVF under a COARSE QUANTIZER — the billion-vector assignment shape.
@@ -1036,11 +1056,11 @@ object VectorOps {
          |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
 
-    // the nprobe=2 twin: the same assignment chain, probes = home cell ∪
-    // second-nearest cell, candidates normalized to i < j, exact-cosine
-    // verification at the same threshold
+    // the nprobe=2 twin: the same COARSE assignment chain the Spark side
+    // shares, probes = home cell ∪ second-nearest cell, candidates
+    // normalized to i < j, exact-cosine verification at the same threshold
     "sim_ann_ivf_probe" ->
-      s"""WITH $ivfCellCtes,
+      s"""WITH $coarseCellCtes,
          |probes AS (
          |  SELECT vec_id, cell AS pc FROM assign
          |  UNION ALL
@@ -1104,11 +1124,11 @@ object VectorOps {
          |  FROM adc)
          |WHERE rn <= $TOPK""".stripMargin,
 
-    // the IVF-PQ twin composes the two shared CTE chains (cell assignment
-    // and code table, both over aug), restricts candidates to the
-    // anchor's refined cell key, and replays the 8-entry DECIMAL sums
+    // the IVF-PQ twin composes the two shared CTE chains (the COARSE cell
+    // assignment and the code table, both over aug), restricts candidates
+    // to the anchor's refined cell key, and replays the 8-entry DECIMAL sums
     "sim_ann_ivf_pq" ->
-      s"""WITH $ivfCellCtes,
+      s"""WITH $coarseCellCtes,
          |${pqCtes("aug")},
          |codes AS (SELECT vec_id AS nb, m, code FROM best WHERE rn = 1),
          |m0 AS (${AnchorSample.modSql("aug")}),
@@ -1161,11 +1181,11 @@ object VectorOps {
          |FROM p GROUP BY vec_id""".stripMargin
     },
 
-    // the two-tier twin: the same IVF chain, per-vector scale and int8
-    // codes as lateral aliases, integer code dots (exact in double) for
-    // the prefilter, exact-cosine rescore at the same threshold
+    // the two-tier twin: the same COARSE IVF chain, per-vector scale and
+    // int8 codes as lateral aliases, integer code dots (exact in double)
+    // for the prefilter, exact-cosine rescore at the same threshold
     "sim_ann_quantized_rescore" ->
-      s"""WITH $ivfCellCtes,
+      s"""WITH $coarseCellCtes,
          |qe AS (
          |  SELECT vec_id, embedding, nrm, ck,
          |    127.0 / list_aggregate(
@@ -1181,11 +1201,12 @@ object VectorOps {
          |  FROM qe x JOIN qe y ON x.ck = y.ck AND x.vec_id < y.vec_id)
          |WHERE qcos >= ${ANN_T - QP_MARGIN} AND cos >= $ANN_T""".stripMargin,
 
-    // the dedup_semantic twin replays the IVF chain, finds within-cell
-    // ≥ANN_T pairs, closes them by recursive transitive closure, and emits
-    // the per-vector keep/drop decision (min vec_id per group kept)
+    // the dedup_semantic twin replays the COARSE IVF chain, finds
+    // within-cell ≥ANN_T pairs, closes them by recursive transitive
+    // closure, and emits the per-vector keep/drop decision (min vec_id
+    // per group kept)
     "dedup_semantic" ->
-      s"""WITH RECURSIVE $ivfCellCtes,
+      s"""WITH RECURSIVE $coarseCellCtes,
          |pairs AS (
          |  SELECT x.vec_id AS i, y.vec_id AS j
          |  FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
@@ -1208,8 +1229,10 @@ object VectorOps {
          |  aug.vec_id = coalesce(comp.group_id, aug.vec_id) AS is_kept
          |FROM aug LEFT JOIN comp ON aug.vec_id = comp.vec_id""".stripMargin,
 
-    // the ann_recall twin replays the full LSH signature chain AND the IVF
-    // centroid chain, then counts truth ∩ candidates per method
+    // the ann_recall twin replays the full LSH signature chain AND the
+    // COARSE two-level centroid chain (the production index — the flat
+    // chain is governed by sim_ann_ivf's own exact oracle), then counts
+    // truth ∩ candidates per method
     "ann_recall" ->
       s"""WITH $lshSigCtes,
          |m AS (${AnchorSample.modSql("n")}),
@@ -1234,55 +1257,8 @@ object VectorOps {
          |mp_cand AS (
          |  SELECT DISTINCT p.vec_id AS i, s.vec_id AS j
          |  FROM probes p JOIN sigs s ON p.probe = s.bucket AND p.vec_id < s.vec_id),
-         |cent0 AS (
-         |  SELECT vec_id AS cid, embedding AS ce,
-         |    sqrt(${dSql("embedding", "embedding")}) AS nc
-         |  FROM embeddings WHERE vec_id < (
-         |    SELECT greatest($MIN_CENTROIDS,
-         |      CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) FROM n)),
-         |assign0 AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT n.vec_id, cent0.cid, row_number() OVER (
-         |      PARTITION BY n.vec_id
-         |      ORDER BY ${dSql("n.embedding", "cent0.ce")} / (n.nrm * cent0.nc) DESC, cent0.cid ASC) AS rn
-         |    FROM n CROSS JOIN cent0)
-         |  WHERE rn = 1),
-         |icomps AS (
-         |  SELECT assign0.cell, generate_subscripts(n.embedding, 1) AS d,
-         |    unnest(n.embedding) AS x
-         |  FROM n JOIN assign0 ON n.vec_id = assign0.vec_id),
-         |means AS (
-         |  SELECT cell, d, avg(CAST(x AS DOUBLE)) AS m
-         |  FROM icomps GROUP BY cell, d),
-         |cent1 AS (
-         |  SELECT cell AS cid,
-         |    list_transform(list(m ORDER BY d), v -> CAST(v AS REAL)) AS ce
-         |  FROM means GROUP BY cell),
-         |cent AS (
-         |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM cent1),
-         |assign AS (
-         |  SELECT vec_id,
-         |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
-         |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
-         |  FROM (
-         |    SELECT n.vec_id, cent.cid, row_number() OVER (
-         |      PARTITION BY n.vec_id
-         |      ORDER BY ${dSql("n.embedding", "cent.ce")} / (n.nrm * cent.nc) DESC, cent.cid ASC) AS rn
-         |    FROM n CROSS JOIN cent)
-         |  WHERE rn <= 2 GROUP BY vec_id),
-         |cellsz AS (SELECT cell, count(*) AS cn FROM assign GROUP BY cell),
-         |rk AS (
-         |  SELECT assign.vec_id,
-         |    CASE WHEN cellsz.cn > $CELL_CAP THEN
-         |      CAST(assign.cell AS VARCHAR) || ':' ||
-         |        CAST(coalesce(assign.cell2, assign.cell) AS VARCHAR)
-         |    ELSE CAST(assign.cell AS VARCHAR) END AS ck
-         |  FROM assign JOIN cellsz ON cellsz.cell = assign.cell),
-         |ivf_cand AS (
-         |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
-         |  FROM rk x JOIN rk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
          |${coarseAssignCtes("n", "c")},
-         |coarse_cand AS (
+         |ivf_cand AS (
          |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
          |  FROM crk x JOIN crk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
          |found(method, thr, n_found) AS (
@@ -1291,9 +1267,7 @@ object VectorOps {
          |  UNION ALL SELECT 'lsh', $RECALL_LSH_T,
          |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j)
          |  UNION ALL SELECT 'lsh_multiprobe', $RECALL_MP_T,
-         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j)
-         |  UNION ALL SELECT 'ivf_coarse', $RECALL_IVF_T,
-         |    (SELECT count(*) FROM truth t JOIN coarse_cand c ON t.i = c.i AND t.j = c.j))
+         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j))
          |SELECT method, (SELECT n_true FROM tc) AS n_true, n_found,
          |  round(CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc), 6) AS recall,
          |  CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc) >= thr AS recall_ok
@@ -1306,18 +1280,7 @@ object VectorOps {
     // [[coarseAssignments]] — and the flat path's cell-cap key and
     // 0.999-pair verification
     "sim_ann_ivf_coarse" ->
-      s"""WITH aug AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
-         |a AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
-         |  FROM aug),
-         |${coarseAssignCtes("a", "")},
-         |e AS (
-         |  SELECT a.vec_id, a.embedding, a.nrm, rk.ck
-         |  FROM a JOIN rk ON a.vec_id = rk.vec_id)
+      s"""WITH $coarseCellCtes
          |SELECT x.vec_id AS i, y.vec_id AS j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
          |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
@@ -1482,6 +1445,28 @@ object VectorOps {
        |        CAST(coalesce(a.cell2, a.cell) AS VARCHAR)
        |    ELSE CAST(a.cell AS VARCHAR) END AS ck
        |  FROM ${p}assign a JOIN ${p}cellsz z ON z.cell = a.cell)""".stripMargin
+
+  /** The full coarse-assignment oracle prelude over the AUGMENTED corpus:
+    * aug → normed universe `a` → [[coarseAssignCtes]] (terminal `rk`) →
+    * `e` = (vec_id, embedding, nrm, ck). Round 9: this is the shared twin
+    * of [[sharedCoarseAssign]] + the refined cell key, reused by every
+    * production IVF oracle (`sim_ann_ivf_coarse`, `sim_ann_ivf_probe`,
+    * `sim_ann_quantized_rescore`, `sim_ann_ivf_pq`, `dedup_semantic`) the
+    * same way the Spark side shares one cached assignment.
+    */
+  private lazy val coarseCellCtes: String =
+    s"""aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+       |  FROM aug),
+       |${coarseAssignCtes("a", "")},
+       |e AS (
+       |  SELECT a.vec_id, a.embedding, a.nrm, rk.ck
+       |  FROM a JOIN rk ON a.vec_id = rk.vec_id)""".stripMargin
 
   private def sigChain(augBody: String): String =
     s"""aug AS ($augBody),

@@ -422,24 +422,77 @@ class PlanShapeSpec extends SparkSpec {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    def candidateRows(df: org.apache.spark.sql.DataFrame): Long = {
+    // (bnlj, bhj) output rows, asserted SEPARATELY (round-9 advice): the
+    // cross joins (BNLJ — seed builds + vector×coarse picks) are bounded
+    // O(n·√k) UNCONDITIONALLY, while the in-group fine pick (BHJ, equi on
+    // gid) is bounded n·max_g k_g — a bound that DEPENDS on the fine→
+    // coarse distribution. A single summed assert would let worst-case
+    // fine-centroid skew (all k fine centroids in one coarse group → the
+    // in-group join alone is n·k) hide behind a healthy cross-join side.
+    def joinRows(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       df.collect() // executes THIS queryExecution (count() would plan its own)
-      df.queryExecution.executedPlan.collect {
+      val p = df.queryExecution.executedPlan
+      val bnlj = p.collect {
         case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
           j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.sum
+      val bhj = p.collect {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
           j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
       }.sum
+      (bnlj, bhj)
     }
-    val flat = candidateRows(VectorOps.flatAssignProbe(s2, dir))
-    val coarse = candidateRows(VectorOps.coarseAssignProbe(s2, dir))
-    info(s"candidate join output rows: flat=$flat coarse=$coarse")
-    // fixture: n=1000 (augmented), k=16, √k=4 → flat ≥ n·k = 16000;
-    // coarse ≈ n·4 + n·4 + 64 ≈ 8k even under fine-centroid skew. 0.75
-    // leaves headroom while still failing if the in-group restriction is
-    // ever lost (which would put coarse at n·√k + n·k > flat).
+    val (flatBnlj, flatBhj) = joinRows(VectorOps.flatAssignProbe(s2, dir))
+    val (coarseBnlj, coarseBhj) = joinRows(VectorOps.coarseAssignProbe(s2, dir))
+    val flat = flatBnlj + flatBhj
+    val coarse = coarseBnlj + coarseBhj
+    info(s"join output rows: flat=$flat (bnlj=$flatBnlj bhj=$flatBhj) " +
+      s"coarse=$coarse (bnlj=$coarseBnlj bhj=$coarseBhj)")
+    // fixture: n=1000 (augmented), nbase=500, k=16, √k=4.
+    // flat: BNLJ ≥ n·k = 16000 (the quadratizing candidate set).
     assert(flat >= 16000L, s"flat probe must materialize the full n·k candidate set, saw $flat")
+    // coarse cross-join side — UNCONDITIONAL bound, holds under any
+    // fine-centroid distribution: seed builds 2·nbase + fgrp k·√k +
+    // vector×coarse n·√k = 1000 + 64 + 4000 = 5064; assert < 8000
+    assert(coarseBnlj < 8000L,
+      s"coarse cross-join stage must stay O(n·√k): bnlj=$coarseBnlj")
+    // coarse in-group side — bound is n·max_g k_g, which DEPENDS on the
+    // fine→coarse distribution. On this fixture the seed codebook spreads
+    // the 16 fine centroids across the 4 coarse groups (E[k_g]=√k), so
+    // Σ n_g·k_g ≈ n·√k ≈ 4000 (+ coarseNE ≤ √k); the 8000 ceiling fails
+    // if the in-group restriction is ever lost (which would put this
+    // stage at the full n·k = 16000). NOT a worst-case guarantee: total
+    // fine-centroid skew would re-quadratize this stage — that skew is
+    // what the recall gate + CELL_CAP discipline bound in production.
+    assert(coarseBhj < 8000L,
+      s"in-group fine pick must stay ~n·√k on this fixture: bhj=$coarseBhj")
+    // and the headline: two-level total well under flat's candidate volume
     assert(coarse < (flat * 3) / 4,
       s"two-level assignment must materialize <75% of flat's candidates: coarse=$coarse flat=$flat")
+  }
+
+  test("every production IVF consumer builds ONLY the coarse assignment; flat = tagged baseline") {
+    // round 9: the in-band witness that the five consumer chains run on
+    // sharedCoarseAssign — constructing each query in a FRESH session must
+    // register the `ivfcoarse:` cache key and never the flat `ivfassign:`
+    // one. Construction is where getOrBuild fires, so this needs no
+    // execution; the tagged baseline sim_ann_ivf is the positive control
+    // proving the flat key would have been observed.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val consumers = Seq("sim_ann_ivf_coarse", "sim_ann_ivf_probe",
+      "sim_ann_quantized_rescore", "sim_ann_ivf_pq", "dedup_semantic",
+      "ann_recall")
+    consumers.foreach(n => graft.SparkEntry.queries(n)(s2, dir))
+    val keys = CorpusCache.liveKeys(s2)
+    assert(keys.exists(_.startsWith("ivfcoarse:")),
+      s"consumers must build the coarse assignment, keys=$keys")
+    assert(!keys.exists(_.startsWith("ivfassign:")),
+      s"no production consumer may build the flat assignment, keys=$keys")
+    // positive control: the tagged baseline still builds (and is the only
+    // builder of) the flat chain
+    graft.SparkEntry.queries("sim_ann_ivf")(s2, dir)
+    assert(CorpusCache.liveKeys(s2).exists(_.startsWith("ivfassign:")),
+      "control: the tagged baseline must register the flat key")
   }
 }

@@ -496,11 +496,14 @@ class QueryInvariantSpec extends SparkSpec {
   test("IVF nprobe=2 output is a superset of the nprobe=1 output") {
     // same-ck pairs share a home cell, so every nprobe=1 candidate is also
     // an nprobe=2 candidate; both verify at the same cosine threshold —
-    // the recall lever must only ever ADD pairs
+    // the recall lever must only ever ADD pairs. Round 9: both run on the
+    // shared COARSE assignment, so the nprobe=1 anchor is
+    // sim_ann_ivf_coarse (same cells ⇒ the superset property is
+    // structural, not fixture luck)
     def pairs(name: String): Set[(Long, Long)] =
       q(name).select("i", "j").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val one = pairs("sim_ann_ivf")
+    val one = pairs("sim_ann_ivf_coarse")
     val two = pairs("sim_ann_ivf_probe")
     assert(one.nonEmpty, "fixture should contain planted duplicate pairs")
     assert(one.subsetOf(two),
@@ -510,11 +513,12 @@ class QueryInvariantSpec extends SparkSpec {
   test("quantized rescore output equals the exact IVF output") {
     // the int8 prefilter margin must dominate quantization error, so the
     // two-tier path may never lose (or add) a pair vs full-precision
-    // scoring over the same cells
+    // scoring over the same cells — which, round 9, are the shared COARSE
+    // cells (sim_ann_ivf_coarse is the same-assignment exact scorer)
     def pairs(name: String): Set[(Long, Long)] =
       q(name).select("i", "j").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs("sim_ann_ivf")
+    val exact = pairs("sim_ann_ivf_coarse")
     val tiered = pairs("sim_ann_quantized_rescore")
     assert(exact.nonEmpty, "fixture should contain planted duplicate pairs")
     assert(tiered === exact,
