@@ -95,7 +95,7 @@ object Bench {
     val baselines = Map(
       "sim_ann_ivf" -> "flat O(n*k) centroid assignment; deployment twin at scale sim_ann_ivf_coarse",
       "sim_ann_pq_adc" -> "flat ADC baseline; deployment twin sim_ann_ivf_pq",
-      "sim_topk_bruteforce" -> "anchored exact top-k truth; deployment twin sim_ann_ivf",
+      "sim_topk_bruteforce" -> "anchored exact top-k truth; deployment twin sim_ann_ivf_coarse",
       "dedup_embedding_cosine" -> "anchored exact cosine truth; deployment twin dedup_semantic",
       "dedup_ngram_jaccard" -> "anchored exact Jaccard truth; deployment twin dedup_minhash_lsh")
     val unknownTags = baselines.keySet -- SparkEntry.queries.keySet

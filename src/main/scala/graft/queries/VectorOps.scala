@@ -621,26 +621,39 @@ object VectorOps {
     // [[sharedCoarseAssign]]). By construction the candidate set is a
     // superset of `sim_ann_ivf_coarse`'s same-cell pairs, so probe
     // recall ≥ nprobe=1 recall — pinned in [[QueryInvariantSpec]].
+    // SCALE SHAPE (round 9, from the n=10⁶ probe): candidates are scored
+    // IN the probe join and deduplicated AFTER the ≥ANN_T filter. The
+    // earlier candidate-first plan (`.distinct()` on the raw (i, j)
+    // candidate set, then two vec_id equi-joins to fetch vectors) shuffled
+    // the ~2·nprobe·n·E[cell] candidate rows THREE times — the distinct
+    // plus both fetch joins — and measured 547 s at n=10⁶ vs 40 s for the
+    // nprobe=1 gate. Scoring inline keeps the candidate volume inside one
+    // codegen stage (join → dot → filter), so the only distinct runs over
+    // the ≥ANN_T survivors (O(near-dups), corpus-independent): measured
+    // 227 s at n=10⁶ — the remaining 5.6× over nprobe=1 is the inherent
+    // 2× candidate volume of probing two cells, not a shuffle. A pair
+    // found via both probe routes scores bit-identically (elementwise
+    // float dot is commutative, same sum order), so the post-filter
+    // distinct collapses it exactly.
     "sim_ann_ivf_probe" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
       val assign = sharedCoarseAssign(s, dir)
-      val probes = assign.select(col("vec_id"), col("cell").as("pc"))
-        .unionByName(assign.filter(col("cell2").isNotNull)
-          .select(col("vec_id"), col("cell2").as("pc")))
-      val cand = probes
-        .join(assign.select(col("cell").as("pc"), col("vec_id").as("v")), Seq("pc"))
-        .filter(col("vec_id") =!= col("v"))
-        .select(least(col("vec_id"), col("v")).as("i"),
-          greatest(col("vec_id"), col("v")).as("j"))
-        .distinct()
-      val n = withNorm(emb)
-      cand
-        .join(n.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na")), Seq("i"))
-        .join(n.select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("j"))
+      val e = withNorm(emb).join(assign, Seq("vec_id"))
+      val probes = e.select(col("cell").as("pc"), col("vec_id").as("u"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .unionByName(e.filter(col("cell2").isNotNull)
+          .select(col("cell2").as("pc"), col("vec_id").as("u"),
+            col("embedding").as("ea"), col("nrm").as("na")))
+      val home = e.select(col("cell").as("pc"), col("vec_id").as("v"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      probes.join(home, Seq("pc")).filter(col("u") =!= col("v"))
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
-        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+        .select(least(col("u"), col("v")).as("i"),
+          greatest(col("u"), col("v")).as("j"),
+          round(col("cos"), 6).as("cosine"))
+        .distinct()
     }),
 
     // IVF candidates scored on INT8-QUANTIZED vectors first, exact-cosine

@@ -32,29 +32,83 @@ class ConcurrencySoakSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   // no newSession()/sink/stream queries here: those isolate on purpose;
-  // this spec targets the SHARED-state paths
+  // this spec targets the SHARED-state paths. Round 9 adds the two
+  // coarse-assignment consumers so the production `ivfcoarse:` cache key
+  // is demanded by multiple queries in the same wave.
   private val names = Seq(
     "dedup_minhash_lsh", "sim_ann_lsh", "sim_ann_ivf", "dedup_components",
     "dedup_semantic", "sim_topk_bruteforce", "q0_flagship_star",
-    "j10_orphan_audit")
+    "j10_orphan_audit", "sim_ann_ivf_coarse", "sim_ann_ivf_probe")
 
   private def run(n: String): Seq[String] =
     graft.SparkEntry.queries(n)(spark, dir).collect()
       .map(_.toString).sorted.toSeq
 
-  test("8 gate queries under concurrent threads equal their serial runs") {
+  test("gate queries under concurrent threads equal their serial runs, 5 iterated waves") {
+    // round-9 verdict item: one passing wave proves little for a
+    // PROBABILISTIC race — iterate the wave, each time from a cold cache
+    // (clearCache between waves), so the getOrBuild build path, the
+    // re-persist-after-eviction branch, and the LRU bookkeeping all get
+    // repeated overlapping exercise
     val serial = names.map(n => n -> run(n)).toMap
-    // drop every cached block so the concurrent wave has to rebuild the
-    // shared indexes from scratch, racing on CorpusCache.getOrBuild and
-    // the re-persist-after-eviction branch
-    ScratchCache.drain()
-    spark.catalog.clearCache()
     val pool = Executors.newFixedThreadPool(names.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
+      for (wave <- 1 to 5) {
+        // drop every cached block so each concurrent wave has to rebuild
+        // the shared indexes from scratch, racing on CorpusCache.getOrBuild
+        ScratchCache.drain()
+        spark.catalog.clearCache()
+        val conc = Await.result(
+          Future.sequence(names.map(n => Future(n -> run(n)))), 10.minutes).toMap
+        for (n <- names)
+          assert(conc(n) == serial(n),
+            s"wave $wave, $n: concurrent result differs from serial")
+      }
+    } finally {
+      pool.shutdown()
+      ScratchCache.drain()
+    }
+  }
+
+  test("cold-cache same-key race: concurrent demands build once and share one instance") {
+    // the sharpest race getOrBuild must win: a COLD cache and many threads
+    // demanding the SAME key simultaneously. The contract is one build,
+    // one persisted instance, everyone gets it — a lost race would run the
+    // (expensive) build N times or hand threads divergent plan objects.
+    val key = "soak:same-key"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val dfs = Await.result(Future.sequence((1 to 16).map { _ =>
+        Future(CorpusCache.getOrBuild(spark, key) {
+          builds.incrementAndGet()
+          Thread.sleep(50) // widen the window a lost race would exploit
+          import spark.implicits._
+          Seq(42).toDF("v")
+        })
+      }), 2.minutes)
+      assert(builds.get() == 1, s"same-key cold race must build once, built ${builds.get()}")
+      assert(dfs.forall(_ eq dfs.head), "all threads must share the one cached instance")
+      assert(dfs.head.head().getInt(0) == 42)
+    } finally pool.shutdown()
+  }
+
+  test("cold-cache same-key race at the query level: two coarse-IVF consumers, same index key") {
+    // the production shape of the same race: after a full cache clear, two
+    // DIFFERENT queries whose chains both demand the `ivfcoarse:` key run
+    // simultaneously; both must come back equal to their serial rows
+    val two = Seq("sim_ann_ivf_coarse", "dedup_semantic")
+    val serial = two.map(n => n -> run(n)).toMap
+    ScratchCache.drain()
+    spark.catalog.clearCache()
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
       val conc = Await.result(
-        Future.sequence(names.map(n => Future(n -> run(n)))), 10.minutes).toMap
-      for (n <- names)
+        Future.sequence(two.map(n => Future(n -> run(n)))), 10.minutes).toMap
+      for (n <- two)
         assert(conc(n) == serial(n), s"$n: concurrent result differs from serial")
     } finally {
       pool.shutdown()

@@ -25,19 +25,38 @@ import pyarrow.parquet as pq
 ID_SHIFT = 10_000_000
 
 
+def copy_tag(c: int) -> str:
+    # Alphabetic-only copy tag (round 9): the earlier "_<digits>" suffix
+    # was 3 extra pieces under text_tokens' BPE-ish regex
+    # ([a-z]+|[0-9]+|[^a-z0-9\s]) — underscore + digit-run — inflating the
+    # probe's per-token piece count 3x (round-8 adjudication, SCALE.md).
+    # A lowercase base-26 tag PREPENDED to the token merges into the
+    # token's own leading letter run, so the regex counts it once and the
+    # probe measures the operator, not the tag.
+    s = ""
+    n = c
+    while True:
+        s = chr(97 + n % 26) + s
+        n //= 26
+        if n == 0:
+            return s
+
+
 def permute_text(text: str, c: int) -> str:
     # Per-copy token TAG, not rotation: a rotation preserves the word
     # w-gram shingle SET (only the wrap seam changes), so rotated copies
     # were 100-way TRUE near-dup clusters — pair-output dedup on such a
     # fixture is output-bound (Omega(#true pairs), ~n*copies pairs), which
     # measures the corpus, not the operator (round-8 adjudication in
-    # SCALE.md). Suffixing every token with the copy index makes copies
+    # SCALE.md). Tagging every token with the copy index makes copies
     # shingle-disjoint self-contained universes (the same discipline as
     # the key-column shift) while preserving within-copy duplicate
-    # structure and token counts exactly (character lengths grow by the
-    # tag width, so only token-based length metrics are scale-comparable).
+    # structure and whitespace/BPE-ish token counts (character lengths grow
+    # by the tag width, so only token-based length metrics are
+    # scale-comparable).
     toks = text.split(" ")
-    return " ".join(f"{t}_{c}" for t in toks)
+    tag = copy_tag(c)
+    return " ".join(f"{tag}{t}" for t in toks)
 
 
 def _signs(c: int, n: int):
@@ -78,6 +97,18 @@ def synth(src: str, out: str, copies: int, tables):
     os.makedirs(out, exist_ok=True)
     for t in tables:
         tbl = pq.read_table(f"{src}/{t}.parquet")
+        # upcast every integer key column to int64 ONCE — copy 0 included,
+        # so all copies share one schema and concat never refuses (the
+        # earlier same-type shift kept int32 keys int32, where c*ID_SHIFT
+        # overflows past c=214: pa.compute.add wraps silently, colliding
+        # keys across copies and breaking the self-contained-universe
+        # property this tool exists to guarantee)
+        tbl = pa.table({
+            name: (pa.compute.cast(tbl.column(name), pa.int64())
+                   if name.endswith(("_id", "key"))
+                   and pa.types.is_integer(tbl.column(name).type)
+                   else tbl.column(name))
+            for name in tbl.column_names})
         parts = [tbl]
         for c in range(1, copies):
             cols = {}
@@ -88,11 +119,10 @@ def synth(src: str, out: str, copies: int, tables):
                 # nationkey, regionkey) on both the PK and FK side
                 if name.endswith(("_id", "key")):
                     if pa.types.is_integer(col.type):
-                        # typed scalar: a bare python int promotes int32
-                        # columns to int64 and the per-copy schemas then
-                        # refuse to concat (hit on c_nationkey)
-                        cols[name] = pa.compute.add(
-                            col, pa.scalar(c * ID_SHIFT, type=col.type))
+                        # add_checked: any future overflow fails loudly
+                        # instead of silently wrapping into key collisions
+                        cols[name] = pa.compute.add_checked(
+                            col, pa.scalar(c * ID_SHIFT, type=pa.int64()))
                         continue
                 if t == "documents" and name == "text":
                     cols[name] = pa.array(
