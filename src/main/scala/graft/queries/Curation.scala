@@ -475,38 +475,76 @@ object Curation {
     // discipline — so aggregation order can't drift the hash; every
     // arithmetic step is spelled with identical literals/associativity in
     // both engines.
-    "text_bm25_topk" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(col("doc_id"), explode(TextFns.rawTokens(col("text"))).as("tok"))
-      // tf feeds BOTH the df aggregate and the scoring join — persist the
-      // postings once (ScratchCache: released after the terminal action)
-      // instead of re-exploding and re-shuffling the corpus per consumer
-      val tf = ScratchCache.register(
-        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).persist())
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
-        avg(col("dl").cast(DoubleType)).as("avgdl"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val qdoc = docs.agg(min(col("doc_id")).as("qid"))
-      val qterms = toks.crossJoin(broadcast(qdoc))
-        .filter(col("doc_id") === col("qid")).select(col("tok")).distinct()
-      val idf = log((col("n_docs") - col("df") + lit(0.5d)) /
-        (col("df") + lit(0.5d)) + lit(1.0d))
-      val tfp = (col("tf") * lit(2.2d)) /
-        (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl")))
-      val scores = tf.join(broadcast(qterms), Seq("tok"))
-        .join(dfreq, Seq("tok"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("sc", (idf * tfp).cast(DecimalType(28, 12)))
-        .groupBy(col("doc_id")).agg(sum(col("sc")).as("score"))
-      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-      scores.orderBy(col("score").desc, col("doc_id").asc).limit(10)
-        .withColumn("rn", row_number().over(w))
-        .select(col("doc_id"), col("rn").cast(IntegerType).as("rank"),
-          round(col("score").cast(DoubleType), 6).as("bm25"))
-    })
+    "text_bm25_topk" -> ((s, dir) =>
+      bm25Ranked(s, dir, 10)
+        .select(col("doc_id"), col("lex_rank").as("rank"),
+          round(col("score").cast(DoubleType), 6).as("bm25")))
   )
+
+  /** BM25 top-`n` ranking for the query-by-example anchor — the full
+    * chain behind `text_bm25_topk`, extracted (round 9) so the hybrid
+    * retrieval fusion gate (`fusion_rrf`, [[VectorOps]]) can consume the
+    * same maintained lexical index at a different depth. Returns
+    * (doc_id, lex_rank, score) with lex_rank 1-based (score desc, doc_id
+    * asc tie-break).
+    */
+  private[queries] def bm25Ranked(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(TextFns.rawTokens(col("text"))).as("tok"))
+    // tf feeds BOTH the df aggregate and the scoring join — persist the
+    // postings once (ScratchCache: released after the terminal action)
+    // instead of re-exploding and re-shuffling the corpus per consumer
+    val tf = ScratchCache.register(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).persist())
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qdoc = docs.agg(min(col("doc_id")).as("qid"))
+    val qterms = toks.crossJoin(broadcast(qdoc))
+      .filter(col("doc_id") === col("qid")).select(col("tok")).distinct()
+    val idf = log((col("n_docs") - col("df") + lit(0.5d)) /
+      (col("df") + lit(0.5d)) + lit(1.0d))
+    val tfp = (col("tf") * lit(2.2d)) /
+      (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl")))
+    val scores = tf.join(broadcast(qterms), Seq("tok"))
+      .join(dfreq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", (idf * tfp).cast(DecimalType(28, 12)))
+      .groupBy(col("doc_id")).agg(sum(col("sc")).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scores.orderBy(col("score").desc, col("doc_id").asc).limit(n)
+      .withColumn("lex_rank", row_number().over(w).cast(IntegerType))
+      .select(col("doc_id"), col("lex_rank"), col("score"))
+  }
+
+  /** DuckDB twin of [[bm25Ranked]] as a reusable CTE chain; terminal CTE
+    * `lexr` = (doc_id, lex_rank, score), rank ≤ `n`.
+    */
+  private[queries] def bm25RankSql(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |q AS (SELECT DISTINCT tok FROM toks
+       |  WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       |      AS DECIMAL(28,12)) AS s
+       |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats),
+       |bagg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id),
+       |lexr AS (
+       |  SELECT doc_id, CAST(rn AS INTEGER) AS lex_rank, score
+       |  FROM (SELECT doc_id, score, row_number() OVER (
+       |      ORDER BY score DESC, doc_id ASC) AS rn FROM bagg)
+       |  WHERE rn <= $n)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "sample_stratified" -> {
@@ -723,29 +761,12 @@ object Curation {
 
     // the BM25 twin: identical literals and associativity at every step,
     // per-term scores cast to DECIMAL(28,12) before the per-doc sum so
-    // both engines aggregate exact values
+    // both engines aggregate exact values (the shared [[bm25RankSql]]
+    // chain — also the lexical arm of fusion_rrf's twin)
     "text_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |q AS (SELECT DISTINCT tok FROM toks
-        |  WHERE doc_id = (SELECT min(doc_id) FROM documents)),
-        |sc AS (
-        |  SELECT tf.doc_id,
-        |    CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
-        |      AS DECIMAL(28,12)) AS s
-        |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok)
-        |    JOIN dl USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
-        |SELECT doc_id, CAST(rn AS INTEGER) AS rank,
-        |  round(CAST(score AS DOUBLE), 6) AS bm25
-        |FROM (SELECT doc_id, score, row_number() OVER (
-        |    ORDER BY score DESC, doc_id ASC) AS rn FROM agg)
-        |WHERE rn <= 10""".stripMargin
+      s"""WITH ${bm25RankSql(10)}
+         |SELECT doc_id, lex_rank AS rank,
+         |  round(CAST(score AS DOUBLE), 6) AS bm25
+         |FROM lexr""".stripMargin
   )
 }

@@ -960,8 +960,62 @@ object VectorOps {
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= ANN_T)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // Hybrid retrieval fusion via Reciprocal Rank Fusion (Cormack et al.
+    // 2009 — the standard RAG-corpus curation step): the lexical arm is
+    // the maintained BM25 postings index (Curation.bm25Ranked, the
+    // text_bm25_topk chain at depth FUSE_N) and the semantic arm is the
+    // maintained coarse IVF index (the anchor's refined cell, exact-cosine
+    // ranked) — both for the SAME query-by-example anchor (min doc_id;
+    // documents and embeddings share the id space). Each arm contributes
+    // 1/(RRF_K + rank); absent docs contribute 0; fused top-10 by (score
+    // desc, doc_id asc). Scale shape: both arms are per-candidate probes
+    // of indexes a deployment already maintains — the corpus is touched
+    // only through the query-term postings and the anchor's cell — and the
+    // fusion itself joins two ≤FUSE_N-row lists. The semantic arm's
+    // augmented-assignment rows restrict to real documents through the
+    // inner score join against the BASE embeddings table (planted twins
+    // drop there, id-range-free, so the restriction survives shifted-id
+    // probe fixtures).
+    "fusion_rrf" -> ((s, dir) => {
+      register(s)
+      val lex = Curation.bm25Ranked(s, dir, FUSE_N)
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Tables.embeddings(s, dir)
+      val assign = sharedCoarseAssign(s, dir)
+      val qdoc = Tables.documents(s, dir).agg(min(col("doc_id")).as("qid"))
+      val qvec = withNorm(emb).crossJoin(broadcast(qdoc))
+        .filter(col("vec_id") === col("qid"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val qck = assign.join(broadcast(qvec.select(col("qid"))),
+        col("vec_id") === col("qid")).select(col("ck"))
+      val wsem = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      val sem = assign.join(broadcast(qck), Seq("ck"))
+        .select(col("vec_id"))
+        .join(withNorm(emb), Seq("vec_id"))
+        .crossJoin(broadcast(qvec))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(FUSE_N)
+        .withColumn("sem_rank", row_number().over(wsem).cast(IntegerType))
+        .select(col("vec_id").as("doc_id"), col("sem_rank"))
+      val wf = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0d) / (lit(RRF_K) + col("lex_rank")), lit(0.0d)) +
+            coalesce(lit(1.0d) / (lit(RRF_K) + col("sem_rank")), lit(0.0d)))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(wf).cast(IntegerType))
+        .select(col("doc_id"), col("rank"), round(col("rrf"), 6).as("rrf"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0)).as("sem_rank"))
     })
   )
+
+  /** Fusion depth per arm and the standard RRF dampening constant. */
+  private[queries] val FUSE_N = 20
+  private[queries] val RRF_K = 60
 
   private val RECALL_LSH_T = 0.8
   private val RECALL_MP_T = 0.8
@@ -1297,7 +1351,46 @@ object VectorOps {
          |SELECT x.vec_id AS i, y.vec_id AS j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
          |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
-         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin
+         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the fusion twin composes the two arm chains — the shared BM25 CTE
+    // ladder at depth FUSE_N and the shared coarse-assignment chain — then
+    // replays the 1/(k+rank) sums and the (rrf DESC, doc_id ASC) top-10
+    "fusion_rrf" ->
+      s"""WITH ${graft.queries.Curation.bm25RankSql(FUSE_N)},
+         |$coarseCellCtes,
+         |nb AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |qd AS (SELECT min(doc_id) AS qid FROM documents),
+         |qv AS (
+         |  SELECT nb.vec_id AS qid, nb.embedding AS qe, nb.nrm AS qn
+         |  FROM nb, qd WHERE nb.vec_id = qd.qid),
+         |qk AS (SELECT rk.ck FROM rk, qd WHERE rk.vec_id = qd.qid),
+         |sems AS (
+         |  SELECT nb.vec_id,
+         |    ${dSql("nb.embedding", "qv.qe")} / (nb.nrm * qv.qn) AS cos
+         |  FROM rk JOIN qk ON rk.ck = qk.ck
+         |  JOIN nb ON nb.vec_id = rk.vec_id, qv
+         |  WHERE nb.vec_id <> qv.qid),
+         |semr AS (
+         |  SELECT vec_id AS doc_id, CAST(rn AS INTEGER) AS sem_rank
+         |  FROM (SELECT vec_id, row_number() OVER (
+         |      ORDER BY cos DESC, vec_id ASC) AS rn FROM sems)
+         |  WHERE rn <= $FUSE_N),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+         |    l.lex_rank, r.sem_rank,
+         |    coalesce(CAST(1.0 AS DOUBLE) / ($RRF_K + l.lex_rank), 0.0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / ($RRF_K + r.sem_rank), 0.0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id)
+         |SELECT doc_id, CAST(rn AS INTEGER) AS rank, round(rrf, 6) AS rrf,
+         |  coalesce(lex_rank, 0) AS lex_rank,
+         |  coalesce(sem_rank, 0) AS sem_rank
+         |FROM (SELECT *, row_number() OVER (
+         |    ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+         |WHERE rn <= 10""".stripMargin
   )
 
   def oracleSql: Map[String, String] = Map(

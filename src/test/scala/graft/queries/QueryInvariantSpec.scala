@@ -574,6 +574,46 @@ class QueryInvariantSpec extends SparkSpec {
       "bm25 scores must be non-increasing in rank order")
   }
 
+  test("rrf fusion: scores recompute from the arm ranks, both arms contribute, order holds") {
+    val rows = q("fusion_rrf").collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 10), "ranks must be 1..10")
+    // the fused score is EXACTLY the sum its own rank columns imply — a
+    // drifted join or a lost arm shows up as a score mismatch here before
+    // the oracle hash even runs
+    rows.foreach { r =>
+      val (lex, sem) = (r.getInt(3), r.getInt(4))
+      val expect = (if (lex > 0) 1.0d / (VectorOps.RRF_K + lex) else 0.0d) +
+        (if (sem > 0) 1.0d / (VectorOps.RRF_K + sem) else 0.0d)
+      assert(math.abs(r.getDouble(2) - expect) < 1e-6,
+        s"doc ${r.getLong(0)}: rrf ${r.getDouble(2)} != recomputed $expect")
+      assert(lex > 0 || sem > 0, "every fused doc must come from at least one arm")
+    }
+    // fusion actually FUSES: the top-10 contains documents from both the
+    // lexical and the semantic arm (on this fixture the arms are disjoint
+    // — embeddings are not derived from the text — so RRF interleaves)
+    assert(rows.exists(_.getInt(3) > 0), "no lexical-arm doc in the fused top-10")
+    assert(rows.exists(_.getInt(4) > 0), "no semantic-arm doc in the fused top-10")
+    // RRF order property: among docs EXCLUSIVE to one arm (other arm = 0,
+    // so their fused score is 1/(k+r) alone), fused order must preserve
+    // the arm's own rank order — a structural property of the formula,
+    // not a fixture accident
+    def armOrder(idx: Int, other: Int): Seq[Int] =
+      rows.sortBy(_.getInt(1)).filter(_.getInt(other) === 0)
+        .map(_.getInt(idx)).filter(_ > 0).toSeq
+    assert(armOrder(3, 4) === armOrder(3, 4).sorted, "lexical ranks out of order in fusion")
+    assert(armOrder(4, 3) === armOrder(4, 3).sorted, "semantic ranks out of order in fusion")
+    // score monotonicity in fused rank order
+    val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    // recall vs either single arm: the fused top-10 can only ADD coverage —
+    // it contains each arm's rank-1 candidate (1/(k+1) is the maximum a
+    // single-arm doc can score, so neither head can be displaced by
+    // single-arm docs on this fixture)
+    assert(rows.exists(_.getInt(3) === 1), "lexical head lost by fusion")
+    assert(rows.exists(_.getInt(4) === 1), "semantic head lost by fusion")
+  }
+
   test("random projection: sign spellings agree and norms concentrate") {
     // pin the Scala-side md5 parity against the engine's md5Key64 Column —
     // the third spelling (DuckDB) is pinned by the gate's hash compare
