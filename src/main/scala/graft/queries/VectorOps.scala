@@ -127,8 +127,19 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
-  private def register(s: SparkSession): Unit =
+  private def register(s: SparkSession): Unit = {
     graft.expr.FloatVecDot.register(s)
+    // the assignment argmax aggregate (round 9) rides the same
+    // registration path as the deployment's spark.sql.extensions
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_arg_top2", graft.GraftExtensions.builder("vec_arg_top2"), "built-in")
+  }
+
+  /** Top-2 centroid ids per group under (ord DESC, id ASC) — the
+    * sort-free argmax (graft.expr.ArgTop2); returns struct(cell, cell2).
+    */
+  private def argTop2(ord: Column, id: Column): Column =
+    call_function("vec_arg_top2", ord, id)
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -383,6 +394,37 @@ object VectorOps {
   private val TARGET_CELL = 1024.0d
   private[queries] val CELL_CAP = 4096L
 
+  /** Hash-ranked seed codebook (round 9): EXACTLY `k` centroid rows —
+    * the `k` smallest (md5-hash, vec_id) pairs of a 4×-oversampled
+    * hash-threshold slice of the base corpus. Replaces `vec_id < k`,
+    * which silently STARVES the codebook on any corpus whose ids are not
+    * dense from 0: the n = 10⁷ probe's shifted-id fixture left only 2000
+    * of the intended 19532 seeds live, cells grew 10×, and the
+    * within-cell pair join exploded to 7.1·10¹⁰ candidates (1319 s vs the
+    * 69 s the assignment itself costs). The fixture made it visible, but
+    * production ids are NEVER dense — codebook selection must be
+    * id-distribution-free, like every other derived constant in this
+    * repo (AnchorSample's modulus, the sampling gates' hash buckets).
+    * Scale shape: the hash threshold is a map-side filter; the exact-k
+    * rank window sorts only the ~4k-row oversample (codebook-training
+    * scale, never the corpus). The 4× oversample puts the undersample
+    * probability below e^{-k/3} (Chernoff) — deterministic per corpus,
+    * not flaky.
+    */
+  private def hashSeeds(base: DataFrame, kdf: DataFrame, tag: String): DataFrame = {
+    val nb = base.agg(count(lit(1)).cast(DoubleType).as("nb"))
+    val w = Window.orderBy(col("hs").asc, col("vec_id").asc)
+    base.crossJoin(broadcast(kdf)).crossJoin(broadcast(nb))
+      .withColumn("hs",
+        graft.functions.TextFns.md5Hash60(
+          concat(lit(tag + ":"), col("vec_id").cast(StringType))) % lit(1000000L))
+      .filter(col("hs") < ceil(lit(4000000.0d) * col("k") / col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("k"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("nc", norm(col("ce")))
+  }
+
   /** Augmented corpus with planted duplicate vectors (vec_id + 100000). */
   private def augmented(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
@@ -451,11 +493,7 @@ object VectorOps {
     val emb = augmented(s, dir)
     val k = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
       ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
-    val seeds = Tables.embeddings(s, dir).crossJoin(broadcast(k))
-      .filter(col("vec_id") < col("k"))
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .withColumn("nc", norm(col("ce")))
-    assignCells(emb, seeds)
+    assignCells(emb, hashSeeds(Tables.embeddings(s, dir), k, "ivfseed"))
   }
 
   private[queries] def coarseAssignProbe(s: SparkSession, dir: String): DataFrame = {
@@ -483,56 +521,71 @@ object VectorOps {
   private def coarseAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
     val nk = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
       ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
-    val fine = Tables.embeddings(s, dir).crossJoin(broadcast(nk))
-      .filter(col("vec_id") < col("k"))
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .withColumn("nc", norm(col("ce")))
-    val coarse = Tables.embeddings(s, dir).crossJoin(broadcast(nk))
-      .filter(col("vec_id") < ceil(sqrt(col("k").cast(DoubleType))))
-      .select(col("vec_id").as("gid"), col("embedding").as("ge"))
-      .withColumn("ng", norm(col("ge")))
-    // fine centroid → coarse group: k×√k candidate rows, never corpus-sized
-    val wf = Window.partitionBy(col("cid")).orderBy(col("cos_g").desc, col("gid").asc)
-    val fgrp = fine.crossJoin(broadcast(coarse))
+    // fine codebook shares the flat chain's "ivfseed" hash universe (the
+    // seeds-as-codebook discipline, now id-distribution-free); the coarse
+    // table draws ⌈√k⌉ rows from an independent hash universe
+    val fine = hashSeeds(Tables.embeddings(s, dir), nk, "ivfseed")
+    val coarse = hashSeeds(Tables.embeddings(s, dir),
+      nk.select(ceil(sqrt(col("k").cast(DoubleType))).cast(LongType).as("k")), "ivfgrp")
+      .select(col("cid").as("gid"), col("ce").as("ge"), col("nc").as("ng"))
+    // fine centroid → coarse group: k×√k candidate rows, never
+    // corpus-sized. The pick is the sort-free ArgTop2 argmax (cos DESC,
+    // gid ASC — same selection as the oracle's row_number twin), with a
+    // tiny k-row join-back to re-attach (ce, nc).
+    val fpick = fine.crossJoin(broadcast(coarse))
       .withColumn("cos_g", dot(col("ce"), col("ge")) / (col("nc") * col("ng")))
-      .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(argTop2(col("cos_g"), col("gid")).as("t2"))
+      .select(col("cid"), col("t2").getField("cell").as("gid"))
+    val fgrp = fpick.join(fine, Seq("cid"))
       .select(col("gid"), col("cid"), col("ce"), col("nc"))
     // a coarse centroid that wins no fine members must not strand the
     // vectors that would pick it: vectors choose among NON-EMPTY groups
     val coarseNE = coarse.join(broadcast(fgrp.select(col("gid")).distinct()), Seq("gid"))
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("cos_g").desc, col("gid").asc)
-    val vg = withNorm(emb).crossJoin(broadcast(coarseNE))
+    // vector → coarse group: the n·√k candidate relation collapses in the
+    // partial aggregate above the broadcast join (round 9 — the window
+    // spelling sorted these candidates: the 10⁷ probe's spill cliff); the
+    // group id rejoins the corpus by vec_id, an O(n) equi-join.
+    val vpick = withNorm(emb).crossJoin(broadcast(coarseNE))
       .withColumn("cos_g", dot(col("embedding"), col("ge")) / (col("nrm") * col("ng")))
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(argTop2(col("cos_g"), col("gid")).as("t2"))
+      .select(col("vec_id"), col("t2").getField("cell").as("gid"))
+    val vg = withNorm(emb).join(vpick, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("gid"))
     // vector → nearest fine centroid WITHIN its coarse group: the equi-join
-    // on gid restricts candidates to E[k/√k] = √k per vector
-    val wa = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
+    // on gid restricts candidates to E[k/√k] = √k per vector; the top-2
+    // pick again collapses map-side, and since vg is already partitioned
+    // by vec_id after its rejoin, the final aggregate needs no exchange
     vg.join(broadcast(fgrp), Seq("gid"))
       .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") <= 2)
       .groupBy(col("vec_id"))
-      .agg(max(when(col("rn") === 1, col("cid"))).as("cell"),
-        max(when(col("rn") === 2, col("cid"))).as("cell2"))
+      .agg(argTop2(col("cos_c"), col("cid")).as("t2"))
+      .select(col("vec_id"),
+        col("t2").getField("cell").as("cell"),
+        col("t2").getField("cell2").as("cell2"))
   }
 
   /** Nearest- and second-nearest-centroid assignment by cosine (spherical
-    * k-means step): broadcast the centroid table, argmax via row_number
-    * with cid tie-break. `cell2` (the runner-up, null when k = 1) is the
-    * hot-cell sub-split key — it costs nothing extra (same window, rn ≤ 2
-    * instead of = 1) and rides along unused until a cell exceeds CELL_CAP.
+    * k-means step): broadcast the centroid table, argmax via the sort-free
+    * [[graft.expr.ArgTop2]] aggregate ((cos DESC, cid ASC) — identical
+    * selection to a row_number ≤ 2 window, which the oracle twins still
+    * spell). `cell2` (the runner-up, null when k = 1) is the hot-cell
+    * sub-split key, unused until a cell exceeds CELL_CAP. Round 9: the
+    * window spelling forced the n·k candidate relation through a sort
+    * (0.4 TB of sorter traffic at the 10⁷ probe); as an aggregate the
+    * candidates collapse in the partial HashAggregate ABOVE the broadcast
+    * join — same codegen stage, nothing sorted, one 4-slot buffer per
+    * vector reaches the exchange.
     */
-  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
+  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame =
     withNorm(emb).crossJoin(broadcast(cent))
       .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
       .groupBy(col("vec_id"))
-      .agg(max(when(col("rn") === 1, col("cid"))).as("cell"),
-        max(when(col("rn") === 2, col("cid"))).as("cell2"))
-  }
+      .agg(argTop2(col("cos_c"), col("cid")).as("t2"))
+      .select(col("vec_id"),
+        col("t2").getField("cell").as("cell"),
+        col("t2").getField("cell2").as("cell2"))
 
   /** Refined join key over an IVF assignment: cells at or under CELL_CAP
     * keep the plain cell id; hot cells split by the second-nearest
@@ -558,19 +611,13 @@ object VectorOps {
     */
   private def ivfAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
     // k from the corpus, not a constant: a broadcast 1-row count, the same
-    // no-driver-action scalar pattern as the percentile-bounds broadcasts
+    // no-driver-action scalar pattern as the percentile-bounds broadcasts.
+    // cid stays BIGINT (here and in coarseAssignments — the round-8 ANSI
+    // overflow lesson past 2^31 vec_ids); seeds come from the hash-ranked
+    // codebook (round 9 — id-distribution-free, see [[hashSeeds]]).
     val k = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
       ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
-    // cid stays BIGINT (here and in coarseAssignments): a cast to INT in
-    // this projection gets pushed below the crossJoin's filter and then
-    // evaluates on EVERY corpus row — ANSI-overflowing once vec_ids pass
-    // 2^31 (hit at the round-8 n=10⁶ probe). Cell ids are internal, so
-    // the wider type changes no gated output.
-    val seeds = Tables.embeddings(s, dir).crossJoin(broadcast(k))
-      .filter(col("vec_id") < col("k"))
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .withColumn("nc", norm(col("ce")))
-    val assign0 = assignCells(emb, seeds)
+    val assign0 = assignCells(emb, hashSeeds(Tables.embeddings(s, dir), k, "ivfseed"))
     val refined = emb.join(assign0, Seq("vec_id"))
       .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d"))
@@ -1055,6 +1102,24 @@ object VectorOps {
        |    PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
        |  FROM d)""".stripMargin
 
+  /** DuckDB twin of [[hashSeeds]]: emits `${out}nb` and `$out` = (cid,
+    * ce, nc) — exactly k codebook rows ranked by (hash, vec_id) from the
+    * 4×-oversampled hash-threshold slice of the base corpus. `kCte` must
+    * be an earlier 1-row CTE exposing `k`.
+    */
+  private def hashSeedsSql(out: String, kCte: String, tag: String): String =
+    s"""${out}nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM embeddings),
+       |$out AS (
+       |  SELECT cid, ce, sqrt(${dSql("ce", "ce")}) AS nc FROM (
+       |    SELECT vec_id AS cid, embedding AS ce, k, row_number() OVER (
+       |      ORDER BY hs, vec_id) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, e.embedding, kc.k, b.nb,
+       |        ${graft.functions.TextFns.md5Hash60Sql(s"concat('$tag:', vec_id)")} % 1000000 AS hs
+       |      FROM embeddings e, $kCte kc, ${out}nb b) t
+       |    WHERE hs < ceil(4000000.0 * k / nb)) s
+       |  WHERE rn <= k)""".stripMargin
+
   /** Shared IVF chain CTEs (aug → seeds → assign0 → Lloyd means → refined
     * centroids → final assignment → `e`) — the oracle twin of
     * `ivfAssignments` over the augmented corpus, reused by `sim_ann_ivf`
@@ -1065,12 +1130,9 @@ object VectorOps {
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
-       |cent0 AS (
-       |  SELECT vec_id AS cid, embedding AS ce,
-       |    sqrt(${dSql("embedding", "embedding")}) AS nc
-       |  FROM embeddings WHERE vec_id < (
-       |    SELECT greatest($MIN_CENTROIDS,
-       |      CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) FROM aug)),
+       |k0 AS (SELECT greatest($MIN_CENTROIDS,
+       |  CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM aug),
+       |${hashSeedsSql("cent0", "k0", "ivfseed")},
        |a AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${dSql("embedding", "embedding")}) AS nrm
@@ -1505,15 +1567,12 @@ object VectorOps {
     s"""${p}nk AS (
        |  SELECT greatest($MIN_CENTROIDS,
        |    CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM $univ),
-       |${p}fine AS (
-       |  SELECT vec_id AS cid, embedding AS ce,
-       |    sqrt(${dSql("embedding", "embedding")}) AS nc
-       |  FROM embeddings WHERE vec_id < (SELECT k FROM ${p}nk)),
+       |${p}ks AS (
+       |  SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k FROM ${p}nk),
+       |${hashSeedsSql(s"${p}fine", s"${p}nk", "ivfseed")},
+       |${hashSeedsSql(s"${p}coarse0", s"${p}ks", "ivfgrp")},
        |${p}coarse AS (
-       |  SELECT vec_id AS gid, embedding AS ge,
-       |    sqrt(${dSql("embedding", "embedding")}) AS ng
-       |  FROM embeddings WHERE vec_id < (
-       |    SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) FROM ${p}nk)),
+       |  SELECT cid AS gid, ce AS ge, nc AS ng FROM ${p}coarse0),
        |${p}fgrp AS (
        |  SELECT gid, cid, ce, nc FROM (
        |    SELECT c.gid, f.cid, f.ce, f.nc, row_number() OVER (

@@ -471,6 +471,36 @@ class PlanShapeSpec extends SparkSpec {
       s"two-level assignment must materialize <75% of flat's candidates: coarse=$coarse flat=$flat")
   }
 
+  test("IVF assignment argmax is sort-free: candidates hash-aggregate, never window-sort") {
+    // round 9: the centroid picks run through the ArgTop2 declarative
+    // aggregate (4 primitive buffer slots → HashAggregateExec fast path),
+    // so the candidate relation collapses map-side inside the stage that
+    // produced it. A Window (row_number) spelling — or a buffer type that
+    // demotes to SortAggregate — would re-sort the n·√k candidates: the
+    // 0.4 TB spill cliff the 10⁷ probe exposed. The ONE legitimate window
+    // left in these chains is the hash-seed codebook rank (orders the
+    // ~4k-row oversample by the md5 hash — codebook-training scale, never
+    // the corpus), so the assert is on WHAT the windows sort: no window
+    // may order by a cosine score, which is what a candidate argmax
+    // window would do. Assert on BOTH chains.
+    for ((name, df) <- Seq(
+        "coarse" -> VectorOps.coarseAssignProbe(spark, dir),
+        "flat" -> VectorOps.flatAssignProbe(spark, dir))) {
+      // line-level check (TreeNode.collect does not descend through the
+      // AdaptiveSparkPlanExec wrapper): a WindowExec node prints its
+      // orderSpec on its own line, so a candidate-argmax window would
+      // show "Window [...cos_...]"
+      val p = df.queryExecution.executedPlan.toString
+      val candidateWindows =
+        p.linesIterator.filter(l => l.contains("Window") && l.contains("cos")).toList
+      assert(candidateWindows.isEmpty,
+        s"$name assignment must not window-sort the candidate relation: $candidateWindows")
+      assert(!p.contains("SortAggregate"),
+        s"$name assignment argmax fell off the HashAggregate fast path")
+      assert(p.contains("vec_arg_top2"), s"$name assignment must argmax via ArgTop2")
+    }
+  }
+
   test("every production IVF consumer builds ONLY the coarse assignment; flat = tagged baseline") {
     // round 9: the in-band witness that the five consumer chains run on
     // sharedCoarseAssign — constructing each query in a FRESH session must
