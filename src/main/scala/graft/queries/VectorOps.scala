@@ -474,6 +474,16 @@ object VectorOps {
     CorpusCache.getOrBuild(s, s"ivfcoarse:$dir")(
       refinedAssign(coarseAssignments(s, dir, augmented(s, dir))))
 
+  /** Three-level (IMI-shaped) assignment, cached like the two chains
+    * above — the next decade's shape: O(n·k^(1/3)·d) assignment for when
+    * even the ⌈√k⌉ coarse table outgrows broadcast residency (k ≈ 10⁵⁺,
+    * n ≈ 10⁸⁺). Gated by `sim_ann_ivf_imi`; governed by `ann_recall`'s
+    * `ivf_imi` row. See [[imiAssignments]].
+    */
+  private[queries] def sharedImiAssign(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"ivfimi:$dir")(
+      refinedAssign(imiAssignments(s, dir, augmented(s, dir))))
+
   /** Mechanism probes for the assignment-cost claim (PlanShapeSpec): the
     * FLAT seed-codebook assignment (every vector vs every fine centroid —
     * n·k candidate rows out of the broadcast join into the argmax window;
@@ -499,6 +509,11 @@ object VectorOps {
   private[queries] def coarseAssignProbe(s: SparkSession, dir: String): DataFrame = {
     register(s)
     coarseAssignments(s, dir, augmented(s, dir))
+  }
+
+  private[queries] def imiAssignProbe(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    imiAssignments(s, dir, augmented(s, dir))
   }
 
   /** The two-level assignment chain. Fine centroids are the seed codebook
@@ -561,6 +576,94 @@ object VectorOps {
       .withColumn("cos_c", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
       .groupBy(col("vec_id"))
       .agg(argTop2(col("cos_c"), col("cid")).as("t2"))
+      .select(col("vec_id"),
+        col("t2").getField("cell").as("cell"),
+        col("t2").getField("cell2").as("cell2"))
+  }
+
+  /** Integer-exact ⌈k^(1/3)⌉ as a 1-row (k) frame: libm `pow`/`cbrt` are
+    * not correctly-rounded (unlike sqrt, which IEEE 754 requires exact),
+    * so Spark's Math.pow and DuckDB's C pow may disagree by an ulp at
+    * perfect cubes — enough to flip a ceil. Snapping the rounded estimate
+    * with exact BIGINT cube comparisons makes both engines land on the
+    * true ceiling whenever the estimate is within ±1 (any libm is).
+    */
+  private def cbrtCeil(kdf: DataFrame): DataFrame = {
+    val c = round(pow(col("k").cast(DoubleType), lit(1.0 / 3.0))).cast(LongType)
+    kdf.select(
+      when((c - 1) * (c - 1) * (c - 1) >= col("k"), c - 1)
+        .when(c * c * c >= col("k"), c)
+        .otherwise(c + 1).as("k"))
+  }
+
+  /** The three-level (IMI-shaped) assignment chain: descend level-1
+    * (⌈k^(1/3)⌉ centroids) → level-2 (k^(2/3), restricted to the chosen
+    * level-1 group) → fine top-2 (restricted to the chosen level-2
+    * group): O(3·n·k^(1/3)·d) candidate rows against the two-level
+    * chain's O(2·n·√k·d). At the 10⁷ probe's k = 19532 that is 81 vs 280
+    * candidates per vector (3.5×); at n = 10⁹, k = 10⁶ it is 300 vs 2000
+    * (6.7×), and the broadcast tables a node must hold shrink from the
+    * full √k-row coarse table to k^(2/3) rows — the multi-index descent
+    * FAISS's IMI applies when even the coarse codebook outgrows
+    * residency. The price is one extra O(n) vec_id equi-join (each
+    * descent level rejoins the corpus to pick within its group): a
+    * linear shuffle traded against a √k/k^(1/3)-factor of broadcast-join
+    * compute, which wins whenever k outgrows ~10⁴.
+    *
+    * All three codebooks are hash-ranked ([[hashSeeds]]); the fine
+    * codebook shares the flat and two-level chains' "ivfseed" universe,
+    * so identical vectors co-assign under every scheme (the property the
+    * invariant spec pins). Level sizes are k1 = ⌈k^(1/3)⌉ exactly
+    * ([[cbrtCeil]]) and k2 = k1² — integer-exact in both engines.
+    * Non-empty-group guards run bottom-up (a level-2 centroid with no
+    * fine members, a level-1 centroid with no surviving level-2) so no
+    * vector can strand, mirroring [[coarseAssignments]]'s coarseNE.
+    */
+  private def imiAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
+    val nk = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
+      ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    val k1df = cbrtCeil(nk)
+    val k2df = k1df.select((col("k") * col("k")).as("k"))
+    val fine = hashSeeds(Tables.embeddings(s, dir), nk, "ivfseed")
+    val l1 = hashSeeds(Tables.embeddings(s, dir), k1df, "ivfl1")
+      .select(col("cid").as("g1"), col("ce").as("e1"), col("nc").as("n1"))
+    val l2 = hashSeeds(Tables.embeddings(s, dir), k2df, "ivfl2")
+      .select(col("cid").as("g2"), col("ce").as("e2"), col("nc").as("n2"))
+    // level-2 centroid → level-1 group: k2·k1 rows, codebook-scale
+    val l2pick = l2.crossJoin(broadcast(l1))
+      .withColumn("cs", dot(col("e2"), col("e1")) / (col("n2") * col("n1")))
+      .groupBy(col("g2")).agg(argTop2(col("cs"), col("g1")).as("t2"))
+      .select(col("g2"), col("t2").getField("cell").as("g1"))
+    val l2g = l2pick.join(l2, Seq("g2"))
+    // fine centroid → level-2, via the same descent (k·k1 + k·E[k1] rows,
+    // never k·k2 = k^(5/3) — at k = 10⁶ that flat pass would be 10¹⁰ rows)
+    val l1withL2 = l1.join(broadcast(l2g.select(col("g1")).distinct()), Seq("g1"))
+    val fpick1 = fine.crossJoin(broadcast(l1withL2))
+      .withColumn("cs", dot(col("ce"), col("e1")) / (col("nc") * col("n1")))
+      .groupBy(col("cid")).agg(argTop2(col("cs"), col("g1")).as("t2"))
+      .select(col("cid"), col("t2").getField("cell").as("g1"))
+    val fpick2 = fpick1.join(fine, Seq("cid")).join(broadcast(l2g), Seq("g1"))
+      .withColumn("cs", dot(col("ce"), col("e2")) / (col("nc") * col("n2")))
+      .groupBy(col("cid")).agg(argTop2(col("cs"), col("g2")).as("t2"))
+      .select(col("cid"), col("t2").getField("cell").as("g2"))
+    val fgrp = fpick2.join(fine, Seq("cid"))
+      .select(col("g2"), col("cid"), col("ce"), col("nc"))
+    // bottom-up non-empty guards: vectors descend only into chains that
+    // end at ≥1 fine centroid
+    val l2ne = l2g.join(broadcast(fgrp.select(col("g2")).distinct()), Seq("g2"))
+    val l1ne = l1.join(broadcast(l2ne.select(col("g1")).distinct()), Seq("g1"))
+    // vector descent; every argmax is the sort-free ArgTop2 collapse
+    val v1 = withNorm(emb).crossJoin(broadcast(l1ne))
+      .withColumn("cs", dot(col("embedding"), col("e1")) / (col("nrm") * col("n1")))
+      .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("g1")).as("t2"))
+      .select(col("vec_id"), col("t2").getField("cell").as("g1"))
+    val v2 = withNorm(emb).join(v1, Seq("vec_id")).join(broadcast(l2ne), Seq("g1"))
+      .withColumn("cs", dot(col("embedding"), col("e2")) / (col("nrm") * col("n2")))
+      .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("g2")).as("t2"))
+      .select(col("vec_id"), col("t2").getField("cell").as("g2"))
+    withNorm(emb).join(v2, Seq("vec_id")).join(broadcast(fgrp), Seq("g2"))
+      .withColumn("cs", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
+      .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("cid")).as("t2"))
       .select(col("vec_id"),
         col("t2").getField("cell").as("cell"),
         col("t2").getField("cell2").as("cell2"))
@@ -979,6 +1082,8 @@ object VectorOps {
       // two-level-restriction regression fails the oracle hash here, not
       // just the wall-clock probe
       recallRow("ivf", ivfCand, RECALL_IVF_T)
+        .unionByName(recallRow("ivf_imi",
+          anchorCandidates(sharedImiAssign(s, dir), "ck", anchors), RECALL_IMI_T))
         .unionByName(recallRow("lsh",
           anchorCandidates(sigs, "bucket", anchors), RECALL_LSH_T))
         .unionByName(recallRow("lsh_multiprobe",
@@ -1000,6 +1105,30 @@ object VectorOps {
       register(s)
       val emb = augmented(s, dir)
       val assign = sharedCoarseAssign(s, dir)
+      val e = withNorm(emb).join(assign, Seq("vec_id"))
+      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+      l.join(r, Seq("ck")).filter(col("i") < col("j"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= ANN_T)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    }),
+
+    // IVF under a THREE-LEVEL quantizer descent (IMI-shaped) — the
+    // assignment for when even the two-level chain's ⌈√k⌉ coarse table
+    // outgrows broadcast residency: level-1 (⌈k^(1/3)⌉) → level-2 (k^(2/3),
+    // within the chosen level-1 group) → fine top-2 (within the chosen
+    // level-2 group), O(3·n·k^(1/3)·d) candidate rows vs the two-level
+    // O(2·n·√k·d) — see [[imiAssignments]]. The within-cell pair join,
+    // hot-cell split, and 0.999 verification are identical to the flat and
+    // two-level gates; the deeper descent is a coarser approximation, so
+    // its candidate recall is governed by `ann_recall`'s `ivf_imi` row and
+    // identical (planted) vectors still co-assign — pinned in
+    // [[QueryInvariantSpec]].
+    "sim_ann_ivf_imi" -> ((s, dir) => {
+      register(s)
+      val emb = augmented(s, dir)
+      val assign = sharedImiAssign(s, dir)
       val e = withNorm(emb).join(assign, Seq("vec_id"))
       val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
       val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -1067,6 +1196,7 @@ object VectorOps {
   private val RECALL_LSH_T = 0.8
   private val RECALL_MP_T = 0.8
   private val RECALL_IVF_T = 0.8
+  private val RECALL_IMI_T = 0.8
 
   private val dotSql =
     "list_sum(list_transform(list_zip(%A, %B), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))"
@@ -1390,9 +1520,15 @@ object VectorOps {
          |ivf_cand AS (
          |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
          |  FROM crk x JOIN crk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
+         |${imiAssignCtes("n", "m")},
+         |imi_cand AS (
+         |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         |  FROM mrk x JOIN mrk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
          |found(method, thr, n_found) AS (
          |  SELECT 'ivf', $RECALL_IVF_T,
          |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j)
+         |  UNION ALL SELECT 'ivf_imi', $RECALL_IMI_T,
+         |    (SELECT count(*) FROM truth t JOIN imi_cand c ON t.i = c.i AND t.j = c.j)
          |  UNION ALL SELECT 'lsh', $RECALL_LSH_T,
          |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j)
          |  UNION ALL SELECT 'lsh_multiprobe', $RECALL_MP_T,
@@ -1413,6 +1549,18 @@ object VectorOps {
          |SELECT x.vec_id AS i, y.vec_id AS j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
          |FROM e x JOIN e y ON x.ck = y.ck AND x.vec_id < y.vec_id
+         |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
+
+    // the three-level (IMI) twin: exact replica of [[imiAssignments]] —
+    // integer-snapped ⌈k^(1/3)⌉, three hash-ranked codebooks, the
+    // level-2→level-1 grouping, the fine descent, the bottom-up non-empty
+    // guards, the three-step vector descent — then the shared cell-cap
+    // key and 0.999-pair verification
+    "sim_ann_ivf_imi" ->
+      s"""WITH $imiCellCtes
+         |SELECT x.vec_id AS i, y.vec_id AS j,
+         |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
+         |FROM me x JOIN me y ON x.ck = y.ck AND x.vec_id < y.vec_id
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
 
     // the fusion twin composes the two arm chains — the shared BM25 CTE
@@ -1632,6 +1780,115 @@ object VectorOps {
        |e AS (
        |  SELECT a.vec_id, a.embedding, a.nrm, rk.ck
        |  FROM a JOIN rk ON a.vec_id = rk.vec_id)""".stripMargin
+
+  /** DuckDB twin of [[imiAssignments]] as a reusable CTE chain — the
+    * three-level descent replica: integer-exact ⌈k^(1/3)⌉ (the same
+    * cube-snapped correction as [[cbrtCeil]], since C pow and Math.pow
+    * may disagree by an ulp), three hash-ranked codebooks, level-2→level-1
+    * grouping, fine→level-2 via the descent, bottom-up non-empty guards,
+    * the three-step vector descent, and the shared cell-cap key.
+    * Terminal CTE: `${p}rk` = (vec_id, ck).
+    */
+  private def imiAssignCtes(univ: String, p: String): String =
+    s"""${p}nk AS (
+       |  SELECT greatest($MIN_CENTROIDS,
+       |    CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM $univ),
+       |${p}k1 AS (
+       |  SELECT CASE WHEN (c-1)*(c-1)*(c-1) >= k THEN c-1
+       |              WHEN c*c*c >= k THEN c ELSE c+1 END AS k
+       |  FROM (SELECT k, CAST(round(pow(CAST(k AS DOUBLE), 1.0/3.0)) AS BIGINT) AS c
+       |        FROM ${p}nk)),
+       |${p}k2 AS (SELECT k * k AS k FROM ${p}k1),
+       |${hashSeedsSql(s"${p}fine", s"${p}nk", "ivfseed")},
+       |${hashSeedsSql(s"${p}l1s", s"${p}k1", "ivfl1")},
+       |${hashSeedsSql(s"${p}l2s", s"${p}k2", "ivfl2")},
+       |${p}l1 AS (SELECT cid AS g1, ce AS e1, nc AS n1 FROM ${p}l1s),
+       |${p}l2 AS (SELECT cid AS g2, ce AS e2, nc AS n2 FROM ${p}l2s),
+       |${p}l2g AS (
+       |  SELECT g1, g2, e2, n2 FROM (
+       |    SELECT a.g1, b.g2, b.e2, b.n2, row_number() OVER (
+       |      PARTITION BY b.g2
+       |      ORDER BY ${dSql("b.e2", "a.e1")} / (b.n2 * a.n1) DESC, a.g1 ASC) AS rn
+       |    FROM ${p}l2 b CROSS JOIN ${p}l1 a)
+       |  WHERE rn = 1),
+       |${p}fp1 AS (
+       |  SELECT cid, g1 FROM (
+       |    SELECT f.cid, a.g1, row_number() OVER (
+       |      PARTITION BY f.cid
+       |      ORDER BY ${dSql("f.ce", "a.e1")} / (f.nc * a.n1) DESC, a.g1 ASC) AS rn
+       |    FROM ${p}fine f CROSS JOIN ${p}l1 a
+       |    WHERE a.g1 IN (SELECT DISTINCT g1 FROM ${p}l2g))
+       |  WHERE rn = 1),
+       |${p}fgrp AS (
+       |  SELECT g2, cid, ce, nc FROM (
+       |    SELECT b.g2, f.cid, f.ce, f.nc, row_number() OVER (
+       |      PARTITION BY f.cid
+       |      ORDER BY ${dSql("f.ce", "b.e2")} / (f.nc * b.n2) DESC, b.g2 ASC) AS rn
+       |    FROM ${p}fine f JOIN ${p}fp1 p1 ON p1.cid = f.cid
+       |    JOIN ${p}l2g b ON b.g1 = p1.g1)
+       |  WHERE rn = 1),
+       |${p}l2ne AS (
+       |  SELECT g1, g2, e2, n2 FROM ${p}l2g
+       |  WHERE g2 IN (SELECT DISTINCT g2 FROM ${p}fgrp)),
+       |${p}l1ne AS (
+       |  SELECT g1, e1, n1 FROM ${p}l1
+       |  WHERE g1 IN (SELECT DISTINCT g1 FROM ${p}l2ne)),
+       |${p}v1 AS (
+       |  SELECT vec_id, g1 FROM (
+       |    SELECT a.vec_id, c.g1, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY ${dSql("a.embedding", "c.e1")} / (a.nrm * c.n1) DESC,
+       |        c.g1 ASC) AS rn
+       |    FROM $univ a CROSS JOIN ${p}l1ne c)
+       |  WHERE rn = 1),
+       |${p}v2 AS (
+       |  SELECT vec_id, g2 FROM (
+       |    SELECT v.vec_id, b.g2, row_number() OVER (
+       |      PARTITION BY v.vec_id
+       |      ORDER BY ${dSql("ax.embedding", "b.e2")} / (ax.nrm * b.n2) DESC,
+       |        b.g2 ASC) AS rn
+       |    FROM ${p}v1 v JOIN $univ ax ON ax.vec_id = v.vec_id
+       |    JOIN ${p}l2ne b ON b.g1 = v.g1)
+       |  WHERE rn = 1),
+       |${p}assign AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
+       |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
+       |  FROM (
+       |    SELECT v.vec_id, f.cid, row_number() OVER (
+       |      PARTITION BY v.vec_id
+       |      ORDER BY ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) DESC,
+       |        f.cid ASC) AS rn
+       |    FROM ${p}v2 v JOIN $univ ax ON ax.vec_id = v.vec_id
+       |    JOIN ${p}fgrp f ON f.g2 = v.g2)
+       |  WHERE rn <= 2 GROUP BY vec_id),
+       |${p}cellsz AS (SELECT cell, count(*) AS cn FROM ${p}assign GROUP BY cell),
+       |${p}rk AS (
+       |  SELECT a.vec_id,
+       |    CASE WHEN z.cn > $CELL_CAP THEN
+       |      CAST(a.cell AS VARCHAR) || ':' ||
+       |        CAST(coalesce(a.cell2, a.cell) AS VARCHAR)
+       |    ELSE CAST(a.cell AS VARCHAR) END AS ck
+       |  FROM ${p}assign a JOIN ${p}cellsz z ON z.cell = a.cell)""".stripMargin
+
+  /** The full IMI-assignment oracle prelude over the AUGMENTED corpus
+    * (prefix `m` so it can coexist with the coarse chain in one oracle):
+    * aug → normed universe → [[imiAssignCtes]] → `me` = (vec_id,
+    * embedding, nrm, ck) — the twin of [[sharedImiAssign]].
+    */
+  private lazy val imiCellCtes: String =
+    s"""aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+       |  FROM aug),
+       |${imiAssignCtes("a", "m")},
+       |me AS (
+       |  SELECT a.vec_id, a.embedding, a.nrm, mrk.ck
+       |  FROM a JOIN mrk ON a.vec_id = mrk.vec_id)""".stripMargin
 
   private def sigChain(augBody: String): String =
     s"""aug AS ($augBody),

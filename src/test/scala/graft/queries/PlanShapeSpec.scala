@@ -444,10 +444,12 @@ class PlanShapeSpec extends SparkSpec {
     }
     val (flatBnlj, flatBhj) = joinRows(VectorOps.flatAssignProbe(s2, dir))
     val (coarseBnlj, coarseBhj) = joinRows(VectorOps.coarseAssignProbe(s2, dir))
+    val (imiBnlj, imiBhj) = joinRows(VectorOps.imiAssignProbe(s2, dir))
     val flat = flatBnlj + flatBhj
     val coarse = coarseBnlj + coarseBhj
     info(s"join output rows: flat=$flat (bnlj=$flatBnlj bhj=$flatBhj) " +
-      s"coarse=$coarse (bnlj=$coarseBnlj bhj=$coarseBhj)")
+      s"coarse=$coarse (bnlj=$coarseBnlj bhj=$coarseBhj) " +
+      s"imi=${imiBnlj + imiBhj} (bnlj=$imiBnlj bhj=$imiBhj)")
     // fixture: n=1000 (augmented), nbase=500, k=16, √k=4.
     // flat: BNLJ ≥ n·k = 16000 (the quadratizing candidate set).
     assert(flat >= 16000L, s"flat probe must materialize the full n·k candidate set, saw $flat")
@@ -469,6 +471,19 @@ class PlanShapeSpec extends SparkSpec {
     // and the headline: two-level total well under flat's candidate volume
     assert(coarse < (flat * 3) / 4,
       s"two-level assignment must materialize <75% of flat's candidates: coarse=$coarse flat=$flat")
+    // three-level descent, cross-join side — UNCONDITIONAL O(n·k^(1/3))
+    // bound: three seed builds + l2×l1 (9·3) + fine×l1 (16·3) +
+    // vector×l1 n·3 ≈ 5800; assert < 8000. At this fixture's k = 16 the
+    // asymptotic gap to the two-level chain is invisible (k^(1/3) = 3 vs
+    // √k = 4) and the descent's extra O(n) rejoins dominate its books —
+    // measured imi total ≈ 12.5k vs coarse ≈ 10.6k — so the only honest
+    // fixture asserts are the cross-join shape bound and total < flat;
+    // the shape's payoff is measured at the 10⁶/10⁷ probes where
+    // k^(1/3)/√k is 27/140.
+    assert(imiBnlj < 8000L,
+      s"IMI cross-join stages must stay O(n·k^(1/3)): bnlj=$imiBnlj")
+    assert(imiBnlj + imiBhj < flat,
+      s"three-level assignment must stay under flat's candidate volume: imi=${imiBnlj + imiBhj}")
   }
 
   test("IVF assignment argmax is sort-free: candidates hash-aggregate, never window-sort") {
@@ -485,7 +500,8 @@ class PlanShapeSpec extends SparkSpec {
     // window would do. Assert on BOTH chains.
     for ((name, df) <- Seq(
         "coarse" -> VectorOps.coarseAssignProbe(spark, dir),
-        "flat" -> VectorOps.flatAssignProbe(spark, dir))) {
+        "flat" -> VectorOps.flatAssignProbe(spark, dir),
+        "imi" -> VectorOps.imiAssignProbe(spark, dir))) {
       // line-level check (TreeNode.collect does not descend through the
       // AdaptiveSparkPlanExec wrapper): a WindowExec node prints its
       // orderSpec on its own line, so a candidate-argmax window would

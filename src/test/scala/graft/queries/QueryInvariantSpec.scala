@@ -90,6 +90,25 @@ class QueryInvariantSpec extends SparkSpec {
     assert(assign.filter(col("cell").isNull).count() === 0L)
   }
 
+  test("three-level IMI descent recovers exactly the planted pair set (≡ flat IVF)") {
+    // same co-assignment argument as the two-level chain: the deeper
+    // descent picks DIFFERENT cells than flat/coarse, but identical
+    // vectors take identical argmax decisions at every level, so planted
+    // twins can never separate — and only twins clear 0.999
+    val imi = q("sim_ann_ivf_imi").collect()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(imi.length === nVecs)
+    assert(imi.forall(r => r.getAs[Long]("j") === r.getAs[Long]("i") + 100000L))
+    assert(imi.forall(_.getAs[Double]("cosine") === 1.0))
+    val flat = q("sim_ann_ivf").collect().map(_.toString).toSet
+    assert(imi.map(_.toString).toSet === flat)
+    // totality through BOTH bottom-up non-empty guards (level-2 with no
+    // fine members, level-1 with no surviving level-2): no vector strands
+    val assign = VectorOps.sharedImiAssign(spark, dir)
+    assert(assign.count() === 2 * nVecs)
+    assert(assign.filter(col("cell").isNull).count() === 0L)
+  }
+
   test("semantic dedup groups every planted duplicate and keeps exactly one per group") {
     val out = q("dedup_semantic").cache()
     val n = graft.Tables.embeddings(spark, dir).count()
