@@ -127,7 +127,7 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
-  private def register(s: SparkSession): Unit = {
+  private[queries] def register(s: SparkSession): Unit = {
     graft.expr.FloatVecDot.register(s)
     // the assignment argmax aggregate (round 9) rides the same
     // registration path as the deployment's spark.sql.extensions
@@ -452,7 +452,7 @@ object VectorOps {
     * data. Kept (and still oracle-gated) as the Lloyd-refined quality
     * baseline the coarse approximation is measured against.
     */
-  private def sharedIvfAssign(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sharedIvfAssign(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"ivfassign:$dir")(
       refinedAssign(ivfAssignments(s, dir, augmented(s, dir))))
 

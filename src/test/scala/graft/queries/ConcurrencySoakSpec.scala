@@ -34,11 +34,14 @@ class ConcurrencySoakSpec extends SparkSpec {
   // no newSession()/sink/stream queries here: those isolate on purpose;
   // this spec targets the SHARED-state paths. Round 9 adds the two
   // coarse-assignment consumers so the production `ivfcoarse:` cache key
-  // is demanded by multiple queries in the same wave.
+  // is demanded by multiple queries in the same wave, plus the IMI gate
+  // (`ivfimi:` is also demanded twice — its own gate and ann_recall's
+  // ivf_imi row — in later waves via the shared cache).
   private val names = Seq(
     "dedup_minhash_lsh", "sim_ann_lsh", "sim_ann_ivf", "dedup_components",
     "dedup_semantic", "sim_topk_bruteforce", "q0_flagship_star",
-    "j10_orphan_audit", "sim_ann_ivf_coarse", "sim_ann_ivf_probe")
+    "j10_orphan_audit", "sim_ann_ivf_coarse", "sim_ann_ivf_probe",
+    "sim_ann_ivf_imi")
 
   private def run(n: String): Seq[String] =
     graft.SparkEntry.queries(n)(spark, dir).collect()
