@@ -496,19 +496,30 @@ object Curation {
     // instead of re-exploding and re-shuffling the corpus per consumer
     val tf = ScratchCache.register(
       toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).persist())
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl re-aggregates the PERSISTED postings (dl = Σ tf per doc), not the
+    // raw token explode — the round-9 5M-doc probe measured the second
+    // corpus explode+shuffle as a material slice of a 30× superlinear wall
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
       avg(col("dl").cast(DoubleType)).as("avgdl"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val qdoc = docs.agg(min(col("doc_id")).as("qid"))
     val qterms = toks.crossJoin(broadcast(qdoc))
       .filter(col("doc_id") === col("qid")).select(col("tok")).distinct()
+    // qpost = the query terms' postings — restricting BEFORE the df
+    // aggregate matters: df(t) = count of t's postings, so df restricted
+    // to query terms is exact, while a full-vocabulary df table shuffles
+    // every posting for terms the query never touches (Catalyst cannot
+    // push a join below an aggregate; at the 5M-doc probe the tag-widened
+    // vocabulary made that waste the dominant superlinear term)
+    val qpost = ScratchCache.register(
+      tf.join(broadcast(qterms), Seq("tok")).persist())
+    val dfreq = qpost.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + lit(0.5d)) /
       (col("df") + lit(0.5d)) + lit(1.0d))
     val tfp = (col("tf") * lit(2.2d)) /
       (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl")))
-    val scores = tf.join(broadcast(qterms), Seq("tok"))
-      .join(dfreq, Seq("tok"))
+    val scores = qpost
+      .join(broadcast(dfreq), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("sc", (idf * tfp).cast(DecimalType(28, 12)))

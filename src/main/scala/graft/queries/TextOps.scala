@@ -383,12 +383,17 @@ object TextOps {
         .withColumn("n_tokens", size(col("toks")).cast(LongType))
       // sequence(1, n) flips direction for n < 1 instead of returning
       // empty, so short docs are excluded BEFORE the window expansion
+      // 16-byte BINARY hash, not the 32-char hex string: the window table
+      // is the corpus' token count in rows, and the hash is most of every
+      // row that shuffles — the round-9 5M-doc probe paid 2× shuffle bytes
+      // for hex before this (the oracle is representation-free: its twin
+      // recomputes its own grouping hash)
       val wins = toks.filter(col("n_tokens") >= SPAN_W)
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(1),
             (col("n_tokens") - lit(SPAN_W) + 1).cast(IntegerType))).as("st"))
         .select(col("doc_id"), col("st"),
-          md5(concat_ws(" ", slice(col("toks"), col("st"), lit(SPAN_W)))).as("h"))
+          unhex(md5(concat_ws(" ", slice(col("toks"), col("st"), lit(SPAN_W))))).as("h"))
       val dupHashes = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("hc")).filter(col("hc") > 1).select("h")
       // Island merge by COVERAGE, not consecutiveness: a new island starts
@@ -402,7 +407,15 @@ object TextOps {
       // double-counting the overlap and letting dup_frac exceed 1.)
       val wnd = Window.partitionBy(col("doc_id")).orderBy(col("st"))
       val prevSt = lag(col("st"), 1).over(wnd)
-      val spans = wins.join(dupHashes, Seq("h"))
+      // SHUFFLE_HASH, not the planner's default sort-merge: with no stats
+      // on the aggregated dup side, SMJ SORTS the corpus-sized window
+      // table — at the round-9 5M-doc probe that sort's spill exhausted
+      // 75 GB of scratch disk and killed the query. The hash join streams
+      // the window table unsorted and builds only the per-partition slice
+      // of the duplicated-hash set (duplication-rate-bounded, partitioned
+      // by h — grows with shuffle partitions at corpus scale, never a
+      // broadcast of a corpus-dependent set)
+      val spans = wins.join(dupHashes.hint("SHUFFLE_HASH"), Seq("h"))
         .withColumn("brk",
           when(prevSt.isNull || col("st") - prevSt >= SPAN_W, 1L).otherwise(0L))
         .withColumn("grp", sum(col("brk")).over(wnd))

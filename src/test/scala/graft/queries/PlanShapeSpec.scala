@@ -486,6 +486,23 @@ class PlanShapeSpec extends SparkSpec {
       s"three-level assignment must stay under flat's candidate volume: imi=${imiBnlj + imiBhj}")
   }
 
+  test("span removal joins the duplicated-hash set hash-partitioned, never sort-merge") {
+    // round 9: with no stats on the aggregated dup side the planner's
+    // default sort-merge join SORTS the corpus-sized window table (one
+    // row per token) — at the 5M-doc probe that sort's spill exhausted
+    // the box's 75 GB scratch disk and killed the query. The SHUFFLE_HASH
+    // hint streams the window table unsorted; this gate pins it, keyed on
+    // the window-hash column so the doc-keyed merge-backs stay free to
+    // plan however the optimizer likes.
+    val p = plan("dedup_span_removal")
+    assert(p.contains("ShuffledHashJoin"),
+      s"dup-hash join must be a shuffled hash join:\n${p.take(1200)}")
+    val smjOnHash = p.linesIterator
+      .filter(l => l.contains("SortMergeJoin") && l.contains("[h#")).toList
+    assert(smjOnHash.isEmpty,
+      s"the window-hash join must not sort-merge the window table: $smjOnHash")
+  }
+
   test("IVF assignment argmax is sort-free: candidates hash-aggregate, never window-sort") {
     // round 9: the centroid picks run through the ArgTop2 declarative
     // aggregate (4 primitive buffer slots → HashAggregateExec fast path),
