@@ -23,6 +23,17 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head
     assert(row.getAs[Long]("f") === 2640714258260161385L)   // BigQuery parity vector
     assert(row.getAs[Double]("d") === 4.0)
+    // the aggregate extension answers through SQL GROUP BY too (the
+    // Thrift/JDBC surface a cluster client scores assignments from):
+    // group g=1 best ord 0.9@id 7, second 0.5@id 3
+    val agg = spark.sql(
+      """SELECT g, t.cell, t.cell2 FROM (
+        |  SELECT g, vec_arg_top2(o, id) AS t FROM VALUES
+        |    (1, CAST(0.5 AS DOUBLE), CAST(3 AS BIGINT)),
+        |    (1, CAST(0.9 AS DOUBLE), CAST(7 AS BIGINT)),
+        |    (1, CAST(0.1 AS DOUBLE), CAST(9 AS BIGINT)) AS v(g, o, id)
+        |  GROUP BY g)""".stripMargin).collect().head
+    assert(agg.getAs[Long]("cell") === 7L && agg.getAs[Long]("cell2") === 3L)
   }
 
   test("extension class loads the way spark.sql.extensions instantiates it") {
