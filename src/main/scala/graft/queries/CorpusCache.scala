@@ -59,12 +59,22 @@ object CorpusCache {
   private val cache = new java.util.WeakHashMap[
     SparkSession, scala.collection.mutable.LinkedHashMap[String, WeakReference[DataFrame]]]()
 
+  // every key ever demanded per session, regardless of whether its weak
+  // entry later survives GC — the deterministic witness for the
+  // which-chain-did-this-consumer-build gates (liveKeys flickers: a cached
+  // Dataset is only weakly held once its builder returns, so a GC between
+  // construction and observation erases the evidence)
+  private val observed = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Set[String]]()
+
   /** Return the cached table for `key`, building + persisting on first
     * use, re-persisting after external eviction, and evicting the
     * least-recently-used entries past [[MaxLive]].
     */
   def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
+      observed.computeIfAbsent(s,
+        _ => scala.collection.mutable.Set.empty) += key
       val entries = cache.computeIfAbsent(s,
         _ => scala.collection.mutable.LinkedHashMap.empty)
       val cached = entries.get(key).flatMap(ref => Option(ref.get()))
@@ -104,5 +114,12 @@ object CorpusCache {
     Option(cache.get(s))
       .map(_.collect { case (k, ref) if ref.get() != null => k }.toSet)
       .getOrElse(Set.empty)
+  }
+
+  /** Every key ever demanded through `s` — GC-independent, so the
+    * consumer-chain witness cannot flicker with heap pressure.
+    */
+  private[queries] def observedKeys(s: SparkSession): Set[String] = cache.synchronized {
+    Option(observed.get(s)).map(_.toSet).getOrElse(Set.empty)
   }
 }

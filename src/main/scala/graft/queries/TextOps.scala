@@ -447,33 +447,50 @@ object TextOps {
     // negative log-likelihood (log-perplexity) and the corpus-relative
     // keep decision — the quality filter every LLM data pipeline runs
     // (CCNet/ RefinedWeb use a KenLM; the Spark-shaped equivalent is the
-    // same count tables as joins). Scale shape: bigram/unigram counts are
-    // the one-shuffle LM "training"; scoring joins each doc's bigrams
-    // against the broadcast-scale count tables (at 100 TB the LM tables
-    // shard and the join is an equi-join on the bigram); per-token logs
-    // are DECIMAL-cast before the per-doc sum so aggregation order can't
-    // drift the hash; the keep threshold derives from the corpus (p90 of
-    // the score distribution as a broadcast scalar).
+    // same count tables as joins). Scale shape: bigrams come from zipping
+    // the token array with its own shift — map-only, no corpus-wide window
+    // sort; the LM table (per-bigram NLL) is built by joining the DISTINCT-
+    // bigram counts with the unigram counts, so the Zipf-skewed w1 key
+    // only ever joins count tables, never occurrence rows; scoring joins
+    // each doc's distinct-bigram counts (map-side-combined) against the LM
+    // table on the (w1,w2) composite — skew-free since the key is unique
+    // on the build side — and sums k·nll, which in exact DECIMAL equals
+    // the occurrence-level sum, so aggregation shape can't drift the hash;
+    // the keep threshold derives from the corpus (p90 of the score
+    // distribution as a broadcast scalar).
     "text_lm_perplexity" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(TextFns.rawTokens(col("text"))).as(Seq("p", "w")))
-      // bigrams via lead over the in-doc position — one shuffle on doc_id,
-      // not a token-table self-join
-      val wp = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val big = toks.withColumn("w2", lead(col("w"), 1).over(wp))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), col("w").as("w1"), col("w2"))
-      val bigN = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      val toks = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+      // adjacent-pair zip of the token array: slice(1..n-1) × slice(2..n-1)
+      val big = docs
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // per-doc distinct-bigram counts are the root of BOTH count tables:
+      // bigN folds docBig (its exchange is reused — one corpus explode
+      // pass, not two) and the vocabulary size is uniN's own row count
+      // (no second corpus-wide count-distinct expand)
+      val docBig = big
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+      val bigN = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cb"))
       val uniN = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      val vocab = toks.agg(countDistinct(col("w")).cast(DoubleType).as("v"))
-      val scored = big
-        .join(bigN, Seq("w1", "w2"))
+      val vocab = uniN.agg(count(lit(1)).cast(DoubleType).as("v"))
+      val lm = bigN
         .join(uniN.withColumnRenamed("w", "w1"), Seq("w1"))
         .crossJoin(broadcast(vocab))
         .withColumn("nll", (-log((col("cb") + lit(1.0d)) / (col("cu") + col("v"))))
           .cast(DecimalType(28, 12)))
+        .select(col("w1"), col("w2"), col("nll"))
+      val scored = docBig
+        .join(lm, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"))
+        // k as DECIMAL(9,0): (28,12)×(9,0) lands exactly on (38,12) — a
+        // LongType multiplicand would promote past 38 and truncate scale
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("nll") * col("k").cast(DecimalType(9, 0))).as("nll_sum"))
         .withColumn("avg_nll",
           round(col("nll_sum").cast(DoubleType) / col("n_bigrams"), 6))
       val thr = scored.agg(
