@@ -440,6 +440,58 @@ object Curation {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
     }),
 
+    // DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every
+    // document by the log importance weight of its hashed n-gram features
+    // under a TARGET-domain model vs the RAW-corpus model, keep the top
+    // quota. The published trick IS the 100-TB story: unigram+bigram
+    // features hash into D=4096 buckets, so both "models" are ≤D-row
+    // aggregates — broadcastable at ANY corpus size — and "training" is
+    // one count aggregation rooted on the per-doc term-frequency table
+    // (exchange reuse: the tf shuffle feeds model AND scoring, the
+    // lm-perplexity discipline). Target here = lang='en' docs; per-feature
+    // log-ratio terms are DECIMAL-cast before the per-doc sum ((28,12) ×
+    // (9,0) lands on (38,12) losslessly) so aggregation shape can't drift
+    // the hash; keep = weight ≥ corpus p80 — a deterministic quota
+    // stand-in for the paper's Gumbel-noise resampling.
+    "curation_dsir_select" -> ((s, dir) => {
+      val D = 4096
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextFns.rawTokens(col("text")).as("toks"))
+      // features = unigrams ∪ adjacent bigrams, from the token array's
+      // shifted zip — map-only, no window over the corpus token table
+      val feats = docs
+        .select(col("doc_id"), col("lang"), explode(concat(col("toks"), zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          (TextFns.md5Hash60(col("g")) % D).as("fid"))
+      val tf = feats.groupBy(col("doc_id"), col("lang"), col("fid"))
+        .agg(count(lit(1)).as("tf"))
+      val model = tf.groupBy(col("fid")).agg(
+        sum(col("tf")).as("cr"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("ct"))
+      val totals = model.agg(sum(col("cr")).cast(DoubleType).as("nr"),
+        sum(col("ct")).cast(DoubleType).as("nt"))
+      val lmTbl = model.crossJoin(broadcast(totals))
+        .withColumn("dl",
+          (log((col("ct") + lit(1.0d)) / (col("nt") + lit(D.toDouble))) -
+            log((col("cr") + lit(1.0d)) / (col("nr") + lit(D.toDouble))))
+            .cast(DecimalType(28, 12)))
+        .select(col("fid"), col("dl"))
+      val scored = tf
+        .join(broadcast(lmTbl), Seq("fid"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dl") * col("tf").cast(DecimalType(9, 0))).as("wsum"))
+        .withColumn("dsir_logweight", round(col("wsum").cast(DoubleType), 6))
+      val thr = scored.agg(
+        round(expr("percentile(dsir_logweight, 0.8)"), 6).as("p80"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("dsir_logweight"),
+          (col("dsir_logweight") >= col("p80")).as("keep"))
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction). Scores rounded
     // to 6 dp; ordering ties broken by token text for determinism.
     "text_tfidf_terms" -> ((s, dir) => {
@@ -738,6 +790,52 @@ object Curation {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 800""".stripMargin
+    },
+
+    // the DSIR twin: identical hashed feature space (unigrams ∪ adjacent
+    // bigrams — the window spelling here, values identical to the Spark
+    // side's array zip), identical smoothing literals and log-difference
+    // associativity, DECIMAL per-feature terms, quantile_cont p80
+    "curation_dsir_select" -> {
+      val D = 4096
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    generate_subscripts(string_split(text, ' '), 1) AS p,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |big AS (
+         |  SELECT doc_id, lang,
+         |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |  FROM toks),
+         |grams AS (
+         |  SELECT doc_id, lang, w AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, lang, g FROM big WHERE g IS NOT NULL),
+         |feat AS (
+         |  SELECT doc_id, lang, ${TextFns.md5Hash60Sql("g")} % $D AS fid
+         |  FROM grams),
+         |tf AS (
+         |  SELECT doc_id, lang, fid, count(*) AS tf FROM feat GROUP BY 1, 2, 3),
+         |model AS (
+         |  SELECT fid, sum(tf) AS cr,
+         |    sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS ct
+         |  FROM tf GROUP BY fid),
+         |tot AS (
+         |  SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt
+         |  FROM model),
+         |lm AS (
+         |  SELECT fid,
+         |    CAST(ln((ct + 1.0) / (nt + $D.0)) - ln((cr + 1.0) / (nr + $D.0))
+         |      AS DECIMAL(28,12)) AS dl
+         |  FROM model, tot),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    round(CAST(sum(dl * CAST(tf AS DECIMAL(9,0))) AS DOUBLE), 6)
+         |      AS dsir_logweight
+         |  FROM tf JOIN lm USING (fid) GROUP BY 1),
+         |t AS (SELECT round(quantile_cont(dsir_logweight, 0.8), 6) AS p80 FROM sc)
+         |SELECT doc_id, dsir_logweight, dsir_logweight >= p80 AS keep
+         |FROM sc, t""".stripMargin
     },
 
     "text_tfidf_terms" ->

@@ -251,6 +251,24 @@ class QueryInvariantSpec extends SparkSpec {
       r.getAs[Boolean]("quality_ok") === (qs(r.getAs[Long]("doc_id")) >= 0.65)))
   }
 
+  test("DSIR: target-language docs outscore every other language and dominate the kept quota") {
+    // the importance weight is only an operator (not a mechanical shape)
+    // if it actually pulls the corpus toward the target domain: with
+    // lang='en' as the target, en docs must have the highest mean
+    // log-weight of any language and a strictly higher keep rate than the
+    // corpus-wide 20% quota would give a random subset
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val m = q("curation_dsir_select").join(docs, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(avg($"dsir_logweight").as("w"),
+        avg($"keep".cast("double")).as("keep_rate"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (enW, enKeep) = m("en")
+    for ((lang, (w, _)) <- m if lang != "en")
+      assert(enW > w, s"target lang must outscore $lang: en=$enW vs $w")
+    assert(enKeep > 0.2, s"target keep rate must beat the uniform quota: $enKeep")
+  }
+
   test("source mix: the hot source is downsampled below per-mille parity, tails keep all") {
     val out = q("curation_source_mix").collect()
     val hot = out.filter(_.getAs[String]("source") == "src_hot")
