@@ -340,10 +340,19 @@ object StreamGate {
         .trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, 300000)
       s2.table("stream_join_sink")
-    })
+    }),
+
+    // Streaming IVF index ingest: arrivals assign to their cells inside
+    // foreachBatch against the corpus-trained (offline, published)
+    // two-level codebook — the micro-batch index-maintenance path. Body
+    // and scale notes live with the vector family (VectorOps).
+    "stream_ann_ingest" -> ((s, dir) => VectorOps.streamIngestAssign(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the coarse-descent twin over the plain corpus, filtered to arrivals
+    "stream_ann_ingest" -> VectorOps.streamIngestOracle,
+
     // batch twin of the streaming aggregate: epoch-aligned 1h windows
     "stream_window_agg" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % CAST(3600000000 AS BIGINT)) AS window_start,

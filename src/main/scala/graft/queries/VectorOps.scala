@@ -484,6 +484,67 @@ object VectorOps {
     CorpusCache.getOrBuild(s, s"ivfimi:$dir")(
       refinedAssign(imiAssignments(s, dir, augmented(s, dir))))
 
+  /** Streaming index ingest (`stream_ann_ingest` — registered in
+    * [[StreamGate]] with the other stream gates): "today's arrivals"
+    * (vec_id % 4 == 0, the [[`sim_ann_incremental`]] convention) flow
+    * through a file stream and are assigned to their IVF cells inside
+    * `foreachBatch` against the CORPUS-trained two-level codebook — the
+    * micro-batch index-maintenance path a 100-TB deployment runs: the
+    * codebook is a published artifact (trained offline, written once,
+    * read per batch), arrivals never see the corpus, and per-batch cost
+    * is O(batch·√k·d) regardless of history. Assignment is per-vector
+    * independent given the codebook, so the result is invariant to
+    * micro-batch boundaries — no single-file backlog constraint needed,
+    * and the DuckDB twin can replay the same descent declaratively over
+    * the arrival subset.
+    */
+  private[queries] def streamIngestAssign(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    register(s)
+    val in = TempDirs.fresh("annin_in")
+    val out = TempDirs.fresh("annin_out")
+    val ckpt = TempDirs.fresh("annin_ck")
+    val cb = TempDirs.fresh("annin_cb")
+    val arrivals = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+    arrivals.write.mode("overwrite").parquet(in)
+    // train the codebook from the corpus (k from the CORPUS size — the
+    // index's k, not the batch's) and publish it as the artifact the
+    // per-batch assigner reads
+    val nk = Tables.embeddings(s, dir).agg(greatest(lit(MIN_CENTROIDS.toLong),
+      ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    val (fgrp, coarseNE) = coarseCodebook(s, dir, nk)
+    fgrp.write.mode("overwrite").parquet(s"$cb/fgrp")
+    coarseNE.write.mode("overwrite").parquet(s"$cb/coarse")
+    val q = s.readStream.schema(arrivals.schema).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        assignWithCodebook(batch,
+          ss.read.parquet(s"$cb/fgrp"), ss.read.parquet(s"$cb/coarse"))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000)) {
+      q.stop(); sys.error("stream_ann_ingest did not terminate in time")
+    }
+    s.read.parquet(out).select(col("vec_id"), col("cell"), col("cell2"))
+  }
+
+  /** DuckDB twin of [[streamIngestAssign]]: the [[coarseAssignCtes]]
+    * descent over the PLAIN corpus (k from the corpus count, matching the
+    * stream's offline-trained codebook), restricted to the arrival subset
+    * at the end — exact because assignment is per-vector independent.
+    */
+  private[queries] lazy val streamIngestOracle: String =
+    s"""WITH a AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |${coarseAssignCtes("a", "")}
+       |SELECT vec_id, cell, cell2 FROM assign
+       |WHERE vec_id % 4 = 0""".stripMargin
+
   /** Mechanism probes for the assignment-cost claim (PlanShapeSpec): the
     * FLAT seed-codebook assignment (every vector vs every fine centroid —
     * n·k candidate rows out of the broadcast join into the argmax window;
@@ -536,6 +597,18 @@ object VectorOps {
   private def coarseAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
     val nk = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
       ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    val (fgrp, coarseNE) = coarseCodebook(s, dir, nk)
+    assignWithCodebook(emb, fgrp, coarseNE)
+  }
+
+  /** The two-level codebook alone — (fine-centroids-grouped-by-coarse,
+    * non-empty coarse table) for a given k frame. Split out of
+    * [[coarseAssignments]] so the streaming ingest gate can train the
+    * codebook once from the corpus (the offline-index discipline) and
+    * assign micro-batches of arrivals against it.
+    */
+  private[queries] def coarseCodebook(
+      s: SparkSession, dir: String, nk: DataFrame): (DataFrame, DataFrame) = {
     // fine codebook shares the flat chain's "ivfseed" hash universe (the
     // seeds-as-codebook discipline, now id-distribution-free); the coarse
     // table draws ⌈√k⌉ rows from an independent hash universe
@@ -557,6 +630,16 @@ object VectorOps {
     // a coarse centroid that wins no fine members must not strand the
     // vectors that would pick it: vectors choose among NON-EMPTY groups
     val coarseNE = coarse.join(broadcast(fgrp.select(col("gid")).distinct()), Seq("gid"))
+    (fgrp, coarseNE)
+  }
+
+  /** The two-level descent of `emb` against a prebuilt codebook —
+    * (vec_id, cell, cell2). Per-vector independent given the codebook, so
+    * the result is invariant to how `emb` is batched (the property the
+    * streaming ingest gate rides).
+    */
+  private[queries] def assignWithCodebook(
+      emb: DataFrame, fgrp: DataFrame, coarseNE: DataFrame): DataFrame = {
     // vector → coarse group: the n·√k candidate relation collapses in the
     // partial aggregate above the broadcast join (round 9 — the window
     // spelling sorted these candidates: the 10⁷ probe's spill cliff); the

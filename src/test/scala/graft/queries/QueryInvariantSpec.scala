@@ -251,6 +251,22 @@ class QueryInvariantSpec extends SparkSpec {
       r.getAs[Boolean]("quality_ok") === (qs(r.getAs[Long]("doc_id")) >= 0.65)))
   }
 
+  test("streaming ingest assignment is invariant to micro-batch boundaries") {
+    // the property stream_ann_ingest rides: given a fixed codebook, the
+    // two-level descent is per-vector independent, so assigning the
+    // arrivals in two batches and unioning must equal one-shot assignment
+    VectorOps.register(spark)
+    val arrivals = graft.Tables.embeddings(spark, dir).filter($"vec_id" % 4 === 0)
+    val nk = graft.Tables.embeddings(spark, dir)
+      .agg(greatest(lit(16L), ceil(count(lit(1)).cast("double") / lit(1024.0d))).as("k"))
+    val (fgrp, coarseNE) = VectorOps.coarseCodebook(spark, dir, nk)
+    val whole = VectorOps.assignWithCodebook(arrivals, fgrp, coarseNE)
+    val halves = VectorOps.assignWithCodebook(arrivals.filter($"vec_id" % 8 === 0), fgrp, coarseNE)
+      .unionByName(VectorOps.assignWithCodebook(arrivals.filter($"vec_id" % 8 =!= 0), fgrp, coarseNE))
+    assert(whole.exceptAll(halves).isEmpty && halves.exceptAll(whole).isEmpty)
+    assert(whole.count() === arrivals.count())
+  }
+
   test("DSIR: target-language docs outscore every other language and dominate the kept quota") {
     // the importance weight is only an operator (not a mechanical shape)
     // if it actually pulls the corpus toward the target domain: with
