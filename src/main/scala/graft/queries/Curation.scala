@@ -440,6 +440,32 @@ object Curation {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
     }),
 
+    // Cluster-balanced diversity sampling: stratify the corpus by its
+    // LEARNED embedding clusters (the plain-corpus two-level IVF
+    // assignment, doc_id ≡ vec_id) and keep a deterministic per-cell
+    // quota by content-hash order — the embedding-diversity subset
+    // selection modern curation pipelines run after semantic dedup
+    // (cluster-coverage sampling; `sample_stratified` is the same
+    // discipline over LABEL strata). Guarantees every non-empty cluster
+    // is represented (min(|cell|, Q) ≥ 1), where a uniform sample of the
+    // same size would overdraw the big clusters. Scale shape: the
+    // assignment is the shared cached O(n·√k·d) chain; the per-cell rank
+    // windows over ~TARGET_CELL-row partitions (never a global sort) and
+    // the rn ≤ Q predicate pushes into WindowGroupLimit map-side.
+    "curation_cluster_sample" -> ((s, dir) => {
+      val Q = 8
+      val assign = VectorOps.corpusAssign(s, dir)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val w = Window.partitionBy(col("cell")).orderBy(col("hs"), col("doc_id"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(assign, Seq("doc_id"))
+        .withColumn("hs", TextFns.md5Hash60(concat(lit("cs:"), col("doc_id"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= Q)
+        .select(col("doc_id"), col("source"), col("cell"),
+          col("rn").cast(IntegerType).as("rank_in_cell"))
+    }),
+
     // DSIR-style importance selection (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): score every
     // document by the log importance weight of its hashed n-gram features
@@ -791,6 +817,19 @@ object Curation {
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 800""".stripMargin
     },
+
+    // the cluster-sample twin: the shared plain-corpus assignment CTEs,
+    // the same hash-order rank per cell, the same quota
+    "curation_cluster_sample" ->
+      s"""WITH ${VectorOps.plainAssignCtes},
+         |r AS (
+         |  SELECT d.doc_id, d.source, s.cell, row_number() OVER (
+         |    PARTITION BY s.cell
+         |    ORDER BY ${graft.functions.TextFns.md5Hash60Sql("concat('cs:', d.doc_id)")},
+         |      d.doc_id) AS rn
+         |  FROM documents d JOIN assign s ON s.vec_id = d.doc_id)
+         |SELECT doc_id, source, cell, CAST(rn AS INTEGER) AS rank_in_cell
+         |FROM r WHERE rn <= 8""".stripMargin,
 
     // the DSIR twin: identical hashed feature space (unigrams ∪ adjacent
     // bigrams — the window spelling here, values identical to the Spark

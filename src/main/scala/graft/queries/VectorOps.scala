@@ -484,6 +484,32 @@ object VectorOps {
     CorpusCache.getOrBuild(s, s"ivfimi:$dir")(
       refinedAssign(imiAssignments(s, dir, augmented(s, dir))))
 
+  /** Plain-corpus (non-augmented) two-level assignment, cached per
+    * (session, corpus) — the cluster structure consumers outside the ANN
+    * family ride (cluster-balanced sampling): every corpus vector
+    * descends the corpus-trained codebook, no planted-duplicate
+    * augmentation. Same O(n·√k·d) algebra as [[sharedCoarseAssign]].
+    */
+  private[queries] def corpusAssign(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"ivfplain:$dir") {
+      register(s)
+      val nk = Tables.embeddings(s, dir).agg(greatest(lit(MIN_CENTROIDS.toLong),
+        ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+      val (fgrp, coarseNE) = coarseCodebook(s, dir, nk)
+      assignWithCodebook(Tables.embeddings(s, dir), fgrp, coarseNE)
+    }
+
+  /** DuckDB prelude shared by the plain-corpus assignment twins
+    * ([[streamIngestOracle]], the cluster-sample oracle): normed corpus
+    * universe `a` → [[coarseAssignCtes]] (terminal `assign`).
+    */
+  private[queries] lazy val plainAssignCtes: String =
+    s"""a AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |${coarseAssignCtes("a", "")}""".stripMargin
+
   /** Streaming index ingest (`stream_ann_ingest` — registered in
     * [[StreamGate]] with the other stream gates): "today's arrivals"
     * (vec_id % 4 == 0, the [[`sim_ann_incremental`]] convention) flow
@@ -537,11 +563,7 @@ object VectorOps {
     * at the end — exact because assignment is per-vector independent.
     */
   private[queries] lazy val streamIngestOracle: String =
-    s"""WITH a AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(${dSql("embedding", "embedding")}) AS nrm
-       |  FROM embeddings),
-       |${coarseAssignCtes("a", "")}
+    s"""WITH $plainAssignCtes
        |SELECT vec_id, cell, cell2 FROM assign
        |WHERE vec_id % 4 = 0""".stripMargin
 

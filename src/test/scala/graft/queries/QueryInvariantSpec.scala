@@ -251,6 +251,21 @@ class QueryInvariantSpec extends SparkSpec {
       r.getAs[Boolean]("quality_ok") === (qs(r.getAs[Long]("doc_id")) >= 0.65)))
   }
 
+  test("cluster sample covers every non-empty cluster and never exceeds the quota") {
+    // the diversity guarantee that distinguishes cluster-balanced
+    // sampling from a uniform draw of the same size: min(|cell|, Q) >= 1
+    // means every learned cluster is represented; a uniform sample of
+    // sum(min(|cell|, Q)) rows would miss small clusters w.h.p.
+    val sample = q("curation_cluster_sample")
+    val perCell = sample.groupBy($"cell").agg(count(lit(1)).as("n"))
+    assert(perCell.filter($"n" > 8).isEmpty, "quota exceeded")
+    val assignedCells = VectorOps.corpusAssign(spark, dir)
+      .select($"cell").distinct().collect().map(_.getLong(0)).toSet
+    val sampledCells = perCell.select($"cell").collect().map(_.getLong(0)).toSet
+    assert(sampledCells === assignedCells,
+      s"every non-empty cluster must be represented: missing ${assignedCells -- sampledCells}")
+  }
+
   test("streaming ingest assignment is invariant to micro-batch boundaries") {
     // the property stream_ann_ingest rides: given a fixed codebook, the
     // two-level descent is per-vector independent, so assigning the
