@@ -98,6 +98,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
 
+  test("cluster sample: quota pushes into WindowGroupLimit, no cartesian, no nested loop") {
+    // the scale claim in the query comment as an assertion: the rn <= Q
+    // predicate caps each cell's rank map-side before the exchange, and
+    // the docs ⋈ assignment recombination is an equi-join on doc_id
+    val p = plan("curation_cluster_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin Inner"), p.take(1500))
+  }
+
   test("c4 pipeline: no cartesian — bounds broadcast 1-row, rep recombines by equi-join") {
     // the only nested-loop-shaped node is the broadcast 1-row percentile
     // bounds (Cross BuildRight over one row); the repetition stats must
