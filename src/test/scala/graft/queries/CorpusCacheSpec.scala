@@ -64,17 +64,41 @@ class CorpusCacheSpec extends SparkSpec {
   test("a cache hit refreshes recency: the re-touched key survives eviction") {
     val s2 = spark.newSession()
     import s2.implicits._
-    CorpusCache.getOrBuild(s2, "cc-lru:hot")(Seq(1).toDF("v"))
-    (0 until CorpusCache.MaxLive - 1).foreach { i =>
+    // hold STRONG references for the duration of the test (round-9 advice):
+    // liveKeys reads WeakReferences, so without these locals a GC mid-test
+    // could clear entries and flake the assertions below
+    val hot = CorpusCache.getOrBuild(s2, "cc-lru:hot")(Seq(1).toDF("v"))
+    val fill = (0 until CorpusCache.MaxLive - 1).map { i =>
       CorpusCache.getOrBuild(s2, s"cc-lru:$i")(Seq(i).toDF("v"))
     }
     // touch the oldest key, then overflow by one: the UNtouched cc-lru:0
     // must be the victim, not the hot key
-    CorpusCache.getOrBuild(s2, "cc-lru:hot")(Seq(1).toDF("v"))
-    CorpusCache.getOrBuild(s2, "cc-lru:new")(Seq(2).toDF("v"))
+    val hot2 = CorpusCache.getOrBuild(s2, "cc-lru:hot")(Seq(1).toDF("v"))
+    val newer = CorpusCache.getOrBuild(s2, "cc-lru:new")(Seq(2).toDF("v"))
     val keys = CorpusCache.liveKeys(s2)
     assert(keys("cc-lru:hot"), "recently-hit key must survive")
     assert(!keys("cc-lru:0"), "least-recently-used key must be the victim")
+    // keep the strong refs live past the assertions (and quiet -Wunused)
+    assert((hot eq hot2) && (fill.size + newer.count() > 0))
+  }
+
+  test("the demand log stays bounded across many more keys than MaxObserved") {
+    // round-10 (round-9 verdict #6): `observed` is the GC-independent
+    // consumer-chain witness, but a session that iterates corpus dirs
+    // forever must not grow it without bound — same LRU discipline as the
+    // live entries, at a cap comfortably above any one sweep's working set.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val n = CorpusCache.MaxObserved + 40
+    (0 until n).foreach { i =>
+      CorpusCache.getOrBuild(s2, s"cc-obs:$i")(Seq(i).toDF("v"))
+    }
+    val obs = CorpusCache.observedKeys(s2)
+    assert(obs.size <= CorpusCache.MaxObserved,
+      s"observed=${obs.size} must stay <= ${CorpusCache.MaxObserved}")
+    // recency survives: the latest keys are still observable witnesses
+    (n - 10 until n).foreach(i => assert(obs("cc-obs:" + i), s"cc-obs:$i should be observed"))
+    (0 until 10).foreach(i => assert(!obs("cc-obs:" + i), s"cc-obs:$i should have aged out"))
   }
 
   test("a new session builds its own entry for the same key") {
