@@ -35,8 +35,19 @@ object Components {
     * diameter > 2^maxIter).
     */
   def connectedComponents(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = edgesIn.select(col("i"), col("j"))
-      .unionByName(edgesIn.select(col("j").as("i"), col("i").as("j")))
+    // Materialize the CALLER's chain once BEFORE symmetrizing: the union
+    // references edgesIn twice, and exchange reuse only collapses the
+    // branches' shuffles — any non-exchange work above the last shuffle
+    // (in particular the per-consumer SORTs of a sort-merge join, e.g.
+    // the two-tier rescore fetch feeding dedup_semantic) re-executes per
+    // branch. At n=10⁷ that read as four extra corpus-sized sorts:
+    // 967.6 s vs 346.5 s for the identical pair chain under a single
+    // consumer (round-10 probe). Checkpointing the one-directional pair
+    // set first costs one small materialization and makes the union two
+    // scans of a local table.
+    val half = edgesIn.select(col("i"), col("j")).localCheckpoint()
+    val edges = half
+      .unionByName(half.select(col("j").as("i"), col("i").as("j")))
       .localCheckpoint()
     var labels = edges.select(col("i").as("node")).distinct()
       .withColumn("label", col("node"))

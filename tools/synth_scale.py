@@ -59,6 +59,27 @@ def permute_text(text: str, c: int) -> str:
     return " ".join(f"{tag}{t}" for t in toks)
 
 
+def distinct_name(name: str, partkey: int, c: int) -> str:
+    # Per-(copy, row) SUFFIX WORD for `part.p_name` (round 10, the
+    # ER-family probe): part copies previously kept p_name verbatim, so
+    # the ER queries' leading distinct() collapsed any scaled fixture back
+    # to the base vocabulary (this testdata's p_name universe is 64
+    # two-word names) and the probe measured nothing. Appending one
+    # alphabetic word — the copy tag + the base-26 spelling of the row's
+    # base partkey — makes every copy-c row a DISTINCT name, so the
+    # resolved universe grows to ~rows·copies while the HEAD vocabulary
+    # (the first words, and with them the prefix-q-gram skew that drives
+    # the family's block purging) stays exactly the base distribution —
+    # the realistic head-word/discriminative-tail name shape. Within a
+    # copy, rows sharing a base name get suffix words differing in ≥1
+    # base-26 digit; across copies the tag differs — so true lev≤2
+    # matches stay the IN-QUERY derived dirty variants, not planted
+    # cross-row pairs (the round-8 output-bound-fixture adjudication).
+    # Copy 0 is verbatim (the tool's identity-at-c=0 invariant), a
+    # vanishing fraction of any scaled fixture.
+    return f"{name} {copy_tag(c)}{copy_tag(int(partkey))}"
+
+
 def _signs(c: int, n: int):
     # Per-(copy, dim) ±1 from md5 — aperiodic in c. The previous scheme
     # (roll k=c%n, sign (i+c)%2 with n even) depended only on c%n, so
@@ -127,6 +148,12 @@ def synth(src: str, out: str, copies: int, tables):
                 if t == "documents" and name == "text":
                     cols[name] = pa.array(
                         [permute_text(v.as_py(), c) for v in col])
+                    continue
+                if t == "part" and name == "p_name":
+                    pk = tbl.column("p_partkey")
+                    cols[name] = pa.array(
+                        [distinct_name(v.as_py(), pk[i].as_py(), c)
+                         for i, v in enumerate(col)])
                     continue
                 if t == "embeddings" and name == "embedding":
                     cols[name] = pa.array(
