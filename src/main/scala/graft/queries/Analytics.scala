@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.TextFns
 
 /** Product-analytics and entity-resolution operators: funnel conversion,
   * cohort retention, statistical outlier QA, and fuzzy (edit-distance)
@@ -182,18 +183,42 @@ object Analytics {
     // universe into ENTITIES — multi-key q-gram-blocked levenshtein pairs
     // closed into components (checked fixpoint), canonical record =
     // lexicographic min per cluster. This is er_fuzzy_match's downstream
-    // half, the exact analogue of dedup_components for documents; node ids
-    // are the names themselves (min-label propagation is type-agnostic).
+    // half, the exact analogue of dedup_components for documents.
+    //
+    // Round 10 (5M-name probe): the closure runs on 60-bit hashed node
+    // ids, not the name strings. Var-length ~20-char keys in every
+    // components aggregation buffer and edge shuffle cost ~4× the bytes
+    // of a long and drop HashAggregate off the UnsafeRow fixed-width
+    // fast path — at 10M nodes the label-init aggregation exhausted the
+    // execution pool (BytesToBytesMap could not acquire a page). Hashed
+    // ids are the dedup_span_removal binary-key discipline; the min-hash
+    // label is only a cluster HANDLE — the canonical entity_id is
+    // recomputed as min(name) per cluster afterwards, so the output is
+    // byte-identical to string-node propagation (min-label over an
+    // injective relabeling induces the same partition of nodes). A 60-bit
+    // collision (~n²/2⁶¹, ~4·10⁻⁵ at 10M names) would merge two clusters
+    // and fail the oracle hash gate loudly; a production deployment at
+    // 10⁹+ names widens the handle to the 128-bit binary md5, trading the
+    // fixed-width fast path for headroom.
     "er_entity_clusters" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
       val dirty = clean.select(
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("name"))
       val all = clean.unionByName(dirty).distinct()
+      // pairs arrive lev-verified from the shared candidate build (round
+      // 10: the verify moved inside, ahead of the cross-key dedup — see
+      // [[erCandidatePairs]])
+      val nid = TextFns.md5Hash60(col("name"))
       val pairs = erCandidatePairs(all)
-        .filter(levenshtein(col("i"), col("j")) <= 2)
+        .select(TextFns.md5Hash60(col("i")).as("i"),
+          TextFns.md5Hash60(col("j")).as("j"))
       val labels = graft.operators.Components.connectedComponents(pairs)
-      all.join(labels.select(col("node").as("name"), col("label")), Seq("name"), "left")
-        .select(col("name"), coalesce(col("label"), col("name")).as("entity_id"))
+      val named = all.select(col("name"), nid.as("nid"))
+        .join(labels.select(col("node").as("nid"), col("label")), Seq("nid"), "left")
+      val canon = named.filter(col("label").isNotNull)
+        .groupBy(col("label")).agg(min(col("name")).as("canon"))
+      named.join(canon, Seq("label"), "left")
+        .select(col("name"), coalesce(col("canon"), col("name")).as("entity_id"))
         .withColumn("is_canonical", col("name") === col("entity_id"))
     }),
 
@@ -219,10 +244,16 @@ object Analytics {
       val kept = dk.select("blk").unionAll(ck.select("blk"))
         .groupBy("blk").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= ErBlockCap).select("blk")
+      // verify-then-dedup (round 10, the [[erCandidatePairs]] inversion):
+      // the length prune and levenshtein run INSIDE the block-join codegen
+      // stage, so the Σbn² candidate volume never reaches a shuffle; the
+      // distinct dedupes only the lev ≤ 2 survivors across keys
       val cands = dk.join(kept, Seq("blk")).join(ck.join(kept, Seq("blk")), Seq("blk"))
-        .select(col("dirty_name"), col("name")).distinct()
+        .select(col("dirty_name"), col("name"))
+        .filter(abs(length(col("dirty_name")) - length(col("name"))) <= 2)
         .withColumn("lev", levenshtein(col("dirty_name"), col("name")))
         .filter(col("lev") <= 2)
+        .distinct()
       val w = Window.partitionBy(col("dirty_name")).orderBy(col("lev").asc, col("name").asc)
       cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("dirty_name"), col("name").as("matched_name"), col("lev"))
@@ -388,13 +419,25 @@ object Analytics {
         concat(lit("S:"), expr("substring(n, greatest(1, length(n) - 3), 4)")))))
       .select(col("n").as(nameCol), col("blk")).distinct()
 
-  /** Blocked, purged, cross-key-deduped unordered candidate pairs (i < j)
-    * over one name universe — the self-join half of the ER family. The
-    * levenshtein verify is NOT applied here so plan tests can pin the
-    * candidate build itself; callers filter. The length-difference prune is
-    * implied by lev ≤ 2 (||i|−|j|| ≤ lev), so it changes no results — it
-    * only spares the O(len²) edit-distance evaluation on pairs that cannot
-    * pass.
+  /** Blocked, purged, levenshtein-VERIFIED unordered pairs (i < j, lev ≤ 2)
+    * over one name universe — the self-join half of the ER family.
+    *
+    * Round-10 inversion, from the 5M-name probe: the original shape
+    * deduped candidates across keys BEFORE the verify ("so a pair sharing
+    * all three keys is scored once") — but that routes the full per-block
+    * candidate volume (Σ_kept bn², ~10¹⁰ rows of string pairs with every
+    * block at the cap) through a hash-aggregate shuffle, which exhausted
+    * execution memory at 5M names (BytesToBytesMap could not acquire its
+    * initial page under 32-way concurrency) — while the work it saves is
+    * ≤ 3× of a codegen levenshtein on ~15-char strings. Verify-then-dedup
+    * keeps the candidate volume inside one codegen stage (join → length
+    * prune → levenshtein → filter; the same inline-scoring discipline as
+    * the ANN probe join) and the only shuffled dedup runs over the lev ≤ 2
+    * SURVIVORS — O(true matches), corpus-independent. A pair sharing
+    * several keys is scored up to 3×, in-stream, for free compared to one
+    * shuffle row. Output is identical (distinct commutes with the
+    * symmetric per-pair filters); the length prune is implied by lev ≤ 2
+    * (||i|−|j|| ≤ lev), so it only spares edit-distance evaluations.
     */
   private[queries] def erCandidatePairs(univ: DataFrame): DataFrame = {
     val keyed = erKeyed(univ, "name")
@@ -404,8 +447,9 @@ object Analytics {
       .select(col("blk"), col("name").as("i"))
       .join(keyed.join(kept, Seq("blk")).select(col("blk"), col("name").as("j")), Seq("blk"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j")).distinct()
       .filter(abs(length(col("i")) - length(col("j"))) <= 2)
+      .filter(levenshtein(col("i"), col("j")) <= 2)
+      .select(col("i"), col("j")).distinct()
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -77,7 +77,31 @@ def distinct_name(name: str, partkey: int, c: int) -> str:
     # cross-row pairs (the round-8 output-bound-fixture adjudication).
     # Copy 0 is verbatim (the tool's identity-at-c=0 invariant), a
     # vanishing fraction of any scaled fixture.
-    return f"{name} {copy_tag(c)}{copy_tag(int(partkey))}"
+    #
+    # The suffix spells a HASH of the partkey, fixed-width (6 base-26
+    # chars), not the partkey itself: consecutive integers spelled in
+    # base-26 share all but their trailing 1-2 digits, so a first cut of
+    # this tool planted ~20 lev<=2 neighbors per row — 300-strong
+    # near-cliques per base name, ~10^8 true edges at 5M names, an edge
+    # density no dirty corpus has (duplicates per entity run 2-5). A real
+    # ER probe wants O(n) true matches (each dirty row resolving to its
+    # clean source, plus rare accidents), which a uniform 6-char suffix
+    # delivers: P(lev<=2) between two random 6-char strings is
+    # negligible, and the Knuth-multiplicative hash is deterministic, so
+    # fixtures rebuild identically.
+    # Mix the COPY INDEX into the hash: a first cut hashed the base
+    # partkey alone, so all copies shared one 20k-suffix set and names
+    # across copies differed only in the 1-2-char copy tag — 250-way
+    # lev<=2 cliques (~6*10^8 true edges at 250 copies) and every
+    # suffix-block sitting just under the purge cap. With the copy mixed
+    # in, cross-copy suffixes are unrelated 6-char strings (lev > 2), so
+    # the true-match structure stays the in-query derived variants.
+    h = ((int(partkey) + c * 20011) * 2654435761) % (26 ** 6)
+    s = ""
+    for _ in range(6):
+        s = chr(97 + h % 26) + s
+        h //= 26
+    return f"{name} {copy_tag(c)}{s}"
 
 
 def _signs(c: int, n: int):
