@@ -35,19 +35,24 @@ object Components {
     * diameter > 2^maxIter).
     */
   def connectedComponents(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Materialize the CALLER's chain once BEFORE symmetrizing: the union
-    // references edgesIn twice, and exchange reuse only collapses the
-    // branches' shuffles — any non-exchange work above the last shuffle
-    // (in particular the per-consumer SORTs of a sort-merge join, e.g.
-    // the two-tier rescore fetch feeding dedup_semantic) re-executes per
-    // branch. At n=10⁷ that read as four extra corpus-sized sorts:
-    // 967.6 s vs 346.5 s for the identical pair chain under a single
-    // consumer (round-10 probe). Checkpointing the one-directional pair
-    // set first costs one small materialization and makes the union two
-    // scans of a local table.
-    val half = edgesIn.select(col("i"), col("j")).localCheckpoint()
-    val edges = half
-      .unionByName(half.select(col("j").as("i"), col("i").as("j")))
+    // Symmetrize in a SINGLE pass over the caller's chain: explode each
+    // pair into both directions inside one projection, then checkpoint the
+    // result once. The earlier union-of-two-references shape re-executed
+    // any non-exchange work above the last shuffle per branch (exchange
+    // reuse only collapses the shuffles — the per-consumer SORTs of a
+    // sort-merge join, e.g. the two-tier rescore fetch feeding
+    // dedup_semantic, ran per branch: 967.6 s vs 346.5 s at n=10⁷,
+    // round-10 probe), and the round-10 fix — checkpointing the
+    // one-directional half first — held TWO eager checkpoints of the edge
+    // set for the whole closure (~1.5× the block-manager storage, round-10
+    // advice). The explode form needs neither: the caller's chain executes
+    // exactly once, and the only materialization is the symmetric edge set
+    // the iteration loop actually reads.
+    val edges = edgesIn
+      .select(explode(array(
+        struct(col("i").as("i"), col("j").as("j")),
+        struct(col("j").as("i"), col("i").as("j")))).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"))
       .localCheckpoint()
     var labels = edges.select(col("i").as("node")).distinct()
       .withColumn("label", col("node"))

@@ -196,15 +196,27 @@ object Analytics {
     // recomputed as min(name) per cluster afterwards, so the output is
     // byte-identical to string-node propagation (min-label over an
     // injective relabeling induces the same partition of nodes). A 60-bit
-    // collision (~n²/2⁶¹, ~4·10⁻⁵ at 10M names) would merge two clusters
-    // and fail the oracle hash gate loudly; a production deployment at
-    // 10⁹+ names widens the handle to the 128-bit binary md5, trading the
-    // fixed-width fast path for headroom.
+    // collision (~n²/2⁶¹, ~4·10⁻⁵ at 10M names) would merge two clusters —
+    // so injectivity is ENFORCED, not assumed (round-10 advice: an oracle
+    // gate catches it on fixtures, but a production run has no oracle):
+    // a memoized fail-fast countDistinct(name) == countDistinct(nid)
+    // aggregate at construction throws before any wrong output is
+    // producible. A deployment tripping it at 10⁹+ names widens the
+    // handle to the 128-bit binary md5, trading the fixed-width fast
+    // path for headroom.
     "er_entity_clusters" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
       val dirty = clean.select(
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("name"))
       val all = clean.unionByName(dirty).distinct()
+      Preconditions.once(s, s"er_entity_clusters:hash-injective:$dir") {
+        val r = all.agg(
+          countDistinct(col("name")).as("names"),
+          countDistinct(TextFns.md5Hash60(col("name"))).as("handles")).first()
+        require(r.getLong(0) == r.getLong(1),
+          s"er_entity_clusters: 60-bit node handles collide on this corpus " +
+            s"(${r.getLong(0)} names -> ${r.getLong(1)} handles); widen to the 128-bit md5")
+      }
       // pairs arrive lev-verified from the shared candidate build (round
       // 10: the verify moved inside, ahead of the cross-key dedup — see
       // [[erCandidatePairs]])
@@ -229,12 +241,16 @@ object Analytics {
     // erKeyed), levenshtein-verified, argmin per dirty record. The cross
     // space is never materialized; overly-frequent blocks are purged at
     // ErBlockCap so per-block pair volume is O(cap²) regardless of key
-    // skew; candidate pairs are deduped across keys BEFORE the levenshtein
-    // verify so a pair sharing all three keys is scored once. Recall: an
-    // edit distance ≤ 2 perturbs at most two of the three disjoint key
-    // regions, so at least one key survives any single edit — strictly
-    // better than single-prefix blocking, and the standard multi-pass ER
-    // shape (block → purge → dedupe → verify).
+    // skew; the levenshtein verify runs INSIDE the block-join codegen
+    // stage and only the lev ≤ 2 SURVIVORS are deduped across keys
+    // (verify-then-dedup, round 10: the Σbn² candidate volume never
+    // reaches a shuffle — O(true matches) rows through the distinct, vs
+    // the dedup-first shape that OOMed at 5M names). A pair sharing
+    // several keys is scored once per key inside codegen (cheap) and
+    // emitted once. Recall: an edit distance ≤ 2 perturbs at most two of
+    // the three disjoint key regions, so at least one key survives any
+    // single edit — strictly better than single-prefix blocking: the
+    // multi-pass ER shape, ordered block → purge → verify → dedupe.
     "er_fuzzy_match" -> ((s, dir) => {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
       val dirty = clean.select(
@@ -295,12 +311,19 @@ object Analytics {
           expr("substring(name, 3, length(name) - 3)"),
           translate(expr("substring(name, length(name), 1)"), "aeiou", "uoaie"))
           .as("name"))
-      val univ = clean.unionByName(dirty2nd).unionByName(dirtyLast)
-        .unionByName(dirtyVowel).distinct()
-      snmPairs(univ, reverse(col("name")))
-        .unionByName(snmPairs(univ, col("name")))
+      // the universe is consumed by THREE rank passes plus the partition-
+      // count derivation: persist once (ScratchCache: drained after the
+      // terminal action) and count it — the count materializes the cache,
+      // so the passes read a built table instead of re-running the
+      // union+distinct chain per pass
+      val univ = ScratchCache.register(
+        clean.unionByName(dirty2nd).unionByName(dirtyLast)
+          .unionByName(dirtyVowel).distinct().persist())
+      val nUniv = univ.count()
+      snmPairs(univ, reverse(col("name")), nUniv)
+        .unionByName(snmPairs(univ, col("name"), nUniv))
         .unionByName(snmPairs(univ,
-          concat(phoneticKey(col("name")), lit("|"), col("name"))))
+          concat(phoneticKey(col("name")), lit("|"), col("name")), nUniv))
         .select(least(col("i"), col("j")).as("i"),
           greatest(col("i"), col("j")).as("j"))
         .distinct()
@@ -334,16 +357,29 @@ object Analytics {
     * distributed form — range-partition by the sort key, row_number WITHIN
     * each partition, then add broadcast per-partition offsets (the
     * per-rank value is the position in the total order, so it is
-    * independent of where the sampled range boundaries fall). The neighbor
-    * join is an EQUI-join on rank buckets of width SnmWindow: each record
-    * joins its own bucket and (as the right side) the one below, which
-    * covers every pair at rank distance ≤ W exactly once — never a
-    * theta-join, never a window wider than W. The offsets table is one row
-    * per partition.
+    * independent of where the sampled range boundaries fall). The range
+    * width DERIVES from the universe size (round-10 verdict: a fixed 8-way
+    * split meant 8 tasks each sorting n/8 names — a parallelism ceiling
+    * that showed up as the family's worst scale ratio at 5M names):
+    * per-partition row volume stays ≈[[Curation.SHARD_PART_ROWS]] while
+    * the offsets table — one row per partition, a single-task window and
+    * a broadcast — stays ≤[[Curation.LEVEL2_CAP]] rows. The rank values,
+    * and hence the output, are invariant to the partition count. The
+    * neighbor join is an EQUI-join on rank buckets of width SnmWindow:
+    * each record joins its own bucket and (as the right side) the one
+    * below, which covers every pair at rank distance ≤ W exactly once —
+    * never a theta-join, never a window wider than W.
+    *
+    * `nUniv` is the universe row count; pass it when the caller already
+    * knows it (er_sorted_neighborhood counts its persisted universe once
+    * for three passes), or let the default count here — one cheap
+    * aggregate job, the Bloom-capacity `.first()` discipline.
     */
-  private[queries] def snmPairs(univ: DataFrame, sk: Column): DataFrame = {
+  private[queries] def snmPairs(univ: DataFrame, sk: Column,
+      nUniv: Long = -1L): DataFrame = {
+    val n = if (nUniv >= 0L) nUniv else univ.count()
     val parted = univ.withColumn("sk", sk)
-      .repartitionByRange(8, col("sk"))
+      .repartitionByRange(snmPartCount(n), col("sk"))
       .withColumn("pid", spark_partition_id())
       .withColumn("pr",
         row_number().over(Window.partitionBy(col("pid")).orderBy(col("sk"))))
@@ -368,6 +404,19 @@ object Analytics {
       .filter(col("rj") > col("ri") && col("rj") - col("ri") <= wW)
       .select(col("i"), col("j"))
   }
+
+  /** Range-partition count for [[snmPairs]]' two-phase global rank over an
+    * n-name universe: per-partition sort volume stays ≈SHARD_PART_ROWS
+    * rows as n grows (parts scale linearly), capped at LEVEL2_CAP so the
+    * offsets window/broadcast stays a small table; 8 floors tiny
+    * universes at the previous behavior. Same constants as shardExport's
+    * [[Curation.shardPartCount]] — one derived-range discipline across
+    * the repo's two-phase prefix-sum/rank stages.
+    */
+  private[queries] def snmPartCount(n: Long): Int =
+    math.max(8L, math.min(
+      math.ceil(n / Curation.SHARD_PART_ROWS).toLong,
+      Curation.LEVEL2_CAP.toLong)).toInt
 
   /** Per-block size cap for ER blocking (block purging): any q-gram key
     * shared by more than this many records is uninformative — joining

@@ -77,21 +77,33 @@ object Curation {
     * composition story.
     */
   private def shardExport(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the tiny (id, n_tokens, hs, part) table feeds the local
-    // cumsums AND the per-part offsets — one tokenize pass, not two (the
-    // curation_token_budget discipline)
-    val docs = ScratchCache.register(Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(TextFns.rawTokens(col("text"))).cast(LongType).as("n_tokens"))
       .withColumn("hs",
         TextFns.md5Hash60(concat(lit("shard:"), col("doc_id"))) % 1000000L)
-      // 16 hash-range slices; part boundaries are monotone in hs, so the
-      // per-part sorts compose into the global (hs, doc_id) order
-      .withColumn("part", floor(col("hs") / 62500L))
+    // The hash-range part count DERIVES from the corpus (round-10 verdict:
+    // a fixed 16-way split meant n/16 rows through each per-part window
+    // task — a hard parallelism ceiling that makes this stage the long
+    // pole at 100×). Broadcast 1-row count, the packRangeSize discipline;
+    // the OUTPUT is invariant to the part count (cum_tokens is the global
+    // prefix sum under the same (hs, doc_id) total order for any split).
+    val nDf = base.agg(count(lit(1)).as("n_docs"))
+    // persisted: the tiny (id, n_tokens, hs, part) table feeds the local
+    // cumsums AND the per-part offsets — one tokenize pass, not two (the
+    // curation_token_budget discipline)
+    val docs = ScratchCache.register(base.crossJoin(broadcast(nDf))
+      // part boundaries are monotone in hs (hs·np/10⁶ is nondecreasing in
+      // hs; equal hs → equal part), so the per-part sorts compose into
+      // the global (hs, doc_id) order at ANY part count
+      .withColumn("part",
+        floor(col("hs") * shardPartCount(col("n_docs")) / lit(1000000.0d)))
+      .drop("n_docs")
       .persist())
     val wIn = Window.partitionBy(col("part")).orderBy(col("hs"), col("doc_id"))
     val local = docs.withColumn("cum_local", sum(col("n_tokens")).over(wIn))
-    // per-part offsets: a 16-row aggregate windowed over itself, broadcast
+    // per-part offsets: a ≤SHARD_PART_CAP-row aggregate windowed over
+    // itself, broadcast
     val wParts = Window.orderBy(col("part"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = docs.groupBy(col("part")).agg(sum(col("n_tokens")).as("pt"))
@@ -152,6 +164,28 @@ object Curation {
     */
   private[queries] def packRangeSize(nDocs: Column): Column =
     greatest(lit(100L), ceil(sqrt(nDocs)), ceil(nDocs / lit(LEVEL2_CAP)))
+
+  /** Expected per-part row volume for shardExport's hash-range split: the
+    * constant that stays fixed as the corpus grows (parts scale, parts'
+    * work doesn't).
+    */
+  private[queries] val SHARD_PART_ROWS = 62500.0d
+
+  /** Hash-range part count for shardExport's two-level prefix sum over an
+    * n-doc corpus (round-10 verdict: the fixed 16 capped parallelism at
+    * any corpus size). Expected per-part row volume stays ≤
+    * [[SHARD_PART_ROWS]] (hs is md5-uniform over the 10⁶ hash space, so
+    * realized part sizes concentrate tightly around n/parts), while the
+    * per-part offsets table — a single-task window and a broadcast —
+    * stays ≤ [[LEVEL2_CAP]] rows. 16 floors tiny corpora at the previous
+    * behavior. Past n ≈ LEVEL2_CAP·SHARD_PART_ROWS (2×10¹⁰ docs) per-part
+    * volume grows linearly under the cap — the point at which a third
+    * prefix-sum level would take over (the [[packRangeSize]] trade, same
+    * cap constant).
+    */
+  private[queries] def shardPartCount(nDocs: Column): Column =
+    greatest(lit(16L),
+      least(ceil(nDocs / lit(SHARD_PART_ROWS)), lit(LEVEL2_CAP.toLong)))
 
   private val QUALITY_T = 0.65
   private val DUP_T = 0.62
