@@ -40,7 +40,14 @@ case class ArgTop2(ord: Expression, id: Expression) extends DeclarativeAggregate
 
   override def dataType: DataType = StructType(Seq(
     StructField("cell", LongType, nullable = true),
-    StructField("cell2", LongType, nullable = true)))
+    StructField("cell2", LongType, nullable = true),
+    // the winning and runner-up ord values (round 11): the margin s1 − s2
+    // is the FAISS-style boundary-ness signal the nprobe=2 search gates
+    // its second-region probe on — the buffer tracks both scores anyway,
+    // so exposing them is free (getField consumers of cell/cell2 are
+    // unaffected)
+    StructField("s1", DoubleType, nullable = true),
+    StructField("s2", DoubleType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (ord.dataType == DoubleType && id.dataType == LongType)
@@ -106,7 +113,9 @@ case class ArgTop2(ord: Expression, id: Expression) extends DeclarativeAggregate
     If(IsNull(c1), Literal.create(null, dataType),
       CreateNamedStruct(Seq(
         Literal("cell"), i1,
-        Literal("cell2"), If(IsNull(c2), Literal.create(null, LongType), i2))))
+        Literal("cell2"), If(IsNull(c2), Literal.create(null, LongType), i2),
+        Literal("s1"), c1,
+        Literal("s2"), If(IsNull(c2), Literal.create(null, DoubleType), c2))))
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): ArgTop2 =

@@ -35,6 +35,22 @@ object VectorOps {
   private val NPLANES = 12
   private val ANN_T = 0.999
 
+  /** Margin threshold for the gated nprobe=2 search (round 11 — the
+    * FAISS refinement discipline): a vector probes its second-best
+    * region's cell only when its assignment margin (cos to the winning
+    * centroid minus cos to the runner-up) is at most this — i.e. only
+    * BOUNDARY vectors pay the second probe; a decisive winner's
+    * ≥COS_T-similar neighbors co-assign with it anyway. Calibrated at
+    * sf0.1 against the anchored-truth governance (`ann_recall`): see the
+    * margin sweep in SCALE.md — the value keeps the ivf_imi recall at
+    * its ungated level at every sf while pruning the clear-winner
+    * majority of second probes at the 10⁷ tier. Shared verbatim by the
+    * oracle twins (the margin is a difference of the same
+    * bit-reproducible cosine doubles both engines rank by, so the gate
+    * decision is engine-independent).
+    */
+  private[queries] val PROBE_MARGIN_T = 0.05d
+
   /** Random-projection output dimension (`emb_random_projection`) and the
     * corpus dimension it contracts from. The ±1 sign matrix is DERIVED,
     * not random state: sign(d,k) = parity of md5("d:k") (the engine's
@@ -376,9 +392,20 @@ object VectorOps {
     * probe candidate set, at O(s·cell) cost.
     */
   private def probeAnchorCandidates(assign: DataFrame,
-      anchors: DataFrame): DataFrame = {
+      anchors: DataFrame): DataFrame =
+    // the SAME margin gate as [[probeVerifiedPairs]]: the governance row
+    // must audit exactly the candidate shape the gate searches
+    probeAnchorCandidatesAt(assign, anchors, PROBE_MARGIN_T)
+
+  /** [[probeAnchorCandidates]] at an explicit margin threshold — the
+    * calibration/spec seam (τ = 2.0 ≥ any possible cosine margin =
+    * ungated).
+    */
+  private[queries] def probeAnchorCandidatesAt(assign: DataFrame,
+      anchors: DataFrame, tau: Double): DataFrame = {
     val probes = assign.select(col("cell").as("pc"), col("vec_id"))
-      .unionByName(assign.filter(col("cell2").isNotNull)
+      .unionByName(assign.filter(col("cell2").isNotNull &&
+          col("mgn") <= lit(tau))
         .select(col("cell2").as("pc"), col("vec_id")))
     val homes = assign.select(col("cell").as("pc"), col("vec_id"))
     val aProbes = probes.join(anchors, Seq("vec_id"), "left_semi")
@@ -391,6 +418,36 @@ object VectorOps {
       .select(least(col("u"), col("v")).as("i"),
         greatest(col("u"), col("v")).as("j"))
       .distinct()
+  }
+
+  /** Margin-gate calibration sweep (round 11): for each candidate τ,
+    * the ann_recall-shaped anchored-truth recall of the IMI nprobe=2
+    * candidate set gated at τ, plus the fraction of vectors whose second
+    * region is actually probed. The τ grid is evaluated against ONE
+    * persisted truth/anchor/assignment build, so a sweep costs little
+    * more than a single governance row. Driven by [[MarginProbe]].
+    */
+  private[queries] def marginSweep(s: SparkSession, dir: String,
+      taus: Seq[Double]): Seq[(Double, Long, Long, Double, Double)] = {
+    register(s)
+    val emb = augmented(s, dir)
+    val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
+      .select(col("i"), col("j")).persist())
+    val anchors = ScratchCache.register(
+      AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
+        .filter(col("is_anchor")).select(col("vec_id")).persist())
+    val assign = sharedImiAssign(s, dir)
+    val nTrue = truth.count()
+    val nVec = assign.count()
+    val res = taus.map { tau =>
+      val found = truth.join(probeAnchorCandidatesAt(assign, anchors, tau),
+        Seq("i", "j"), "left_semi").count()
+      val probed = assign.filter(col("cell2").isNotNull &&
+        col("mgn") <= lit(tau)).count()
+      (tau, nTrue, found, found.toDouble / math.max(nTrue, 1L),
+        probed.toDouble / math.max(nVec, 1L))
+    }
+    res
   }
 
   /** Anchor-touching multiprobe pairs: only ANCHORS probe (the hamming-1
@@ -623,10 +680,20 @@ object VectorOps {
   private def probeVerifiedPairs(s: SparkSession, dir: String,
       assign: DataFrame): DataFrame = {
     val sk = sharedPairSketch(s, dir)
-      .join(assign.select(col("vec_id"), col("cell"), col("cell2")), Seq("vec_id"))
+      .join(assign.select(col("vec_id"), col("cell"), col("cell2"), col("mgn")),
+        Seq("vec_id"))
     val probes = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
         col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"))
-      .unionByName(sk.filter(col("cell2").isNotNull)
+      // margin-gated second region (round 11): only BOUNDARY vectors —
+      // assignment margin ≤ PROBE_MARGIN_T — pay for the second probe.
+      // A vector that beat its runner-up decisively sits deep inside its
+      // cell, and a ≥COS_T-similar neighbor of a deep vector lands in
+      // the same cell; the recall-relevant second probes concentrate at
+      // small margins (the FAISS refinement discipline). Candidates
+      // remain a superset of the nprobe=1 search (the home branch is
+      // untouched), so probe recall ≥ nprobe=1 recall still holds.
+      .unionByName(sk.filter(col("cell2").isNotNull &&
+          col("mgn") <= lit(PROBE_MARGIN_T))
         .select(col("cell2").as("pc"), col("vec_id").as("u"),
           col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na")))
     val home = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
@@ -845,7 +912,11 @@ object VectorOps {
       .agg(argTop2(col("cos_c"), col("cid")).as("t2"))
       .select(col("vec_id"),
         col("t2").getField("cell").as("cell"),
-        col("t2").getField("cell2").as("cell2"))
+        col("t2").getField("cell2").as("cell2"),
+        // assignment margin (round 11): how decisively the winner beat
+        // the runner-up — the nprobe=2 search probes the second cell
+        // only for boundary vectors (small margin); null when k = 1
+        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
   }
 
   /** Integer-exact ⌈k^(1/3)⌉ as a 1-row (k) frame: libm `pow`/`cbrt` are
@@ -964,7 +1035,12 @@ object VectorOps {
     winners.groupBy(col("vec_id")).agg(argTop2(col("cs"), col("cid")).as("t2"))
       .select(col("vec_id"),
         col("t2").getField("cell").as("cell"),
-        col("t2").getField("cell2").as("cell2"))
+        col("t2").getField("cell2").as("cell2"),
+        // cross-REGION margin: cell and cell2 are different level-2
+        // cells' winners, so s1 − s2 measures how much better the home
+        // region's best centroid fits than the other region's — the
+        // boundary-ness the margin-gated nprobe=2 search keys on
+        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
   }
 
   /** Nearest- and second-nearest-centroid assignment by cosine (spherical
@@ -986,7 +1062,8 @@ object VectorOps {
       .agg(argTop2(col("cos_c"), col("cid")).as("t2"))
       .select(col("vec_id"),
         col("t2").getField("cell").as("cell"),
-        col("t2").getField("cell2").as("cell2"))
+        col("t2").getField("cell2").as("cell2"),
+        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
 
   /** Refined join key over an IVF assignment: cells at or under CELL_CAP
     * keep the plain cell id; hot cells split by the second-nearest
@@ -1000,7 +1077,7 @@ object VectorOps {
       .withColumn("ck", when(col("cn") > CELL_CAP,
         concat_ws(":", col("cell"), coalesce(col("cell2"), col("cell"))))
         .otherwise(col("cell").cast(StringType)))
-      .select(col("vec_id"), col("cell"), col("cell2"), col("ck"))
+      .select(col("vec_id"), col("cell"), col("cell2"), col("mgn"), col("ck"))
   }
 
   /** Deterministic IVF cell assignments: k-means seeds = the first vec_ids,
@@ -1449,10 +1526,14 @@ object VectorOps {
       // real doc in the candidate list, mirrored in the oracle, so the
       // hash gate could not catch it). Enforce eagerly at construction
       // (the Bloom-capacity `.first()` discipline): one O(n) left-semi
-      // probe, failing fast on any corpus violating the assumption.
-      require(emb.select((col("vec_id") + lit(100000L)).as("vec_id"))
-          .join(emb.select(col("vec_id")), Seq("vec_id"), "left_semi").isEmpty,
-        "fusion_rrf: the +100000 augment offset aliases real vec_ids in this corpus")
+      // probe, failing fast on any corpus violating the assumption —
+      // MEMOIZED per (session, dir) (round-10 advice: plan-only consumers
+      // and repeated constructions must not pay the scan again).
+      Preconditions.once(s, s"fusion_rrf:id-span:$dir") {
+        require(emb.select((col("vec_id") + lit(100000L)).as("vec_id"))
+            .join(emb.select(col("vec_id")), Seq("vec_id"), "left_semi").isEmpty,
+          "fusion_rrf: the +100000 augment offset aliases real vec_ids in this corpus")
+      }
       val assign = sharedCoarseAssign(s, dir)
       val qdoc = Tables.documents(s, dir).agg(min(col("doc_id")).as("qid"))
       val qvec = withNorm(emb).crossJoin(broadcast(qdoc))
@@ -1617,7 +1698,8 @@ object VectorOps {
          |probes AS (
          |  SELECT vec_id, cell AS pc FROM assign
          |  UNION ALL
-         |  SELECT vec_id, cell2 AS pc FROM assign WHERE cell2 IS NOT NULL),
+         |  SELECT vec_id, cell2 AS pc FROM assign
+         |  WHERE cell2 IS NOT NULL AND mgn <= $PROBE_MARGIN_T),
          |cand AS (
          |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
          |    greatest(p.vec_id, t.vec_id) AS j
@@ -1818,7 +1900,8 @@ object VectorOps {
          |imi_probes AS (
          |  SELECT vec_id, cell AS pc FROM massign
          |  UNION ALL
-         |  SELECT vec_id, cell2 AS pc FROM massign WHERE cell2 IS NOT NULL),
+         |  SELECT vec_id, cell2 AS pc FROM massign
+         |  WHERE cell2 IS NOT NULL AND mgn <= $PROBE_MARGIN_T),
          |imi_cand AS (
          |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
          |    greatest(p.vec_id, t.vec_id) AS j
@@ -1863,7 +1946,8 @@ object VectorOps {
          |probes AS (
          |  SELECT vec_id, cell AS pc FROM massign
          |  UNION ALL
-         |  SELECT vec_id, cell2 AS pc FROM massign WHERE cell2 IS NOT NULL),
+         |  SELECT vec_id, cell2 AS pc FROM massign
+         |  WHERE cell2 IS NOT NULL AND mgn <= $PROBE_MARGIN_T),
          |cand AS (
          |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
          |    greatest(p.vec_id, t.vec_id) AS j
@@ -2054,9 +2138,13 @@ object VectorOps {
        |${p}assign AS (
        |  SELECT vec_id,
        |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
-       |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
+       |    max(CASE WHEN rn = 2 THEN cid END) AS cell2,
+       |    max(CASE WHEN rn = 1 THEN cs END)
+       |      - max(CASE WHEN rn = 2 THEN cs END) AS mgn
        |  FROM (
-       |    SELECT v.vec_id, f.cid, row_number() OVER (
+       |    SELECT v.vec_id, f.cid,
+       |      ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) AS cs,
+       |      row_number() OVER (
        |      PARTITION BY v.vec_id
        |      ORDER BY ${dSql("ax.embedding", "f.ce")} / (ax.nrm * f.nc) DESC,
        |        f.cid ASC) AS rn
@@ -2177,9 +2265,11 @@ object VectorOps {
        |${p}assign AS (
        |  SELECT vec_id,
        |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
-       |    max(CASE WHEN rn = 2 THEN cid END) AS cell2
+       |    max(CASE WHEN rn = 2 THEN cid END) AS cell2,
+       |    max(CASE WHEN rn = 1 THEN cs END)
+       |      - max(CASE WHEN rn = 2 THEN cs END) AS mgn
        |  FROM (
-       |    SELECT vec_id, cid, row_number() OVER (
+       |    SELECT vec_id, cid, cs, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
        |    FROM ${p}fw)
        |  WHERE rn <= 2 GROUP BY vec_id),

@@ -127,6 +127,44 @@ class QueryInvariantSpec extends SparkSpec {
       s"coarse recall must hold ≥0.05 over the 0.8 floor, got ${rec("ivf")}")
   }
 
+  test("margin-gated nprobe=2: the gate only ever removes clear-winner " +
+    "probes, and holds the anchored recall at this fixture") {
+    // round 11 (the FAISS refinement discipline): only boundary vectors
+    // (assignment margin ≤ PROBE_MARGIN_T) probe their second region.
+    // Pins: (a) the gated candidate set is a subset of the ungated one
+    // (τ = 2.0 ≥ any possible cosine margin) and a superset of the
+    // home-only (τ < 0) set — the gate moves between the two extremes
+    // monotonically; (b) at the production τ the gate loses ZERO anchored
+    // truth vs ungated on this fixture — the calibration invariant the
+    // SCALE.md sweep established; (c) the gate actually prunes (some
+    // vector with cell2 has mgn > τ, else the predicate is vacuous).
+    VectorOps.register(spark)
+    val emb = graft.Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val aug = emb.unionByName(
+      emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val anchors = AnchorSample.withAnchors(aug.select($"vec_id"), $"vec_id")
+      .filter($"is_anchor").select($"vec_id")
+    val assign = VectorOps.sharedImiAssign(spark, dir)
+    def cands(tau: Double): Set[(Long, Long)] =
+      VectorOps.probeAnchorCandidatesAt(assign, anchors, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val homeOnly = cands(-1.0)
+    val gated = cands(VectorOps.PROBE_MARGIN_T)
+    val ungated = cands(2.0)
+    assert(homeOnly.subsetOf(gated) && gated.subsetOf(ungated))
+    val truth = q("ann_recall")
+    val rec = truth.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_found")).toMap
+    // the production ivf_imi row audits the gated set; re-derive the
+    // ungated found-count here and require no loss at this fixture
+    val truthPairs = VectorOps.marginSweep(spark, dir, Seq(2.0)).head
+    assert(rec("ivf_imi") === truthPairs._3,
+      s"gated governance found ${rec("ivf_imi")} truth pairs, ungated ${truthPairs._3}")
+    val prunable = assign.filter($"cell2".isNotNull &&
+      $"mgn" > VectorOps.PROBE_MARGIN_T).count()
+    assert(prunable > 0, "the margin gate is vacuous on this fixture")
+  }
+
   test("shard export: conservation, dense ordinals, token-banded shards") {
     val out = q("curation_shard_export").cache()
     val n = graft.Tables.documents(spark, dir).count()
@@ -194,8 +232,19 @@ class QueryInvariantSpec extends SparkSpec {
         lit(0.999) * col("na") * col("nb") - lit(1e-9))
       .count()
     assert(survivors >= exact.size, "the bound must be a superset of the exact pairs")
-    assert(survivors <= total / 10,
-      s"the prefilter must prune the candidate space: $survivors of $total survived")
+    // Non-vacuous pruning, with the bound DERIVED from the fixture rather
+    // than a hard-coded selectivity (round-10 advice: "≤ total/10" was a
+    // property of the random 64-d fixture, not of the algorithm — a
+    // regenerated fixture with more correlated embeddings could fail it
+    // with no code regression). The algorithmic claims are (a) the
+    // prefilter discards SOMETHING (tier 2 exists), and (b) survivors
+    // track the true pair structure — within a small multiple of the
+    // exact pair count — rather than the candidate space.
+    assert(survivors * 2 <= total,
+      s"the prefilter must prune at least half the candidate space: $survivors of $total survived")
+    assert(survivors <= 64L * (exact.size + 1),
+      s"survivors must scale with the true pair count, not the candidate space: " +
+        s"$survivors survived for ${exact.size} exact pairs")
   }
 
   test("semantic dedup groups every planted duplicate and keeps exactly one per group") {
