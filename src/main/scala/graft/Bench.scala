@@ -34,8 +34,9 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Two passes, min per query — EXCEPT queries whose first pass lands
-    // under 0.2 s, which keep their single cold sample. A single-shot
+    // Two passes, min per query — EXCEPT the headline set (3 samples,
+    // median — see below) and queries whose first pass lands under 0.2 s,
+    // which keep their single cold sample. A single-shot
     // timing on local[32] swings ±3× from JIT/GC/page-cache luck (rounds
     // 1 vs 2 "regressed" and "improved" dozens of queries on byte-identical
     // code), so the min matters for anything long enough to measure; the
@@ -103,17 +104,31 @@ object Bench {
     val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     val first = onePass(allQs)
+    val samples = scala.collection.mutable.Map[String, Vector[Double]](
+      first.map(r => r._1 -> Vector(r._2)): _*)
     // Re-run queries whose first pass cost >= 0.2 s (sub-0.2 s timings are
     // dominated by fixed planning overhead a second sample cannot de-noise),
     // plus ALWAYS every headline query (trend comparisons need the warm min
     // even if one drifts under the threshold) and every pass-1 failure (a
     // fast failure must get its retry, not keep a meaningless sample).
     val rerun = first.filter(r => r._2 >= 0.2 || headline(r._1) || !r._3).map(_._1).toSet
-    var results = first.map(r => r._1 -> r._2)
-    for (_ <- 2 to passes if rerun.nonEmpty) {
-      val again = onePass(allQs.filter(q => rerun(q._1))).map(r => r._1 -> r._2).toMap
-      results = results.map { case (n, t) => n -> math.min(t, again.getOrElse(n, t)) }
+    // Headline queries take THREE samples and report the MEDIAN (round-10
+    // verdict #6: the ±2× box band forced per-round adjudication of
+    // phantom regressions on unchanged code — a min-of-2 still lets one
+    // lucky sample swing the trend, the median of 3 doesn't). Everything
+    // else keeps min-of-`passes`. passes=1 stays a genuine single-pass
+    // probe (no hidden extra work under an explicit quick-run request).
+    val lastPass = if (passes <= 1) 1 else math.max(passes, 3)
+    for (p <- 2 to lastPass if rerun.nonEmpty) {
+      val names = if (p <= passes) rerun else rerun.intersect(headline)
+      if (names.nonEmpty)
+        onePass(allQs.filter(q => names(q._1)))
+          .foreach(r => samples(r._1) = samples(r._1) :+ r._2)
     }
+    def summarize(name: String, ss: Vector[Double]): Double =
+      if (headline(name) && ss.size >= 3) ss.sorted.apply(ss.size / 2)
+      else ss.min
+    val results = first.map(r => r._1 -> summarize(r._1, samples(r._1)))
     // Double.toString, not %f: the f-interpolator is locale-sensitive (a
     // comma decimal separator would corrupt the JSON under some locales)
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
@@ -127,9 +142,14 @@ object Bench {
     System.err.println(s"[bench-full] ${fmt(results)}")
     val tagJson = baselines.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // per-headline raw samples → the sidecar, so a regression call can
+    // cite the spread, not just the median
+    val sampJson = results.filter(r => headline(r._1)).map { case (k, _) =>
+      "\"" + k + "\":[" + samples(k).map(ms3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"sf":"$sfDir","baseline_tags":$tagJson,"queries":${fmt(results)}}""")
+      s"""{"sf":"$sfDir","headline_stat":"median_of_3","baseline_tags":$tagJson,"headline_samples":$sampJson,"queries":${fmt(results)}}""")
     catch { case _: Throwable => () }
     // a renamed/removed headline query must fail loudly, not silently drop
     // out of the stdout JSON the driver parses

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.lang.ref.WeakReference
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -24,18 +22,23 @@ import org.apache.spark.storage.StorageLevel
   * on its next demand (the same external-eviction path below), so the cap
   * trades a rebuild for bounded executor storage, never correctness.
   *
-  * Reference discipline (what makes the GC story true, not just claimed):
-  * the outer map is a WeakHashMap keyed by the SESSION OBJECT (identity
-  * equals — two live sessions can collide on a hash, and a string key
-  * would pin entries forever), and the VALUES hold the Datasets only
-  * through WeakReferences. A Dataset strongly references its session, so
-  * strong values would make every key reachable through its own value and
-  * no session could ever be collected (the java.util.WeakHashMap javadoc's
-  * value-refers-to-key warning). With weak values, a dead session GCs away
-  * with its entries; a cleared reference on a LIVE session just means the
-  * cheap plan object is re-derived — Spark's shared CacheManager still
-  * recognizes the rebuilt (canonically identical) plan, so the persisted
-  * blocks themselves are reused, not recomputed.
+  * Reference discipline (round 11, closing the round-10 "advisory under GC
+  * pressure" gap): entries hold the Datasets STRONGLY, so LRU eviction
+  * always has the instance in hand to `unpersist` — the cap is
+  * deterministic, never subject to a WeakReference clearing first (the
+  * prior weak-value design could only drop the map entry once GC had
+  * cleared the reference, while Spark's CacheManager still held the
+  * InMemoryRelation: that storage stopped counting toward the cap until
+  * the same canonical plan was re-demanded or the session ended). A
+  * Dataset strongly references its session, so dead sessions are instead
+  * reclaimed EXPLICITLY: every access first purges all entries whose
+  * SparkContext has stopped (their cached blocks died with the context;
+  * only the plan objects linger, and only until the next access from any
+  * session). The residual trade is documented honestly: a `newSession()`
+  * sibling abandoned without stopping the shared context keeps up to
+  * MaxLive plan objects pinned — the same blocks CacheManager already
+  * pins in that shared context either way — and a stopped session's
+  * object graph lingers until the next CorpusCache access anywhere.
   *
   * External eviction is survivable, not just tolerated: `getOrBuild`
   * checks the entry's current storage level and re-persists one that a
@@ -63,34 +66,27 @@ object CorpusCache {
     */
   private[queries] val MaxObserved = 8 * MaxLive
 
-  // LinkedHashMap iterates in insertion order; getOrBuild re-inserts on
-  // every hit, so head == least-recently-used.
-  //
-  // The MaxLive cap is ADVISORY under GC pressure (round-9 advice,
-  // documented rather than "fixed": the honest alternative): if a
-  // WeakReference clears before its entry is LRU-evicted, the eviction
-  // pass below can only drop the map entry — the Dataset needed for
-  // unpersist() is gone, while Spark's CacheManager still strongly holds
-  // the InMemoryRelation, so that storage stops counting toward the cap
-  // until the same canonical plan is re-demanded (getOrBuild then
-  // re-persists ONTO the existing blocks — CacheManager recognizes the
-  // rebuilt plan — and the entry re-enters LRU accounting) or the session
-  // ends. Evicting those orphaned blocks eagerly would need the analyzed
-  // plan held strongly in the value — and any realistic plan (a
-  // HadoopFsRelation leaf) strongly references its SparkSession, which
-  // would pin every session through its own cache entry: the exact
-  // value-refers-to-key leak the weak-value design exists to prevent.
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.mutable.LinkedHashMap[String, WeakReference[DataFrame]]]()
+  // Inner LinkedHashMap iterates in insertion order; getOrBuild re-inserts
+  // on every hit, so head == least-recently-used. Strong keys AND strong
+  // values (see the scaladoc): boundedness comes from the deterministic
+  // LRU unpersist below plus the stopped-context purge, not from GC.
+  private val cache = scala.collection.mutable.LinkedHashMap[
+    SparkSession, scala.collection.mutable.LinkedHashMap[String, DataFrame]]()
 
-  // every key ever demanded per session, regardless of whether its weak
-  // entry later survives GC — the deterministic witness for the
-  // which-chain-did-this-consumer-build gates (liveKeys flickers: a cached
-  // Dataset is only weakly held once its builder returns, so a GC between
-  // construction and observation erases the evidence). LinkedHashSet so
-  // the MaxObserved LRU below can age out the oldest demands.
+  // every key ever demanded per session, regardless of whether its entry
+  // is later LRU-evicted — the deterministic witness for the
+  // which-chain-did-this-consumer-build gates. Weak session keys: the log
+  // holds only strings, so it must not keep a stopped session reachable
+  // by itself. LinkedHashSet so the MaxObserved LRU below can age out the
+  // oldest demands.
   private val observed = new java.util.WeakHashMap[
     SparkSession, scala.collection.mutable.LinkedHashSet[String]]()
+
+  // Drop every session whose context has stopped: its cached blocks died
+  // with the context (unpersist would be a no-op at best), so only the
+  // map entry and its plan objects need releasing.
+  private def purgeStopped(): Unit =
+    cache.filterInPlace((s, _) => !s.sparkContext.isStopped)
 
   /** Return the cached table for `key`, building + persisting on first
     * use, re-persisting after external eviction, and evicting the
@@ -98,6 +94,7 @@ object CorpusCache {
     */
   def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.synchronized {
+      purgeStopped()
       val log = observed.computeIfAbsent(s,
         _ => scala.collection.mutable.LinkedHashSet.empty)
       // LRU touch (remove-then-add moves the key to the tail), then age
@@ -105,10 +102,9 @@ object CorpusCache {
       log.remove(key)
       log.add(key)
       while (log.size > MaxObserved) log.remove(log.head)
-      val entries = cache.computeIfAbsent(s,
-        _ => scala.collection.mutable.LinkedHashMap.empty)
-      val cached = entries.get(key).flatMap(ref => Option(ref.get()))
-      val df = cached match {
+      val entries = cache.getOrElseUpdate(s,
+        scala.collection.mutable.LinkedHashMap.empty)
+      val df = entries.get(key) match {
         case Some(hit) =>
           if (hit.storageLevel == StorageLevel.NONE) hit.persist()
           hit
@@ -118,36 +114,35 @@ object CorpusCache {
       // LRU touch: re-insert at the tail (LinkedHashMap keeps first-insert
       // position on plain update, so remove first)
       entries.remove(key)
-      entries(key) = new WeakReference(df)
-      // drop GC-cleared references, then evict LRU past the cap — async
-      // unpersist, and the entry rebuilds on demand if ever needed again
-      entries.filterInPlace((_, ref) => ref.get() != null)
+      entries(key) = df
+      // evict LRU past the cap — async unpersist (the instance is in hand,
+      // deterministically), and the entry rebuilds on demand if ever
+      // needed again
       while (entries.size > MaxLive) {
-        val (k0, ref0) = entries.head
-        Option(ref0.get()).foreach(_.unpersist(false))
+        val (k0, df0) = entries.head
+        df0.unpersist(false)
         entries.remove(k0)
       }
       df
     }
 
-  /** Number of live (uncollected) entries cached for `s`. */
+  /** Number of entries cached for `s`. */
   private[queries] def liveCount(s: SparkSession): Int = cache.synchronized {
-    Option(cache.get(s))
-      .map(_.count { case (_, ref) => ref.get() != null }).getOrElse(0)
+    purgeStopped()
+    cache.get(s).map(_.size).getOrElse(0)
   }
 
-  /** The keys currently cached live for `s` — the in-band witness
+  /** The keys currently cached for `s` — the in-band witness
     * [[PlanShapeSpec]] uses to prove which assignment chain the IVF
     * consumers actually built.
     */
   private[queries] def liveKeys(s: SparkSession): Set[String] = cache.synchronized {
-    Option(cache.get(s))
-      .map(_.collect { case (k, ref) if ref.get() != null => k }.toSet)
-      .getOrElse(Set.empty)
+    purgeStopped()
+    cache.get(s).map(_.keySet.toSet).getOrElse(Set.empty)
   }
 
-  /** Every key ever demanded through `s` — GC-independent, so the
-    * consumer-chain witness cannot flicker with heap pressure.
+  /** Every key ever demanded through `s` — LRU-capped at [[MaxObserved]],
+    * so the consumer-chain witness cannot flicker with heap pressure.
     */
   private[queries] def observedKeys(s: SparkSession): Set[String] = cache.synchronized {
     Option(observed.get(s)).map(_.toSet).getOrElse(Set.empty)

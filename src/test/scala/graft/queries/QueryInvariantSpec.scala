@@ -682,9 +682,11 @@ class QueryInvariantSpec extends SparkSpec {
     // synthetic skew: 5000 members pile onto cell 1 (> CELL_CAP), with the
     // second-nearest centroid spread over 7 values; cell 2 stays cold
     val assign = spark.range(0, 5000).select(col("id").as("vec_id"),
-        lit(1).as("cell"), (col("id") % 7).cast("int").as("cell2"))
+        lit(1).as("cell"), (col("id") % 7).cast("int").as("cell2"),
+        lit(0.01d).as("mgn"))
       .unionByName(spark.range(5000, 5100).select(col("id").as("vec_id"),
-        lit(2).as("cell"), lit(5).cast("int").as("cell2")))
+        lit(2).as("cell"), lit(5).cast("int").as("cell2"),
+        lit(0.01d).as("mgn")))
     val rk = VectorOps.refinedAssign(assign)
     // the hot cell splits by cell2 (7 sub-keys); the cold cell keeps its id
     val hotKeys = rk.filter($"vec_id" < 5000).select("ck").distinct()
