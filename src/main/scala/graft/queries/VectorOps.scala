@@ -40,16 +40,19 @@ object VectorOps {
     * region's cell only when its assignment margin (cos to the winning
     * centroid minus cos to the runner-up) is at most this — i.e. only
     * BOUNDARY vectors pay the second probe; a decisive winner's
-    * ≥COS_T-similar neighbors co-assign with it anyway. Calibrated at
-    * sf0.1 against the anchored-truth governance (`ann_recall`): see the
-    * margin sweep in SCALE.md — the value keeps the ivf_imi recall at
-    * its ungated level at every sf while pruning the clear-winner
-    * majority of second probes at the 10⁷ tier. Shared verbatim by the
+    * ≥COS_T-similar neighbors co-assign with it anyway. Calibrated with
+    * [[MarginProbe]] against the anchored-truth governance at ALL THREE
+    * sfs (SCALE.md round 11): τ = 0.1 holds the ivf_imi recall at
+    * exactly its ungated level everywhere (0.9512 / 0.9015 / 0.8629 at
+    * sf0.001/0.01/0.1) while probing only 42–49% of second regions;
+    * τ = 0.05 was measured to LOSE truth pairs at sf0.01 and sf0.1
+    * (0.8864 / 0.8514) — the recall-relevant probes concentrate at
+    * small margins, but not under 0.05. Shared verbatim by the
     * oracle twins (the margin is a difference of the same
     * bit-reproducible cosine doubles both engines rank by, so the gate
     * decision is engine-independent).
     */
-  private[queries] val PROBE_MARGIN_T = 0.05d
+  private[queries] val PROBE_MARGIN_T = 0.1d
 
   /** Random-projection output dimension (`emb_random_projection`) and the
     * corpus dimension it contracts from. The ±1 sign matrix is DERIVED,
