@@ -34,6 +34,36 @@ class QueryInvariantSpec extends SparkSpec {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("threshold-banded levenshtein: true distance at or under the threshold, -1 above") {
+    // round 11: every ER verify runs the 3-arg levenshtein(i, j, 2) —
+    // a ±2 diagonal band with early exit instead of the full O(len²)
+    // matrix. The family's correctness rests on the band being EXACT at
+    // the threshold, so pin the contract against the full form over the
+    // real name universe crossed with its derived 1–2-edit dirty
+    // variants (prefix-sharing, near-threshold pairs — the shapes the
+    // verifies actually see): identical distances for survivors,
+    // -1 exactly when the true distance exceeds 2.
+    val names = graft.Tables.part(spark, dir)
+      .select($"p_name".as("name")).distinct()
+    val dirty = names.select(
+      concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("name"))
+    val pairs = names.select($"name".as("i"))
+      .crossJoin(names.unionByName(dirty).select($"name".as("j")))
+      .withColumn("full", levenshtein($"i", $"j"))
+      .withColumn("banded", levenshtein($"i", $"j", 2))
+      .cache()
+    val disagree = pairs.filter(
+      ($"full" <= 2 && $"banded" =!= $"full") ||
+      ($"full" > 2 && $"banded" =!= -1)).count()
+    assert(disagree === 0L, s"banded/full levenshtein disagree on $disagree pairs")
+    // the fixture must exercise BOTH regimes, or the pin is vacuous
+    assert(pairs.filter($"full" <= 2 && $"full" > 0).count() > 0,
+      "no near-threshold survivor pairs in the fixture")
+    assert(pairs.filter($"full" > 2).count() > 0,
+      "no above-threshold pairs in the fixture")
+    pairs.unpersist()
+  }
+
   test("minhash-LSH recalls exactly the full exact-Jaccard pair set") {
     val lsh = q("dedup_minhash_lsh").select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh === fullJaccardTruth)
