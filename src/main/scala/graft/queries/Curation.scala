@@ -597,9 +597,21 @@ object Curation {
     // hashsum, so a lost or reordered document moves the hash gate.
     "s19_shard_layout" -> ((s, dir) => {
       val out = TempDirs.fresh("s19")
+      // the writer split DERIVES from the corpus (round 11 — the same
+      // class as the prefix-sum stages: a fixed repartitionByRange(4)
+      // meant 4 writer tasks each sorting n/4 rows at any corpus size);
+      // per-writer volume stays ≈SHARD_PART_ROWS, floored at the previous
+      // 4 so gate-scale file counts are unchanged. One count job — the
+      // Bloom-capacity scalar discipline; parquet count() reads no
+      // columns. files_ok below bounds the file count by the SAME derived
+      // value (the oracle twin pins only the boolean, so the derivation
+      // is free to scale).
+      val writeParts = math.max(4L, math.min(
+        math.ceil(Tables.documents(s, dir).count() / SHARD_PART_ROWS).toLong,
+        LEVEL2_CAP.toLong)).toInt
       shardExport(s, dir)
         .join(Tables.documents(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-        .repartitionByRange(4, col("shard_id"), col("ordinal"))
+        .repartitionByRange(writeParts, col("shard_id"), col("ordinal"))
         .sortWithinPartitions(col("shard_id"), col("ordinal"))
         .write.mode("overwrite").parquet(out)
       val back = s.read.parquet(out)
@@ -610,7 +622,7 @@ object Curation {
         .agg(min(key).as("k_min"), max(key).as("k_max"))
       val w = Window.orderBy(col("k_min"))
       val layout = perFile.withColumn("prev_max", lag(col("k_max"), 1).over(w))
-        .agg(count(lit(1)).between(1, 4).as("files_ok"),
+        .agg(count(lit(1)).between(1, writeParts).as("files_ok"),
           every(col("prev_max").isNull || col("prev_max") < col("k_min"))
             .as("ranges_disjoint"))
       back.groupBy(col("shard_id"))
