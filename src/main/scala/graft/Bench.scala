@@ -147,9 +147,14 @@ object Bench {
     val sampJson = results.filter(r => headline(r._1)).map { case (k, _) =>
       "\"" + k + "\":[" + samples(k).map(ms3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // label derives from the ACTUAL sample count (round-11 advice): with
+    // passes=1 the headline values are single cold samples, and with
+    // passes>3 the median is over `passes` samples — the sidecar must not
+    // misstate the statistic consumers compare rounds on
+    val headlineStat = if (passes <= 1) "single_pass" else s"median_of_$lastPass"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"sf":"$sfDir","headline_stat":"median_of_3","baseline_tags":$tagJson,"headline_samples":$sampJson,"queries":${fmt(results)}}""")
+      s"""{"sf":"$sfDir","headline_stat":"$headlineStat","baseline_tags":$tagJson,"headline_samples":$sampJson,"queries":${fmt(results)}}""")
     catch { case _: Throwable => () }
     // a renamed/removed headline query must fail loudly, not silently drop
     // out of the stdout JSON the driver parses

@@ -66,6 +66,19 @@ object CorpusCache {
     */
   private[queries] val MaxObserved = 8 * MaxLive
 
+  /** Upper bound on TRACKED SESSIONS (round-11 advice): the per-session
+    * storage cap is [[MaxLive]], but a caller that loops `newSession()`
+    * siblings without stopping the shared context would accumulate
+    * live-but-abandoned sessions — each pinning up to MaxLive persisted
+    * entries the stopped-context purge can never reclaim. Past the cap the
+    * least-recently-ACCESSED session's entries are unpersisted and the
+    * session dropped (the same deterministic LRU discipline as the inner
+    * map, applied one level up); a dropped session that comes back simply
+    * rebuilds on demand. Cross-session storage is therefore bounded at
+    * MaxSessions × MaxLive entries, deterministically.
+    */
+  private[queries] val MaxSessions = 8
+
   // Inner LinkedHashMap iterates in insertion order; getOrBuild re-inserts
   // on every hit, so head == least-recently-used. Strong keys AND strong
   // values (see the scaladoc): boundedness comes from the deterministic
@@ -102,8 +115,21 @@ object CorpusCache {
       log.remove(key)
       log.add(key)
       while (log.size > MaxObserved) log.remove(log.head)
-      val entries = cache.getOrElseUpdate(s,
-        scala.collection.mutable.LinkedHashMap.empty)
+      // outer LRU touch (the same remove-then-add discipline as the inner
+      // map): the ACCESSED session moves to the tail, so head == the
+      // least-recently-accessed session when the MaxSessions evictor runs
+      val entries = cache.remove(s).getOrElse(
+        scala.collection.mutable.LinkedHashMap.empty[String, DataFrame])
+      cache(s) = entries
+      // evict least-recently-accessed SESSIONS past the cap (round-11
+      // advice): unpersist their live entries deterministically — the
+      // instances are strongly held, so this is never GC-dependent — and
+      // drop the session from tracking; its next access rebuilds on demand
+      while (cache.size > MaxSessions) {
+        val (s0, e0) = cache.head
+        e0.valuesIterator.foreach(_.unpersist(false))
+        cache.remove(s0)
+      }
       val df = entries.get(key) match {
         case Some(hit) =>
           if (hit.storageLevel == StorageLevel.NONE) hit.persist()

@@ -601,13 +601,24 @@ object Curation {
       // class as the prefix-sum stages: a fixed repartitionByRange(4)
       // meant 4 writer tasks each sorting n/4 rows at any corpus size);
       // per-writer volume stays ≈SHARD_PART_ROWS, floored at the previous
-      // 4 so gate-scale file counts are unchanged. One count job — the
-      // Bloom-capacity scalar discipline; parquet count() reads no
-      // columns. files_ok below bounds the file count by the SAME derived
-      // value (the oracle twin pins only the boolean, so the derivation
-      // is free to scale).
+      // 4 so gate-scale file counts are unchanged. The count job is
+      // parquet-meta-only AND memoized per (session, dir) via
+      // Preconditions.longOnce (round-11 verdict #4 — the fusion_rrf
+      // memoization discipline; the corpus dir is immutable testdata, so
+      // one count per session is the whole truth). The documents count IS
+      // the written row count: shardExport assigns EVERY document exactly
+      // one (shard_id, ordinal) — start-offset assignment is total over
+      // the corpus — and the join back to documents is on that same key,
+      // so the per-writer-volume target tracks the rows actually written
+      // (totality pinned in QueryInvariantSpec's shard-export conservation
+      // test: count == documents count, doc_ids distinct — round-11
+      // advice #3).
+      // files_ok below bounds the file count by the SAME derived value
+      // (the oracle twin pins only the boolean, so the derivation is free
+      // to scale).
       val writeParts = math.max(4L, math.min(
-        math.ceil(Tables.documents(s, dir).count() / SHARD_PART_ROWS).toLong,
+        math.ceil(Preconditions.longOnce(s, s"rowcount:documents:$dir")(
+          Tables.documents(s, dir).count()) / SHARD_PART_ROWS).toLong,
         LEVEL2_CAP.toLong)).toInt
       shardExport(s, dir)
         .join(Tables.documents(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))

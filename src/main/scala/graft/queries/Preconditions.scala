@@ -49,4 +49,37 @@ object Preconditions {
   /** Whether (session, key) has already passed — the spec witness. */
   private[queries] def passed(s: SparkSession, key: String): Boolean =
     synchronized { keysOf(s).contains(key) }
+
+  // ---- memoized scalar values (round 12) ----------------------------------
+  //
+  // The same construction-time shape as `once`, but for a derived LONG the
+  // caller needs (a corpus row count feeding a derived writer split): the
+  // count job is parquet-meta-cheap but construction happens per invocation,
+  // and the s19 plan trace should not carry a count job the corpus can't
+  // have changed under (round-11 verdict #4). Weak session keys as above.
+
+  private val vals = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.HashMap[String, Long]]()
+
+  private def valsOf(s: SparkSession): scala.collection.mutable.HashMap[String, Long] =
+    synchronized {
+      val e = vals.get(s)
+      if (e != null) e
+      else { val n = scala.collection.mutable.HashMap.empty[String, Long]; vals.put(s, n); n }
+    }
+
+  /** Compute `value` once per (session, key) and serve the memo afterwards.
+    * A throwing compute is not memoized (the `once` discipline): the key is
+    * recorded only after `value` returns.
+    */
+  def longOnce(s: SparkSession, key: String)(value: => Long): Long = {
+    val hit = synchronized { valsOf(s).get(key) }
+    hit match {
+      case Some(v) => v
+      case None =>
+        val v = value
+        synchronized { valsOf(s).update(key, v) }
+        v
+    }
+  }
 }

@@ -25,14 +25,48 @@ object SinkRoundTrip {
 
   private def freshDir(tag: String): String = TempDirs.fresh(s"sink_$tag")
 
+  /** Reference export chunk size: the chunked parquet exporter slices the
+    * source 5000 rows per chunk file (ETL/export_to_gcs.py:78), i.e. the
+    * CHUNK COUNT scales with the corpus while per-chunk volume stays fixed.
+    */
+  private[queries] val CHUNK_ROWS = 5000.0d
+
+  /** Derived writer split for the sink gates (round 12 — the last members
+    * of the fixed-split class the round-10/11 sweeps closed in the
+    * prefix-sum and s19 families): a fixed `repartition(8)` /
+    * `repartitionByRange(4|16, …)` means that many writer tasks each
+    * carrying n/parts rows AT ANY CORPUS SIZE — at 100× the demonstrated
+    * layout is the one you would NOT run. Parts derive from the corpus row
+    * count over a fixed per-writer volume (the reference's own
+    * rows-PER-chunk discipline, [[CHUNK_ROWS]]); the floor keeps every
+    * gate-scale file count at its previous fixed value so no oracle or
+    * layout band moves at sf0.001–0.1; [[Curation.LEVEL2_CAP]] bounds the
+    * range-split side tables exactly as in the s19/shard derivations.
+    *
+    * The count job is parquet-meta-only AND memoized per (session, table,
+    * dir) via [[Preconditions.longOnce]] (round-11 verdict #4 / the
+    * fusion_rrf `Preconditions.once` discipline): repeated invocations —
+    * plan-shape specs, multi-pass bench — pay it once per session.
+    */
+  private[queries] def derivedParts(s: SparkSession, key: String, targetRows: Double,
+      floor: Int)(count: => Long): Int = {
+    val n = Preconditions.longOnce(s, s"rowcount:$key")(count)
+    math.max(floor.toLong,
+      math.min(math.ceil(n / targetRows).toLong, Curation.LEVEL2_CAP.toLong)).toInt
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S4: chunked parquet writer — fixed chunk count like the reference's
-    // row-sliced export files, then a read-back aggregate over all chunks.
+    // S4: chunked parquet writer — chunk count DERIVED from the corpus over
+    // the reference's fixed rows-per-chunk (export_to_gcs.py:78 slices 5000
+    // rows/chunk, so chunk count scales with the table; round 12 closes the
+    // fixed repartition(8)), then a read-back aggregate over all chunks.
     "s4_parquet_roundtrip" -> ((s, dir) => {
       val out = freshDir("s4")
+      val parts = derivedParts(s, s"events:$dir", CHUNK_ROWS, 8)(
+        Tables.events(s, dir).count())
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .repartition(8)
+        .repartition(parts)
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .groupBy(col("event_type"))
@@ -87,9 +121,17 @@ object SinkRoundTrip {
     // over a stable input, so the layout is deterministic per sf.
     "s11_sorted_layout" -> ((s, dir) => {
       val out = freshDir("s11")
+      // the sorted-writer split DERIVES from the corpus (round 12 — the
+      // s19 pattern verbatim: a fixed repartitionByRange(4) meant 4 writer
+      // tasks each sorting n/4 rows at any corpus size); per-writer volume
+      // stays ≈SHARD_PART_ROWS, floored at the previous 4 so gate-scale
+      // file counts are unchanged, and files_ok bounds by the SAME derived
+      // value (the oracle twin pins only the boolean).
+      val writeParts = derivedParts(s, s"orders:$dir", Curation.SHARD_PART_ROWS, 4)(
+        Tables.orders(s, dir).count())
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-        .repartitionByRange(4, col("o_orderkey"))
+        .repartitionByRange(writeParts, col("o_orderkey"))
         .sortWithinPartitions(col("o_orderkey"))
         .write.mode("overwrite").parquet(out)
       val perFile = s.read.parquet(out)
@@ -97,12 +139,12 @@ object SinkRoundTrip {
         .agg(min(col("o_orderkey")).as("k_min"),
           max(col("o_orderkey")).as("k_max"), count(lit(1)).as("n"))
       val w = Window.orderBy(col("k_min"))
-      // repartitionByRange(4) guarantees AT MOST 4 non-empty partitions —
+      // repartitionByRange(p) guarantees AT MOST p non-empty partitions —
       // an empty range (small sf, sampler boundary skew) writes no file, so
-      // the gate asserts the 1..4 band + disjointness, not an exact count
+      // the gate asserts the 1..p band + disjointness, not an exact count
       perFile
         .withColumn("prev_max", lag(col("k_max"), 1).over(w))
-        .agg((count(lit(1)).between(1, 4)).as("files_ok"),
+        .agg((count(lit(1)).between(1, writeParts)).as("files_ok"),
           sum(col("n")).as("n_rows"),
           every(col("prev_max").isNull || col("prev_max") < col("k_min"))
             .as("ranges_disjoint"))
@@ -159,9 +201,14 @@ object SinkRoundTrip {
     // partitions for rowgroup min/max zones, read back, aggregate.
     "s14_orc_roundtrip" -> ((s, dir) => {
       val out = freshDir("s14")
+      // writer count derived from the corpus (round 12, closing the fixed
+      // repartition(8)): ≈SHARD_PART_ROWS rows per ORC writer so rowgroup
+      // zone quality doesn't ride a split that stops fitting at 100×
+      val parts = derivedParts(s, s"lineitem:$dir", Curation.SHARD_PART_ROWS, 8)(
+        Tables.lineitem(s, dir).count())
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-        .repartition(8)
+        .repartition(parts)
         .sortWithinPartitions(col("l_orderkey"))
         .write.mode("overwrite").orc(out)
       s.read.orc(out)
@@ -179,9 +226,14 @@ object SinkRoundTrip {
     // production export (shards ≈ corpus / target shard size).
     "s15_jsonl_export" -> ((s, dir) => {
       val out = freshDir("s15")
+      // shard count derived from the corpus (round 12): shards ≈ corpus /
+      // target shard rows, exactly the production export knob the comment
+      // above describes — previously a fixed repartition(8)
+      val parts = derivedParts(s, s"documents:$dir", Curation.SHARD_PART_ROWS, 8)(
+        Tables.documents(s, dir).count())
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
-        .repartition(8)
+        .repartition(parts)
         .write.mode("overwrite").json(out)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("source", StringType),
@@ -273,8 +325,9 @@ object SinkRoundTrip {
     // and interleaving the dims' bit-ranks clusters rows so every file's
     // bounding BOX is small in BOTH dims. Layout: ranks scaled to 10 bits
     // against broadcast corpus bounds, bits interleaved with shift/mask
-    // builtins (whole-stage codegen, no UDF), range-partitioned into 16
-    // files ≈ a 4×4 grid of (custkey, day) cells. The gate reads the
+    // builtins (whole-stage codegen, no UDF), range-partitioned into a
+    // corpus-DERIVED file count (floor 16 ≈ a 4×4 grid of (custkey, day)
+    // cells at gate scale; the grid refines with the data). The gate reads the
     // files back, rebuilds each file's 2-D bounding box from
     // input_file_name(), and asserts the MEAN per-file EXTENT of each dim
     // stays under 0.6 of that dim's full range — a clean z cell covers
@@ -287,6 +340,15 @@ object SinkRoundTrip {
     // repartition flips the hash red.
     "s17_zorder_layout" -> ((s, dir) => {
       val out = freshDir("s17")
+      // z-cell writer split derived from the corpus (round 12, the s19
+      // pattern): the fixed repartitionByRange(16) was 16 sorted writer
+      // tasks at any corpus size; the floor of 16 keeps the gate-scale
+      // ≈4×4 (custkey, day) grid and file-count band unchanged, and past
+      // ~10⁶ orders the grid refines with the data (per-writer volume
+      // ≈SHARD_PART_ROWS). The extent assertion below is a MEAN per file,
+      // so it is invariant to the derived count by construction.
+      val zParts = derivedParts(s, s"orders:$dir", Curation.SHARD_PART_ROWS, 16)(
+        Tables.orders(s, dir).count())
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
         .withColumn("dday",
@@ -304,7 +366,7 @@ object SinkRoundTrip {
         .withColumn("ra", ra.cast(LongType)).withColumn("rb", rb.cast(LongType))
         .withColumn("z", zval)
         .select(col("o_orderkey"), col("o_custkey"), col("dday"), col("o_totalprice"), col("z"))
-        .repartitionByRange(16, col("z"))
+        .repartitionByRange(zParts, col("z"))
         .sortWithinPartitions(col("z"))
         .write.mode("overwrite").parquet(out)
       val perFile = s.read.parquet(out)
@@ -319,7 +381,7 @@ object SinkRoundTrip {
           max((col("ck1") - col("ck0")).cast(DoubleType)).as("ckr"),
           max((col("d1") - col("d0")).cast(DoubleType)).as("ddr"))
         .select(col("n_rows"),
-          col("nf").between(8, 16).as("files_ok"),
+          col("nf").between(zParts / 2, zParts).as("files_ok"),
           (col("cke") < col("ckr") * col("nf") * 0.6d).as("ck_prune_ok"),
           (col("dde") < col("ddr") * col("nf") * 0.6d).as("dd_prune_ok"))
     })

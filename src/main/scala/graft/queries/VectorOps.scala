@@ -453,6 +453,52 @@ object VectorOps {
     res
   }
 
+  /** Recall DECOMPOSITION by truth-pair cosine band and copy locality
+    * (round 12, driven by [[RecallProbe]]): the ann_recall governance
+    * number is candidate recall over ALL anchored truth pairs at COS_T —
+    * a mix of (a) exact/planted duplicates and strong structural pairs
+    * (what the IVF consumers actually OUTPUT after the ANN_T=0.999
+    * verification, and what SemDeDup-style curation acts on) and (b) the
+    * random geometric tail of a 64-dim corpus (pairs at barely-COS_T
+    * whose directions are independent — at k=⌈n/1024⌉ cells their
+    * co-assignment probability decays like nprobe²/k, so NO bounded-probe
+    * index finds them, by geometry rather than by defect). At gate sfs k
+    * is 1–4 and the tail co-assigns by pigeonhole, masking the mix; at
+    * 10⁶⁺ the tail dominates n_true and the blended number collapses even
+    * while band (a) stays found. This decomposition separates the two so
+    * the governance floor can be read against the band the production
+    * consumers depend on. `copySpan` labels same-copy pairs on the
+    * synth_scale probe fixtures (ID_SHIFT=10⁷); pass 0 to skip.
+    */
+  private[queries] def recallBands(s: SparkSession, dir: String,
+      tau: Double, copySpan: Long): DataFrame = {
+    register(s)
+    val emb = augmented(s, dir)
+    val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T).persist())
+    val anchors = ScratchCache.register(
+      AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
+        .filter(col("is_anchor")).select(col("vec_id")).persist())
+    val cand = probeAnchorCandidatesAt(sharedImiAssign(s, dir), anchors, tau)
+      .withColumn("found", lit(1L))
+    val sameCopy =
+      if (copySpan > 0) floor(col("i") / copySpan) === floor(col("j") / copySpan)
+      else lit(true)
+    truth.join(cand, Seq("i", "j"), "left")
+      .withColumn("band",
+        when(col("cos") >= 0.999, "a_dup_0.999+")
+          .when(col("cos") >= 0.8, "b_strong_0.80+")
+          .when(col("cos") >= 0.6, "c_mid_0.60+")
+          .otherwise("d_tail_0.45+"))
+      .withColumn("same_copy", sameCopy)
+      .groupBy(col("band"), col("same_copy"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_true"), 4))
+      .orderBy(col("band"), col("same_copy"))
+  }
+
   /** Anchor-touching multiprobe pairs: only ANCHORS probe (the hamming-1
     * relation is symmetric, so anchor-as-prober already covers every pair
     * with an anchor on either side), joined against the full exact

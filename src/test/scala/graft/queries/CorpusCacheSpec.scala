@@ -128,6 +128,45 @@ class CorpusCacheSpec extends SparkSpec {
     assert(CorpusCache.liveCount(s2) <= CorpusCache.MaxLive)
   }
 
+  test("cross-session storage stays bounded at MaxSessions; LRA session evicted + unpersisted") {
+    // round 12 (round-11 advice): live-but-abandoned newSession() siblings
+    // must not accumulate tracked entries without bound. Spin up
+    // MaxSessions+4 sibling sessions, one persisted entry each; the outer
+    // LRU must keep at most MaxSessions tracked, and an evicted session's
+    // entry must be UNPERSISTED (deterministically — the instance was
+    // strongly held), not orphaned in CacheManager.
+    val base = spark.newSession()
+    val sessions = (0 until CorpusCache.MaxSessions + 4).map(_ => base.newSession())
+    // values offset to 910000+i: the shared CacheManager dedups IDENTICAL
+    // literal plans across sessions, so a tiny Seq(i) literal here would
+    // alias other suites' fixture entries and their eviction would uncache
+    // ours (a fixture artifact, not the contract under test)
+    val dfs = sessions.zipWithIndex.map { case (si, i) =>
+      import si.implicits._
+      val df = CorpusCache.getOrBuild(si, s"cc-sess:$i")(Seq(910000 + i).toDF("v"))
+      df.count() // materialize so unpersist has real blocks to release
+      df
+    }
+    // the first 4 sessions are least-recently-accessed → evicted
+    (0 until 4).foreach { i =>
+      assert(CorpusCache.liveCount(sessions(i)) == 0,
+        s"session $i should have been evicted from tracking")
+      assert(dfs(i).storageLevel == StorageLevel.NONE,
+        s"session $i's entry must be unpersisted on session eviction")
+    }
+    // the most recent MaxSessions survive with their entries persisted
+    (4 until sessions.size).foreach { i =>
+      assert(CorpusCache.liveKeys(sessions(i))(s"cc-sess:$i"),
+        s"session $i should still be tracked")
+      assert(dfs(i).storageLevel != StorageLevel.NONE)
+    }
+    // an evicted session that comes back simply rebuilds on demand
+    val s0 = sessions.head
+    import s0.implicits._
+    val back = CorpusCache.getOrBuild(s0, "cc-sess:0")(Seq(910000).toDF("v"))
+    assert(back.head().getInt(0) == 910000 && back.storageLevel != StorageLevel.NONE)
+  }
+
   test("a new session builds its own entry for the same key") {
     import spark.implicits._
     val s2 = spark.newSession()

@@ -66,6 +66,50 @@ class DerivedRangeSpec extends SparkSpec {
       s"parts must span [0, p): got ${parts.head}..${parts.last}")
   }
 
+  test("sink writer splits: floors hold gate-scale counts, volume bounded, count memoized") {
+    // round 12 (round-11 verdict #2): the sink-layout writers were the
+    // last fixed-split members — s4/s14/s15's repartition(8) and
+    // s11/s17's repartitionByRange(4|16). Their derived splits must keep
+    // per-writer volume bounded as n grows, floor at the previous fixed
+    // values (so gate-scale layouts are unchanged), cap at LEVEL2_CAP,
+    // and pay the corpus count ONCE per (session, key).
+    val s2 = spark.newSession()
+    var computes = 0
+    def parts(key: String, n: Long, target: Double, floor: Int): Int =
+      SinkRoundTrip.derivedParts(s2, key, target, floor) { computes += 1; n }
+    for (n <- grid; (target, floor) <- Seq(
+        (SinkRoundTrip.CHUNK_ROWS, 8), (Curation.SHARD_PART_ROWS, 4),
+        (Curation.SHARD_PART_ROWS, 8), (Curation.SHARD_PART_ROWS, 16))) {
+      val p = parts(s"drs:$n:$target:$floor", n, target, floor)
+      assert(p >= floor, s"n=$n target=$target: floor $floor violated (p=$p)")
+      assert(p <= Curation.LEVEL2_CAP.toLong, s"n=$n: cap violated (p=$p)")
+      if (p > floor && p < Curation.LEVEL2_CAP.toLong)
+        assert(n.toDouble / p <= target + 1,
+          s"n=$n: per-writer volume ${n.toDouble / p} exceeds $target")
+    }
+    // gate-scale behavior unchanged: the floors bind at every driver sf
+    // (events ≤ 100k/5000-row chunks = 20 is the one scale-out at sf0.1)
+    assert(parts("drs:ev001", 1000L, SinkRoundTrip.CHUNK_ROWS, 8) === 8)
+    assert(parts("drs:ev01", 10000L, SinkRoundTrip.CHUNK_ROWS, 8) === 8)
+    assert(parts("drs:ev1", 100000L, SinkRoundTrip.CHUNK_ROWS, 8) === 20)
+    assert(parts("drs:ord1", 150000L, Curation.SHARD_PART_ROWS, 4) === 4)
+    assert(parts("drs:ord1b", 150000L, Curation.SHARD_PART_ROWS, 16) === 16)
+    assert(parts("drs:li1", 600000L, Curation.SHARD_PART_ROWS, 8) === 10)
+    // memoization: a repeated key never recomputes, and two consumers with
+    // different floors share one memoized count (the s11/s17 orders key)
+    computes = 0
+    val k = "drs:memo"
+    val a = parts(k, 5000000L, Curation.SHARD_PART_ROWS, 4)
+    val b = parts(k, 5000000L, Curation.SHARD_PART_ROWS, 4)
+    val c = parts(k, 5000000L, Curation.SHARD_PART_ROWS, 16)
+    assert(computes === 1, s"count must be memoized per (session, key), got $computes")
+    assert(a === b && a === 80 && c === 80)
+    // a NEW session re-counts from scratch (the Preconditions discipline)
+    val s3 = spark.newSession()
+    SinkRoundTrip.derivedParts(s3, k, Curation.SHARD_PART_ROWS, 4) { computes += 1; 1L }
+    assert(computes === 2, "a new session must not inherit another session's memo")
+  }
+
   test("snmPairs output is invariant to the derived partition count") {
     // the two-phase rank's value is the position in the TOTAL order, so
     // it cannot depend on where the range boundaries fall: force wildly
