@@ -1472,8 +1472,20 @@ object VectorOps {
     "ann_recall" -> ((s, dir) => {
       register(s)
       val emb = augmented(s, dir)
+      // round 12: truth carries the cosine BAND — the blended recall over
+      // all ≥COS_T pairs is composition-dominated at scale (a 64-dim
+      // corpus's random geometric tail at barely-COS_T grows with n·s
+      // while its per-pair co-assignment probability decays like
+      // nprobe²/k, so the blended number falls with k even when the index
+      // is healthy — measured and decomposed in SCALE.md round 12). The
+      // ≥ANN_T duplicate band is what the production consumers actually
+      // OUTPUT (every IVF/LSH gate verifies pairs at ANN_T before
+      // emitting), so governance pins BOTH: the blended row (unchanged
+      // floors, the historical record) and the duplicate-band recall with
+      // its own floor (the quality-at-scale contract — flat at 1.0
+      // through 10⁷, see SCALE.md).
       val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
-        .select(col("i"), col("j")).persist())
+        .select(col("i"), col("j"), (col("cos") >= ANN_T).as("is_dup")).persist())
       // the same anchor set the truth side samples (same universe → same
       // broadcast-derived modulus → identical membership)
       val anchors = ScratchCache.register(
@@ -1482,12 +1494,20 @@ object VectorOps {
       val sigs = sharedLshSigs(s, dir)
       val ivfCand = anchorCandidates(sharedCoarseAssign(s, dir), "ck", anchors)
       def recallRow(method: String, cand: DataFrame, thr: Double): DataFrame =
-        truth.join(cand, Seq("i", "j"), "left_semi")
-          .agg(count(lit(1)).as("n_found"))
-          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        truth.join(cand.withColumn("hit", lit(1L)), Seq("i", "j"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_found"),
+            sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_true_dup"),
+            sum(when(col("is_dup"), coalesce(col("hit"), lit(0L)))
+              .otherwise(lit(0L))).as("n_found_dup"))
           .select(lit(method).as("method"), col("n_true"), col("n_found"),
             round(col("n_found").cast(DoubleType) / col("n_true"), 6).as("recall"),
-            (col("n_found").cast(DoubleType) / col("n_true") >= thr).as("recall_ok"))
+            (col("n_found").cast(DoubleType) / col("n_true") >= thr).as("recall_ok"),
+            col("n_true_dup"), col("n_found_dup"),
+            round(col("n_found_dup").cast(DoubleType) / col("n_true_dup"), 6)
+              .as("recall_dup"),
+            (col("n_found_dup").cast(DoubleType) / col("n_true_dup") >= RECALL_DUP_T)
+              .as("dup_ok"))
       // the coarse-quantized assignment is an APPROXIMATION of the flat
       // argmax (boundary vectors may land in a different cell), which is
       // exactly why the production index needs this recall floor — a
@@ -1621,6 +1641,16 @@ object VectorOps {
   private val RECALL_MP_T = 0.8
   private val RECALL_IVF_T = 0.8
   private val RECALL_IMI_T = 0.8
+
+  /** Floor on DUPLICATE-BAND recall (truth pairs at cos ≥ ANN_T — the band
+    * the production consumers emit after verification). Identical planted
+    * vectors co-assign deterministically under every method, so the
+    * measured value is 1.0 at every tier (sf0.001 → 10⁷, SCALE.md round
+    * 12); 0.95 leaves headroom for a fixture that plants near-exact
+    * rather than bit-identical duplicates while still failing loudly on
+    * any systematic assignment regression.
+    */
+  private val RECALL_DUP_T = 0.95
 
   private val dotSql =
     "list_sum(list_transform(list_zip(%A, %B), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))"
@@ -1923,10 +1953,13 @@ object VectorOps {
          |anch AS (SELECT n.* FROM n, m WHERE ${AnchorSample.predSql("vec_id")}),
          |truth AS (
          |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS i,
-         |    greatest(x.vec_id, y.vec_id) AS j
+         |    greatest(x.vec_id, y.vec_id) AS j,
+         |    ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $ANN_T AS is_dup
          |  FROM anch x JOIN n y ON x.vec_id <> y.vec_id
          |  WHERE ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $COS_T),
-         |tc AS (SELECT count(*) AS n_true FROM truth),
+         |tc AS (SELECT count(*) AS n_true,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup
+         |  FROM truth),
          |lsh_cand AS (
          |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
          |  FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
@@ -1956,18 +1989,31 @@ object VectorOps {
          |    greatest(p.vec_id, t.vec_id) AS j
          |  FROM imi_probes p JOIN massign t ON p.pc = t.cell
          |  WHERE p.vec_id <> t.vec_id),
-         |found(method, thr, n_found) AS (
+         |found(method, thr, n_found, n_found_dup) AS (
          |  SELECT 'ivf', $RECALL_IVF_T,
-         |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j)
+         |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j),
+         |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j
+         |     WHERE t.is_dup)
          |  UNION ALL SELECT 'ivf_imi', $RECALL_IMI_T,
-         |    (SELECT count(*) FROM truth t JOIN imi_cand c ON t.i = c.i AND t.j = c.j)
+         |    (SELECT count(*) FROM truth t JOIN imi_cand c ON t.i = c.i AND t.j = c.j),
+         |    (SELECT count(*) FROM truth t JOIN imi_cand c ON t.i = c.i AND t.j = c.j
+         |     WHERE t.is_dup)
          |  UNION ALL SELECT 'lsh', $RECALL_LSH_T,
-         |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j)
+         |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j),
+         |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j
+         |     WHERE t.is_dup)
          |  UNION ALL SELECT 'lsh_multiprobe', $RECALL_MP_T,
-         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j))
+         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j),
+         |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j
+         |     WHERE t.is_dup))
          |SELECT method, (SELECT n_true FROM tc) AS n_true, n_found,
          |  round(CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc), 6) AS recall,
-         |  CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc) >= thr AS recall_ok
+         |  CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc) >= thr AS recall_ok,
+         |  (SELECT n_true_dup FROM tc) AS n_true_dup, n_found_dup,
+         |  round(CAST(n_found_dup AS DOUBLE) / (SELECT n_true_dup FROM tc), 6)
+         |    AS recall_dup,
+         |  CAST(n_found_dup AS DOUBLE) / (SELECT n_true_dup FROM tc) >= $RECALL_DUP_T
+         |    AS dup_ok
          |FROM found""".stripMargin,
 
     // the coarse-quantizer twin: seeds-as-codebook fine centroids, first

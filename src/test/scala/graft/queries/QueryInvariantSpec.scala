@@ -149,12 +149,22 @@ class QueryInvariantSpec extends SparkSpec {
     // per fixture; this spec pins the sf0.001 band so a descent or
     // probe regression that erodes the margin fails HERE, not one
     // fixture-regeneration later at the driver's gate.
-    val rec = q("ann_recall").collect()
-      .map(r => r.getString(0) -> r.getAs[Double]("recall")).toMap
+    val rows = q("ann_recall").collect()
+    val rec = rows.map(r => r.getString(0) -> r.getAs[Double]("recall")).toMap
     assert(rec("ivf_imi") >= 0.85,
       s"imi recall must hold ≥0.05 over the 0.8 floor, got ${rec("ivf_imi")}")
     assert(rec("ivf") >= 0.85,
       s"coarse recall must hold ≥0.05 over the 0.8 floor, got ${rec("ivf")}")
+    // round 12: the DUPLICATE-BAND recall (truth at ≥ANN_T — the band the
+    // production consumers emit) is exactly 1.0 for every method on the
+    // planted fixtures, at every measured tier through 10⁷ (SCALE.md);
+    // the blended recall above is composition-sensitive, this one is the
+    // quality-at-scale contract
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_dup") === 1.0d,
+        s"${r.getString(0)}: duplicate-band recall must be 1.0 on planted fixtures")
+      assert(r.getAs[Boolean]("dup_ok"), s"${r.getString(0)}: dup floor")
+    }
   }
 
   test("margin-gated nprobe=2: the gate only ever removes clear-winner " +
