@@ -217,11 +217,16 @@ object Analytics {
           s"er_entity_clusters: 60-bit node handles collide on this corpus " +
             s"(${r.getLong(0)} names -> ${r.getLong(1)} handles); widen to the 128-bit md5")
       }
+      // blocking width derives from the universe size (round 12 — see
+      // [[erQ]]; 2·|clean| bounds |clean ∪ dirty|, and the count is
+      // memoized per (session, dir) so construction stays job-free after
+      // the first); the SAME derivation runs in the DuckDB twin
+      val q = erQ(2L * Preconditions.longOnce(s, s"rowcount:part_names:$dir")(clean.count()))
       // pairs arrive lev-verified from the shared candidate build (round
       // 10: the verify moved inside, ahead of the cross-key dedup — see
       // [[erCandidatePairs]])
       val nid = TextFns.md5Hash60(col("name"))
-      val pairs = erCandidatePairs(all)
+      val pairs = erCandidatePairs(all, q)
         .select(TextFns.md5Hash60(col("i")).as("i"),
           TextFns.md5Hash60(col("j")).as("j"))
       val labels = graft.operators.Components.connectedComponents(pairs)
@@ -237,8 +242,9 @@ object Analytics {
     // Fuzzy entity resolution with production blocking: a dirty name table
     // (the part vocabulary with a deterministic typo — 2nd character
     // deleted) resolves against the clean vocabulary via a MULTI-KEY
-    // positional-q-gram candidate join (prefix-4 / mid-4 / suffix-4, see
-    // erKeyed), levenshtein-verified, argmin per dirty record. The cross
+    // positional-q-gram candidate join (prefix / mid / suffix grams whose
+    // width derives from the universe size — [[erQ]]; q=4 at every gate
+    // sf), levenshtein-verified, argmin per dirty record. The cross
     // space is never materialized; overly-frequent blocks are purged at
     // ErBlockCap so per-block pair volume is O(cap²) regardless of key
     // skew; the levenshtein verify runs INSIDE the block-join codegen
@@ -255,8 +261,13 @@ object Analytics {
       val clean = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
       val dirty = clean.select(
         concat(substring(col("name"), 1, 1), expr("substring(name, 3)")).as("dirty_name"))
-      val dk = erKeyed(dirty, "dirty_name")
-      val ck = erKeyed(clean, "name")
+      // width derives from the universe size (round 12, [[erQ]]): the
+      // 20M-name probe measured the fixed q=4 key space saturating —
+      // suffix-block count pinned at 26⁴ while kept pair volume grew 16×
+      // on 4× data; the derived width keeps mean block size O(1)
+      val q = erQ(2L * Preconditions.longOnce(s, s"rowcount:part_names:$dir")(clean.count()))
+      val dk = erKeyed(dirty, "dirty_name", q)
+      val ck = erKeyed(clean, "name", q)
       val kept = dk.select("blk").unionAll(ck.select("blk"))
         .groupBy("blk").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= ErBlockCap).select("blk")
@@ -470,25 +481,61 @@ object Analytics {
     */
   val SnmWindow = 5
 
-  /** Multi-key positional q-gram blocking: each name emits three 4-gram
-    * keys — prefix (P), middle (M), suffix (S) — tagged so identical grams
-    * at different positions stay distinct blocks. For edit distance ≤ 2 the
-    * three regions are disjoint on any name ≥ 12 chars (and near-disjoint
-    * below), so an edit can perturb at most two of them and the pair still
-    * co-occurs in the surviving key's block — PROVIDED that surviving
-    * key's block is not itself purged at [[ErBlockCap]] (see the recall
-    * caveat there). Every formula is spelled identically in the DuckDB
-    * oracles (floor-division midpoint, greatest(1, length-3)-guarded
-    * suffix so sub-4-char names cannot hit engine-specific negative-start
-    * substring semantics) so the candidate sets match bit-for-bit.
+  /** Blocking q-gram WIDTH derived from the name-universe size (round 12 —
+    * the last member of the fixed-constant class, found by the 20M-name
+    * probe): a positional q-gram key ranges over at most 26^q values, so a
+    * fixed q=4 saturates its 456,976-key space once the universe outgrows
+    * it — block count stops growing, mean block size grows ∝ n, and the
+    * kept candidate volume grows ∝ n²/26^q (measured on the 20M fixture:
+    * suffix-block count pinned at 456,977 at BOTH 5M and 20M names, mean
+    * size 21.8 → 87.4, kept pair volume 2.2×10⁸ → 3.5×10⁹ = 16× on 4×
+    * data, er_fuzzy_match wall 10.4× on 4×). Deriving the width keeps the
+    * key space ahead of the corpus: the smallest q ≥ 4 with 26^q ≥ n, so
+    * mean block size stays O(1) and candidate volume stays O(true matches
+    * + n·skew). Integer thresholds (26^4..26^8), not a log formula — the
+    * DuckDB twins replay the same cascade and a float boundary could
+    * disagree between engines. The floor q=4 keeps every gate-sf output
+    * byte-identical (the derivation only engages past 456,976 names).
+    * Past 26^8 ≈ 2.1×10¹¹ names the cascade pins q=8 — at that scale the
+    * next lever is composite keys (gram × length bucket), not more width.
+    *
+    * The recall contract scales with q: the three regions are disjoint on
+    * names ≥ 3q chars, so an edit perturbs at most two of the three keys.
+    * A corpus whose names are SHORTER than 3q at a q>4 tier loses the
+    * disjointness guarantee — exactly the regime the SNM backstop pass
+    * (skew- and width-immune, rank-window-based) exists to cover.
     */
-  private[queries] def erKeyed(df: DataFrame, nameCol: String): DataFrame =
+  private[queries] def erQ(nUniv: Long): Int =
+    if (nUniv <= 456976L) 4 // 26^4
+    else if (nUniv <= 11881376L) 5 // 26^5
+    else if (nUniv <= 308915776L) 6 // 26^6
+    else if (nUniv <= 8031810176L) 7 // 26^7
+    else 8 // 26^8
+
+  /** Multi-key positional q-gram blocking: each name emits three q-gram
+    * keys — prefix (P), middle (M), suffix (S) — tagged so identical grams
+    * at different positions stay distinct blocks. The width q derives from
+    * the universe size at the call site ([[erQ]]); at the q=4 floor the
+    * three formulas are byte-identical to the historical fixed-width form
+    * (mid start floor(len/2) − (q/2 − 1) = floor(len/2) − 1). For edit
+    * distance ≤ 2 the three regions are disjoint on any name ≥ 3q chars
+    * (and near-disjoint below), so an edit can perturb at most two of them
+    * and the pair still co-occurs in the surviving key's block — PROVIDED
+    * that surviving key's block is not itself purged at [[ErBlockCap]]
+    * (see the recall caveat there). Every formula is spelled identically
+    * in the DuckDB oracles (floor-division midpoint, greatest(1,
+    * length−(q−1))-guarded suffix so sub-q-char names cannot hit
+    * engine-specific negative-start substring semantics, and the same
+    * integer threshold cascade for q itself) so the candidate sets match
+    * bit-for-bit.
+    */
+  private[queries] def erKeyed(df: DataFrame, nameCol: String, q: Int): DataFrame =
     df.select(col(nameCol).as("n"))
       .withColumn("blk", explode(array(
-        concat(lit("P:"), expr("substring(n, 1, 4)")),
+        concat(lit("P:"), expr(s"substring(n, 1, $q)")),
         concat(lit("M:"), expr(
-          "substring(n, greatest(1, cast(floor(length(n)/2) as int) - 1), 4)")),
-        concat(lit("S:"), expr("substring(n, greatest(1, length(n) - 3), 4)")))))
+          s"substring(n, greatest(1, cast(floor(length(n)/2) as int) - ${q / 2 - 1}), $q)")),
+        concat(lit("S:"), expr(s"substring(n, greatest(1, length(n) - ${q - 1}), $q)")))))
       .select(col("n").as(nameCol), col("blk")).distinct()
 
   /** Blocked, purged, levenshtein-VERIFIED unordered pairs (i < j, lev ≤ 2)
@@ -511,8 +558,8 @@ object Analytics {
     * symmetric per-pair filters); the length prune is implied by lev ≤ 2
     * (||i|−|j|| ≤ lev), so it only spares edit-distance evaluations.
     */
-  private[queries] def erCandidatePairs(univ: DataFrame): DataFrame = {
-    val keyed = erKeyed(univ, "name")
+  private[queries] def erCandidatePairs(univ: DataFrame, q: Int): DataFrame = {
+    val keyed = erKeyed(univ, "name", q)
     val kept = keyed.groupBy("blk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= ErBlockCap).select("blk")
     keyed.join(kept, Seq("blk"))
@@ -662,13 +709,19 @@ object Analytics {
         |  SELECT substr(name, 1, 1) || substr(name, 3) AS name FROM clean),
         |univ AS (SELECT DISTINCT name FROM (
         |  SELECT name FROM clean UNION ALL SELECT name FROM dirty)),
+        |cnt AS (SELECT count(*) AS n FROM clean),
+        |qv AS (SELECT min(q) AS q FROM (VALUES (4, 456976), (5, 11881376),
+        |  (6, 308915776), (7, 8031810176), (8, 208827064576)) AS t(q, cap), cnt
+        |  WHERE t.cap >= 2 * cnt.n),
         |keyed AS (SELECT DISTINCT name, blk FROM (
-        |  SELECT name, 'P:' || substr(name, 1, 4) AS blk FROM univ
+        |  SELECT name, 'P:' || substr(name, 1, qv.q) AS blk FROM univ, qv
         |  UNION ALL
         |  SELECT name, 'M:' || substr(name,
-        |    greatest(1, CAST(floor(length(name) / 2) AS INT) - 1), 4) FROM univ
+        |    greatest(1, CAST(floor(length(name) / 2) AS INT) - (qv.q // 2 - 1)), qv.q)
+        |  FROM univ, qv
         |  UNION ALL
-        |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - 3), 4) FROM univ)),
+        |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - (qv.q - 1)), qv.q)
+        |  FROM univ, qv)),
         |kept AS (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= $ErBlockCap),
         |cand AS (
         |  SELECT DISTINCT a.name AS i, b.name AS j
@@ -696,21 +749,29 @@ object Analytics {
       s"""WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
         |dirty AS (
         |  SELECT substr(name, 1, 1) || substr(name, 3) AS dirty_name FROM clean),
+        |cnt AS (SELECT count(*) AS n FROM clean),
+        |qv AS (SELECT min(q) AS q FROM (VALUES (4, 456976), (5, 11881376),
+        |  (6, 308915776), (7, 8031810176), (8, 208827064576)) AS t(q, cap), cnt
+        |  WHERE t.cap >= 2 * cnt.n),
         |dk AS (SELECT DISTINCT dirty_name, blk FROM (
-        |  SELECT dirty_name, 'P:' || substr(dirty_name, 1, 4) AS blk FROM dirty
+        |  SELECT dirty_name, 'P:' || substr(dirty_name, 1, qv.q) AS blk FROM dirty, qv
         |  UNION ALL
         |  SELECT dirty_name, 'M:' || substr(dirty_name,
-        |    greatest(1, CAST(floor(length(dirty_name) / 2) AS INT) - 1), 4) FROM dirty
+        |    greatest(1, CAST(floor(length(dirty_name) / 2) AS INT) - (qv.q // 2 - 1)), qv.q)
+        |  FROM dirty, qv
         |  UNION ALL
-        |  SELECT dirty_name, 'S:' || substr(dirty_name, greatest(1, length(dirty_name) - 3), 4)
-        |  FROM dirty)),
+        |  SELECT dirty_name,
+        |    'S:' || substr(dirty_name, greatest(1, length(dirty_name) - (qv.q - 1)), qv.q)
+        |  FROM dirty, qv)),
         |ck AS (SELECT DISTINCT name, blk FROM (
-        |  SELECT name, 'P:' || substr(name, 1, 4) AS blk FROM clean
+        |  SELECT name, 'P:' || substr(name, 1, qv.q) AS blk FROM clean, qv
         |  UNION ALL
         |  SELECT name, 'M:' || substr(name,
-        |    greatest(1, CAST(floor(length(name) / 2) AS INT) - 1), 4) FROM clean
+        |    greatest(1, CAST(floor(length(name) / 2) AS INT) - (qv.q // 2 - 1)), qv.q)
+        |  FROM clean, qv
         |  UNION ALL
-        |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - 3), 4) FROM clean)),
+        |  SELECT name, 'S:' || substr(name, greatest(1, length(name) - (qv.q - 1)), qv.q)
+        |  FROM clean, qv)),
         |kept AS (SELECT blk FROM (
         |  SELECT blk FROM dk UNION ALL SELECT blk FROM ck)
         |  GROUP BY blk HAVING count(*) <= $ErBlockCap),

@@ -152,7 +152,7 @@ class PlanShapeSpec extends SparkSpec {
   test("entity clusters: the q-gram candidate build is a purged equi-join on the block key") {
     import org.apache.spark.sql.functions.col
     val univ = graft.Tables.part(spark, dir).select(col("p_name").as("name")).distinct()
-    val p = Analytics.erCandidatePairs(univ).queryExecution.executedPlan.toString
+    val p = Analytics.erCandidatePairs(univ, 4).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
     // the block-size purge happens BEFORE the pair join: the kept-block
     // aggregate must appear in the plan (count per blk filtered to the cap)

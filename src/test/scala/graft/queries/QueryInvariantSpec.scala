@@ -508,7 +508,7 @@ class QueryInvariantSpec extends SparkSpec {
     val univ = clean.unionByName(
       clean.select(concat(substring($"name", 1, 1), expr("substring(name, 3)")).as("name")))
       .distinct()
-    val maxBlk = Analytics.erKeyed(univ, "name")
+    val maxBlk = Analytics.erKeyed(univ, "name", 4)
       .groupBy("blk").count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxBlk <= Analytics.ErBlockCap,
@@ -520,10 +520,10 @@ class QueryInvariantSpec extends SparkSpec {
     // block is purged; the surviving mid/suffix blocks are small. Without
     // purging the hot block alone would emit 1200·1199/2 ≈ 719k pairs.
     val univ = (0 until 1200).map(i => f"AAAA$i%04d").toDF("name")
-    val keyed = Analytics.erKeyed(univ, "name")
+    val keyed = Analytics.erKeyed(univ, "name", 4)
     val hotSize = keyed.filter($"blk" === "P:AAAA").count()
     assert(hotSize === 1200L && hotSize > Analytics.ErBlockCap)
-    val pairs = graft.queries.Analytics.erCandidatePairs(univ)
+    val pairs = graft.queries.Analytics.erCandidatePairs(univ, 4)
     val n = pairs.count()
     assert(n < 100000L, s"purge must bound pair volume, got $n")
     // candidate volume is bounded by the pair capacity of the KEPT blocks
@@ -541,6 +541,38 @@ class QueryInvariantSpec extends SparkSpec {
       "pair sharing only the purged P:AAAA block must not be a candidate")
     assert(!pairs.filter($"i" === "AAAA0000" && $"j" === "AAAA0001").isEmpty,
       "pair sharing the kept M:AA00 block must remain a candidate")
+  }
+
+  test("ER blocking width derives from the universe size: the integer " +
+    "cascade, the q=4 floor shape, and recall under a widened key") {
+    // the cascade: smallest q >= 4 with 26^q >= n, pinned at each boundary
+    // (the 20M-name probe measured the fixed q=4 key space saturating —
+    // kept pair volume 16x on 4x data; the derivation is the fix)
+    assert(Analytics.erQ(1L) === 4)
+    assert(Analytics.erQ(456976L) === 4) // 26^4 exactly
+    assert(Analytics.erQ(456977L) === 5)
+    assert(Analytics.erQ(11881376L) === 5) // 26^5 exactly
+    assert(Analytics.erQ(11881377L) === 6)
+    assert(Analytics.erQ(308915777L) === 7)
+    assert(Analytics.erQ(8031810177L) === 8)
+    // q=4 floor keeps the historical fixed-width key shape byte-identical
+    // (mid start floor(len/2) - (q/2 - 1) = floor(len/2) - 1): 13-char
+    // name, mid starts at char 5, suffix at char 10
+    val keys4 = Analytics.erKeyed(Seq("abcdefghijklm").toDF("name"), "name", 4)
+      .select($"blk").as[String].collect().toSet
+    assert(keys4 === Set("P:abcd", "M:efgh", "S:jklm"))
+    // widened key: the three regions stay disjoint on names >= 3q chars,
+    // so the planted 2nd-char deletion (one edit, prefix region only)
+    // still co-blocks through the untouched mid and suffix regions at
+    // q = 5 AND q = 6 — the recall contract the derivation must preserve
+    val base = "goldenrod lavenderxyzuvw" // 24 chars >= 3*6 on the q=6 pass... 24 >= 18
+    val dirtied = base.substring(0, 1) + base.substring(2)
+    val univ = Seq(base, dirtied).toDF("name")
+    for (qw <- Seq(5, 6)) {
+      val found = Analytics.erCandidatePairs(univ, qw)
+        .filter($"i" === dirtied && $"j" === base).count()
+      assert(found === 1L, s"2nd-char-deletion pair lost at q=$qw")
+    }
   }
 
   test("multi-pass SNM: the forward pass catches the trailing-edit class " +
@@ -640,11 +672,11 @@ class QueryInvariantSpec extends SparkSpec {
     val pi = "AAAABBBBCCCC"
     val pj = "AAAABBBBCCC" // last-char deletion of pi, lev = 1
     val univ = (flood :+ pi :+ pj).toDF("name")
-    val hot = Analytics.erKeyed(univ, "name").groupBy("blk").count()
+    val hot = Analytics.erKeyed(univ, "name", 4).groupBy("blk").count()
       .filter($"blk".isin("P:AAAA", "M:BBBB")).collect()
     assert(hot.length === 2 && hot.forall(_.getLong(1) > Analytics.ErBlockCap),
       "premise: both shared blocks of the planted pair must be over the cap")
-    val blocked = Analytics.erCandidatePairs(univ)
+    val blocked = Analytics.erCandidatePairs(univ, 4)
       .filter($"i" === pj && $"j" === pi)
     assert(blocked.isEmpty,
       "premise: the purge must have removed every block the pair shares")
