@@ -60,10 +60,16 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        # subset mode: the summary line must count what was CHECKED, not
+        # every oracle entry (a 2-query spot-check used to print 186/186)
+        unknown = only - set(oracle)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            sys.exit(1)
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failed = []
     for name, sql in sorted(oracle.items()):
-        if only and name not in only:
-            continue
         spark_glob = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not spark_glob:
             print(f"[{name}] MISSING spark output")
