@@ -504,6 +504,17 @@ object Analytics {
     * A corpus whose names are SHORTER than 3q at a q>4 tier loses the
     * disjointness guarantee — exactly the regime the SNM backstop pass
     * (skew- and width-immune, rank-window-based) exists to cover.
+    *
+    * Call sites pass 2·|clean| as a cheap UPPER BOUND on |clean ∪ dirty|
+    * (the dirty side is a 1:1 derivation of clean, so the true universe is
+    * in (|clean|, 2·|clean|]). Within a factor of 2 of a cascade boundary
+    * the bound can therefore select a width one tier WIDER than the true
+    * universe requires — a deliberate trade: both engines derive from the
+    * same bound so outputs always agree, the wider tier only SHRINKS
+    * candidate volume, and the cost is the 3q-char disjointness guarantee
+    * engaging one tier early for short names (the regime the SNM backstop
+    * covers anyway). Memoizing the exact distinct-universe count would buy
+    * back that sliver at one extra count job per (session, dir).
     */
   private[queries] def erQ(nUniv: Long): Int =
     if (nUniv <= 456976L) 4 // 26^4
@@ -711,7 +722,8 @@ object Analytics {
         |  SELECT name FROM clean UNION ALL SELECT name FROM dirty)),
         |cnt AS (SELECT count(*) AS n FROM clean),
         |qv AS (SELECT min(q) AS q FROM (VALUES (4, 456976), (5, 11881376),
-        |  (6, 308915776), (7, 8031810176), (8, 208827064576)) AS t(q, cap), cnt
+        |  (6, 308915776), (7, 8031810176), (8, 208827064576),
+        |  (8, 9223372036854775807)) AS t(q, cap), cnt
         |  WHERE t.cap >= 2 * cnt.n),
         |keyed AS (SELECT DISTINCT name, blk FROM (
         |  SELECT name, 'P:' || substr(name, 1, qv.q) AS blk FROM univ, qv
@@ -751,7 +763,8 @@ object Analytics {
         |  SELECT substr(name, 1, 1) || substr(name, 3) AS dirty_name FROM clean),
         |cnt AS (SELECT count(*) AS n FROM clean),
         |qv AS (SELECT min(q) AS q FROM (VALUES (4, 456976), (5, 11881376),
-        |  (6, 308915776), (7, 8031810176), (8, 208827064576)) AS t(q, cap), cnt
+        |  (6, 308915776), (7, 8031810176), (8, 208827064576),
+        |  (8, 9223372036854775807)) AS t(q, cap), cnt
         |  WHERE t.cap >= 2 * cnt.n),
         |dk AS (SELECT DISTINCT dirty_name, blk FROM (
         |  SELECT dirty_name, 'P:' || substr(dirty_name, 1, qv.q) AS blk FROM dirty, qv

@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * actually depend on. The MarginProbe/SnmProbe discipline: a working
   * measurement main whose numbers land in SCALE.md, not a gate.
   *
-  * Usage: `sbt "runMain graft.queries.RecallProbe <sfDir> [copySpan] [tau]"`
-  * — copySpan 10000000 labels synth_scale copies, 0 disables the split.
+  * Usage: `sbt "runMain graft.queries.RecallProbe <sfDir> [copySpan] [tau] [nt]"`
+  * — copySpan 10000000 labels synth_scale copies, 0 disables the split;
+  * pass `nt` as the fourth arg to decompose over the NEAR-TWIN corpus
+  * ([[VectorOps.ntAugmented]], round 13).
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -26,8 +28,9 @@ object RecallProbe {
     val dir = args(0)
     val copySpan = if (args.length > 1) args(1).toLong else 0L
     val tau = if (args.length > 2) args(2).toDouble else VectorOps.PROBE_MARGIN_T
+    val nt = args.length > 3 && args(3) == "nt"
     val t0 = System.nanoTime()
-    val rows = VectorOps.recallBands(s, dir, tau, copySpan).collect()
+    val rows = VectorOps.recallBands(s, dir, tau, copySpan, nt).collect()
     var nTrue = 0L; var nFound = 0L
     rows.foreach { r =>
       nTrue += r.getLong(2); nFound += r.getLong(3)

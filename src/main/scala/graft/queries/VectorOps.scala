@@ -431,26 +431,36 @@ object VectorOps {
     * more than a single governance row. Driven by [[MarginProbe]].
     */
   private[queries] def marginSweep(s: SparkSession, dir: String,
-      taus: Seq[Double]): Seq[(Double, Long, Long, Double, Double)] = {
+      taus: Seq[Double], nt: Boolean = false): Seq[(Double, String, Long, Long, Double, Double)] = {
     register(s)
-    val emb = augmented(s, dir)
+    val emb = if (nt) ntAugmented(s, dir) else augmented(s, dir)
+    // round 13: the sweep reports PER-BAND recall — the τ decision is
+    // owned by the band the apparatus serves (near-twins that straddle
+    // regions), and a blended number buries it under the geometric tail
     val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
-      .select(col("i"), col("j")).persist())
+      .select(col("i"), col("j"),
+        when(col("cos") >= ANN_T, "a_dup")
+          .when(col("cos") >= NT_BAND_LO, "b_neartwin")
+          .otherwise("c_tail").as("band")).persist())
     val anchors = ScratchCache.register(
       AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
         .filter(col("is_anchor")).select(col("vec_id")).persist())
-    val assign = sharedImiAssign(s, dir)
-    val nTrue = truth.count()
+    val assign = if (nt) sharedImiAssignNt(s, dir) else sharedImiAssign(s, dir)
     val nVec = assign.count()
-    val res = taus.map { tau =>
-      val found = truth.join(probeAnchorCandidatesAt(assign, anchors, tau),
-        Seq("i", "j"), "left_semi").count()
+    taus.flatMap { tau =>
+      val cand = probeAnchorCandidatesAt(assign, anchors, tau)
       val probed = assign.filter(col("cell2").isNotNull &&
         col("mgn") <= lit(tau)).count()
-      (tau, nTrue, found, found.toDouble / math.max(nTrue, 1L),
-        probed.toDouble / math.max(nVec, 1L))
+      val frac = probed.toDouble / math.max(nVec, 1L)
+      truth.join(cand.withColumn("hit", lit(1L)), Seq("i", "j"), "left")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .collect()
+        .map(r => (tau, r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(2).toDouble / math.max(r.getLong(1), 1L), frac))
+        .sortBy(_._2)
     }
-    res
   }
 
   /** Recall DECOMPOSITION by truth-pair cosine band and copy locality
@@ -471,14 +481,15 @@ object VectorOps {
     * synth_scale probe fixtures (ID_SHIFT=10⁷); pass 0 to skip.
     */
   private[queries] def recallBands(s: SparkSession, dir: String,
-      tau: Double, copySpan: Long): DataFrame = {
+      tau: Double, copySpan: Long, nt: Boolean = false): DataFrame = {
     register(s)
-    val emb = augmented(s, dir)
+    val emb = if (nt) ntAugmented(s, dir) else augmented(s, dir)
     val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T).persist())
     val anchors = ScratchCache.register(
       AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
         .filter(col("is_anchor")).select(col("vec_id")).persist())
-    val cand = probeAnchorCandidatesAt(sharedImiAssign(s, dir), anchors, tau)
+    val assign = if (nt) sharedImiAssignNt(s, dir) else sharedImiAssign(s, dir)
+    val cand = probeAnchorCandidatesAt(assign, anchors, tau)
       .withColumn("found", lit(1L))
     val sameCopy =
       if (copySpan > 0) floor(col("i") / copySpan) === floor(col("j") / copySpan)
@@ -486,9 +497,10 @@ object VectorOps {
     truth.join(cand, Seq("i", "j"), "left")
       .withColumn("band",
         when(col("cos") >= 0.999, "a_dup_0.999+")
-          .when(col("cos") >= 0.8, "b_strong_0.80+")
-          .when(col("cos") >= 0.6, "c_mid_0.60+")
-          .otherwise("d_tail_0.45+"))
+          .when(col("cos") >= NT_BAND_LO, "b_ntwin_0.95+")
+          .when(col("cos") >= 0.8, "c_strong_0.80+")
+          .when(col("cos") >= 0.6, "d_mid_0.60+")
+          .otherwise("e_tail_0.45+"))
       .withColumn("same_copy", sameCopy)
       .groupBy(col("band"), col("same_copy"))
       .agg(count(lit(1)).as("n_true"),
@@ -591,6 +603,55 @@ object VectorOps {
       .unionByName(base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
   }
 
+  /** Deterministically PERTURBED copy of `base`: component d of vector v
+    * moves by ±delta, sign = md5-parity of "tag:v:d" — the same portable
+    * hash derivation as the LSH planes/JL signs, so the DuckDB twin
+    * regenerates the identical float corpus (double add, one REAL
+    * rounding; both engines parse the delta literal to the same double
+    * and take the same IEEE path). On a unit-norm corpus the perturbation
+    * vector has norm 8·delta and a random direction, so
+    * cos(v, twin) ≈ 1/√(1+64·delta²) with O(delta²) spread — the twin
+    * lands in a DESIGNED cosine band without the band membership ever
+    * being assumed: truth always banded by the exactly-computed cosine.
+    */
+  private def perturbedTwins(base: DataFrame, offset: Long, tag: String,
+      delta: Double): DataFrame =
+    // shift FIRST, in its own projection, so the sign key unambiguously
+    // reads the twin's own (shifted) id — a single select would hit
+    // Spark's lateral-column-alias resolution and key half the corpus on
+    // the wrong id (found by the round-13 bitwise corpus diff)
+    base.select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, d) =>
+          (x.cast(DoubleType) + lit(delta) *
+            (graft.functions.TextFns.md5Hash60(
+              concat_ws(":", lit(tag), col("vec_id"), d)) % 2 * 2 - 1)
+          ).cast(org.apache.spark.sql.types.FloatType)).as("embedding"))
+
+  /** Near-twin-augmented corpus — the round-13 recall-governance fixture.
+    * [[augmented]]'s byte-identical copies co-assign under every index BY
+    * CONSTRUCTION, so a dup-band recall of 1.0 over them cannot detect
+    * boundary loss — the failure mode the margin-gated nprobe=2 apparatus
+    * exists to fix (round-12 verdict). This corpus adds two PERTURBED
+    * cohorts whose twins genuinely can straddle cell boundaries:
+    *   - +200000: per-dim ±[[NT_DELTA_NEAR]] → cos ≈ 0.978–0.986, the
+    *     near-duplicate band [0.95, 0.999) of perturbed re-uploads /
+    *     paraphrase-grade pairs (BELOW the ANN_T emission threshold —
+    *     these govern candidate GENERATION, not output);
+    *   - +300000: per-dim ±[[NT_DELTA_DUP]] → cos ≈ 0.9996, INSIDE the
+    *     ≥ANN_T emission band but not byte-identical — the first
+    *     non-tautological occupant of the dup-band governance floor.
+    * Offset discipline = [[augmented]]'s: distinct +k·100000 shifts stay
+    * collision-free on the gate corpora and on synth_scale fixtures
+    * (within-copy ids sit far below the 10⁷ copy stride).
+    */
+  private[queries] def ntAugmented(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    augmented(s, dir)
+      .unionByName(perturbedTwins(base, 200000L, "nta", NT_DELTA_NEAR))
+      .unionByName(perturbedTwins(base, 300000L, "ntb", NT_DELTA_DUP))
+  }
+
   /** LSH signature table over the augmented corpus, built ONCE per
     * (session, corpus) and served to every ANN query — the production
     * model: an index is maintained, not rebuilt per search
@@ -642,6 +703,25 @@ object VectorOps {
   private[queries] def sharedImiAssign(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"ivfimi:$dir")(
       refinedAssign(imiAssignments(s, dir, augmented(s, dir))))
+
+  /** Two-level assignment over the NEAR-TWIN corpus ([[ntAugmented]]) —
+    * the index under `ann_recall_neartwin`'s coarse row. Same codebook
+    * machinery (k from this corpus's count, seeds hash-ranked from the
+    * base corpus), cached once per (session, corpus) like its augmented
+    * sibling.
+    */
+  private[queries] def sharedCoarseAssignNt(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"ivfcoarsent:$dir")(
+      refinedAssign(coarseAssignments(s, dir, ntAugmented(s, dir))))
+
+  /** Three-level (IMI) assignment over the NEAR-TWIN corpus — the index
+    * whose margin-gated nprobe=2 search `ann_recall_neartwin`'s imi row
+    * governs: the first fixture on which the τ apparatus is exercised by
+    * pairs that are NOT byte-identical (and so can straddle regions).
+    */
+  private[queries] def sharedImiAssignNt(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"ivfimint:$dir")(
+      refinedAssign(imiAssignments(s, dir, ntAugmented(s, dir))))
 
   /** Plain-corpus (non-augmented) two-level assignment, cached per
     * (session, corpus) — the cluster structure consumers outside the ANN
@@ -1493,7 +1573,17 @@ object VectorOps {
           .filter(col("is_anchor")).select(col("vec_id")).persist())
       val sigs = sharedLshSigs(s, dir)
       val ivfCand = anchorCandidates(sharedCoarseAssign(s, dir), "ck", anchors)
-      def recallRow(method: String, cand: DataFrame, thr: Double): DataFrame =
+      // round 13 (round-12 verdict #3): the BLENDED recall is a
+      // composition-sensitive DIAGNOSTIC, not a gated floor — at 10⁶⁺ the
+      // random geometric tail dominates n_true and the blended number
+      // collapses by geometry (1/k co-assignment of independent
+      // directions) even while the production band stays found, so a
+      // static blended floor is a latent gate failure at any larger sf.
+      // The gated boolean is dup_ok alone (scale-stable by measurement:
+      // 1.0 through 10⁷); the blended design floors (RECALL_*_T) survive
+      // as [[QueryInvariantSpec]] assertions pinned at the sf0.001
+      // fixture, where they are meaningful.
+      def recallRow(method: String, cand: DataFrame): DataFrame =
         truth.join(cand.withColumn("hit", lit(1L)), Seq("i", "j"), "left")
           .agg(count(lit(1)).as("n_true"),
             sum(coalesce(col("hit"), lit(0L))).as("n_found"),
@@ -1502,7 +1592,6 @@ object VectorOps {
               .otherwise(lit(0L))).as("n_found_dup"))
           .select(lit(method).as("method"), col("n_true"), col("n_found"),
             round(col("n_found").cast(DoubleType) / col("n_true"), 6).as("recall"),
-            (col("n_found").cast(DoubleType) / col("n_true") >= thr).as("recall_ok"),
             col("n_true_dup"), col("n_found_dup"),
             round(col("n_found_dup").cast(DoubleType) / col("n_true_dup"), 6)
               .as("recall_dup"),
@@ -1510,18 +1599,63 @@ object VectorOps {
               .as("dup_ok"))
       // the coarse-quantized assignment is an APPROXIMATION of the flat
       // argmax (boundary vectors may land in a different cell), which is
-      // exactly why the production index needs this recall floor — a
+      // exactly why the production index needs this recall governance — a
       // two-level-restriction regression fails the oracle hash here, not
       // just the wall-clock probe
-      recallRow("ivf", ivfCand, RECALL_IVF_T)
+      recallRow("ivf", ivfCand)
         // round 10: the imi row audits the nprobe=2 candidate shape the
         // sim_ann_ivf_imi gate actually searches (probeVerifiedPairs)
         .unionByName(recallRow("ivf_imi",
-          probeAnchorCandidates(sharedImiAssign(s, dir), anchors), RECALL_IMI_T))
+          probeAnchorCandidates(sharedImiAssign(s, dir), anchors)))
         .unionByName(recallRow("lsh",
-          anchorCandidates(sigs, "bucket", anchors), RECALL_LSH_T))
+          anchorCandidates(sigs, "bucket", anchors)))
         .unionByName(recallRow("lsh_multiprobe",
-          multiprobeAnchorCandidates(sigs, anchors), RECALL_MP_T))
+          multiprobeAnchorCandidates(sigs, anchors)))
+    }),
+
+    // Near-twin recall governance (round 13 — the round-12 verdict's top
+    // item): [[ntAugmented]] plants two PERTURBED cohorts — near-dup twins
+    // at cos ≈ 0.98 (the [0.95, 0.999) band a production corpus's
+    // re-uploads/paraphrases occupy) and emission-band twins at ≈ 0.9996
+    // (≥ANN_T but NOT byte-identical) — and this gate measures per-band
+    // candidate recall of the two production indexes over that corpus.
+    // Identical copies co-assign by construction; these twins genuinely
+    // can straddle cell boundaries, so the dup_ok/nt_ok floors here are
+    // the first non-tautological evidence the margin-gated nprobe=2
+    // apparatus (τ = PROBE_MARGIN_T) earns its complexity. Bands come
+    // from the exactly-computed cosine, never from cohort membership; the
+    // sub-0.95 tail rides along as an ungated diagnostic (band_ok = true:
+    // it is geometry, not index health — SCALE.md round 12). Truth is
+    // anchored (O(s·n)); candidates are anchor-restricted (O(s·cell)); the
+    // assignments are cached per (session, corpus) like every index.
+    "ann_recall_neartwin" -> ((s, dir) => {
+      register(s)
+      val emb = ntAugmented(s, dir)
+      val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
+        .select(col("i"), col("j"),
+          when(col("cos") >= ANN_T, "a_dup")
+            .when(col("cos") >= NT_BAND_LO, "b_neartwin")
+            .otherwise("c_tail").as("band")).persist())
+      val anchors = ScratchCache.register(
+        AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
+          .filter(col("is_anchor")).select(col("vec_id")).persist())
+      def bandRows(method: String, cand: DataFrame): DataFrame =
+        truth.join(cand.withColumn("hit", lit(1L)), Seq("i", "j"), "left")
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+          .withColumn("recall",
+            round(col("n_found").cast(DoubleType) / col("n_true"), 6))
+          .select(lit(method).as("method"), col("band"), col("n_true"),
+            col("n_found"), col("recall"),
+            when(col("band") === "a_dup",
+              col("n_found").cast(DoubleType) / col("n_true") >= RECALL_DUP_T)
+              .when(col("band") === "b_neartwin",
+                col("n_found").cast(DoubleType) / col("n_true") >= RECALL_NT_T)
+              .otherwise(lit(true)).as("band_ok"))
+      bandRows("ivf", anchorCandidates(sharedCoarseAssignNt(s, dir), "ck", anchors))
+        .unionByName(bandRows("ivf_imi",
+          probeAnchorCandidates(sharedImiAssignNt(s, dir), anchors)))
     }),
 
     // IVF under a COARSE QUANTIZER — the billion-vector assignment shape.
@@ -1651,6 +1785,30 @@ object VectorOps {
     * any systematic assignment regression.
     */
   private val RECALL_DUP_T = 0.95
+
+  /** Near-twin fixture constants (round 13 — making the recall governance
+    * non-tautological; see [[ntAugmented]]). Deltas are per-dimension
+    * perturbation magnitudes on the unit-norm corpus: ±0.025/dim → twin
+    * cosine ≈ 0.978–0.986 (the [0.95, 0.999) near-duplicate band);
+    * ±0.00375/dim → ≈ 0.9996 (inside the ≥ANN_T emission band, NOT
+    * byte-identical). Spelled as exact decimal literals both engines
+    * parse to the same double.
+    */
+  private[queries] val NT_DELTA_NEAR = 0.025d
+  private[queries] val NT_DELTA_DUP = 0.00375d
+
+  /** Lower edge of the near-twin governance band. */
+  private[queries] val NT_BAND_LO = 0.95d
+
+  /** Floor on NEAR-TWIN-band candidate recall (truth pairs at cos ∈
+    * [NT_BAND_LO, ANN_T) on the perturbed fixture). Unlike the dup floor —
+    * which identical copies satisfy by construction — this band's pairs
+    * can straddle cells, so the floor is an EARNED number: the gate sfs
+    * and the 10⁶/10⁷ synth tiers are measured in SCALE.md round 13, where
+    * τ = PROBE_MARGIN_T is re-justified (or re-calibrated) against the
+    * first fixture the nprobe=2 apparatus was actually built for.
+    */
+  private[queries] val RECALL_NT_T = 0.9
 
   private val dotSql =
     "list_sum(list_transform(list_zip(%A, %B), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))"
@@ -1989,32 +2147,121 @@ object VectorOps {
          |    greatest(p.vec_id, t.vec_id) AS j
          |  FROM imi_probes p JOIN massign t ON p.pc = t.cell
          |  WHERE p.vec_id <> t.vec_id),
-         |found(method, thr, n_found, n_found_dup) AS (
-         |  SELECT 'ivf', $RECALL_IVF_T,
+         |found(method, n_found, n_found_dup) AS (
+         |  SELECT 'ivf',
          |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j),
          |    (SELECT count(*) FROM truth t JOIN ivf_cand c ON t.i = c.i AND t.j = c.j
          |     WHERE t.is_dup)
-         |  UNION ALL SELECT 'ivf_imi', $RECALL_IMI_T,
+         |  UNION ALL SELECT 'ivf_imi',
          |    (SELECT count(*) FROM truth t JOIN imi_cand c ON t.i = c.i AND t.j = c.j),
          |    (SELECT count(*) FROM truth t JOIN imi_cand c ON t.i = c.i AND t.j = c.j
          |     WHERE t.is_dup)
-         |  UNION ALL SELECT 'lsh', $RECALL_LSH_T,
+         |  UNION ALL SELECT 'lsh',
          |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j),
          |    (SELECT count(*) FROM truth t JOIN lsh_cand c ON t.i = c.i AND t.j = c.j
          |     WHERE t.is_dup)
-         |  UNION ALL SELECT 'lsh_multiprobe', $RECALL_MP_T,
+         |  UNION ALL SELECT 'lsh_multiprobe',
          |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j),
          |    (SELECT count(*) FROM truth t JOIN mp_cand c ON t.i = c.i AND t.j = c.j
          |     WHERE t.is_dup))
          |SELECT method, (SELECT n_true FROM tc) AS n_true, n_found,
          |  round(CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc), 6) AS recall,
-         |  CAST(n_found AS DOUBLE) / (SELECT n_true FROM tc) >= thr AS recall_ok,
          |  (SELECT n_true_dup FROM tc) AS n_true_dup, n_found_dup,
          |  round(CAST(n_found_dup AS DOUBLE) / (SELECT n_true_dup FROM tc), 6)
          |    AS recall_dup,
          |  CAST(n_found_dup AS DOUBLE) / (SELECT n_true_dup FROM tc) >= $RECALL_DUP_T
          |    AS dup_ok
          |FROM found""".stripMargin,
+
+    // the near-twin governance twin regenerates the SAME perturbed corpus
+    // from the shared md5-parity derivation (double add at the identically
+    // parsed delta literal, one REAL rounding), replays the coarse AND IMI
+    // assignment chains over it, and counts truth ∩ candidates per cosine
+    // band. Candidates here are the FULL i<j sets — anchored truth only
+    // ever touches anchors, so the semi-join counts match the Spark side's
+    // anchor-restricted candidates exactly (the [[anchorCandidates]]
+    // equality [[QueryInvariantSpec]] pins).
+    "ann_recall_neartwin" ->
+      s"""WITH ntp AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         |    unnest(embedding) AS x
+         |  FROM embeddings),
+         |nta AS (
+         |  SELECT sid AS vec_id,
+         |    list(CAST(CAST(x AS DOUBLE) + $NT_DELTA_NEAR * s AS REAL) ORDER BY d)
+         |      AS embedding
+         |  FROM (SELECT vec_id + 200000 AS sid, d, x,
+         |      (${graft.functions.Keys.md5Key64Sql(
+                  "concat('nta:', CAST(vec_id + 200000 AS VARCHAR), ':', CAST(d AS VARCHAR))")}
+         |        % 2) * 2 - 1 AS s
+         |    FROM ntp) t
+         |  GROUP BY sid),
+         |ntb AS (
+         |  SELECT sid AS vec_id,
+         |    list(CAST(CAST(x AS DOUBLE) + $NT_DELTA_DUP * s AS REAL) ORDER BY d)
+         |      AS embedding
+         |  FROM (SELECT vec_id + 300000 AS sid, d, x,
+         |      (${graft.functions.Keys.md5Key64Sql(
+                  "concat('ntb:', CAST(vec_id + 300000 AS VARCHAR), ':', CAST(d AS VARCHAR))")}
+         |        % 2) * 2 - 1 AS s
+         |    FROM ntp) t
+         |  GROUP BY sid),
+         |ntaug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM nta
+         |  UNION ALL SELECT vec_id, embedding FROM ntb),
+         |nu AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dSql("embedding", "embedding")}) AS nrm
+         |  FROM ntaug),
+         |m0 AS (${AnchorSample.modSql("nu")}),
+         |truth AS (
+         |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS i,
+         |    greatest(x.vec_id, y.vec_id) AS j,
+         |    CASE WHEN ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+         |           >= $ANN_T THEN 'a_dup'
+         |         WHEN ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+         |           >= $NT_BAND_LO THEN 'b_neartwin'
+         |         ELSE 'c_tail' END AS band
+         |  FROM nu x, nu y, m0
+         |  WHERE ${AnchorSample.predSql("x.vec_id")} AND x.vec_id <> y.vec_id
+         |    AND ${dSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $COS_T),
+         |${coarseAssignCtes("nu", "c")},
+         |ivf_cand AS (
+         |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         |  FROM crk x JOIN crk y ON x.ck = y.ck AND x.vec_id < y.vec_id),
+         |${imiAssignCtes("nu", "m")},
+         |imi_probes AS (
+         |  SELECT vec_id, cell AS pc FROM massign
+         |  UNION ALL
+         |  SELECT vec_id, cell2 AS pc FROM massign
+         |  WHERE cell2 IS NOT NULL AND mgn <= $PROBE_MARGIN_T),
+         |imi_cand AS (
+         |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
+         |    greatest(p.vec_id, t.vec_id) AS j
+         |  FROM imi_probes p JOIN massign t ON p.pc = t.cell
+         |  WHERE p.vec_id <> t.vec_id),
+         |rows0 AS (
+         |  SELECT 'ivf' AS method, t.band, count(*) AS n_true,
+         |    CAST(sum(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_found
+         |  FROM truth t LEFT JOIN ivf_cand c ON t.i = c.i AND t.j = c.j
+         |  GROUP BY t.band
+         |  UNION ALL
+         |  SELECT 'ivf_imi' AS method, t.band, count(*) AS n_true,
+         |    CAST(sum(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_found
+         |  FROM truth t LEFT JOIN imi_cand c ON t.i = c.i AND t.j = c.j
+         |  GROUP BY t.band)
+         |SELECT method, band, n_true, n_found,
+         |  round(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
+         |  CASE WHEN band = 'a_dup'
+         |         THEN CAST(n_found AS DOUBLE) / n_true >= $RECALL_DUP_T
+         |       WHEN band = 'b_neartwin'
+         |         THEN CAST(n_found AS DOUBLE) / n_true >= $RECALL_NT_T
+         |       ELSE TRUE END AS band_ok
+         |FROM rows0""".stripMargin,
 
     // the coarse-quantizer twin: seeds-as-codebook fine centroids, first
     // ⌈√k⌉ vectors as coarse centroids, fine→coarse grouping by the same
