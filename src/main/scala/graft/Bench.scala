@@ -34,6 +34,27 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Box-calibration scalar (round-12 verdict #6): byte-identical code
+    // measured up to ~1.9× apart across this project's round-to-round box
+    // rotation, so raw BENCH totals are not comparable across rounds. A
+    // FIXED synthetic kernel — range → xxhash64 → sum over 8G rows (sized so per-row codegen work, not task dispatch, dominates: 64M/256M rows measured identical 0.21 s = pure overhead; 8G rows ≈ 1.9 s on the round-13 box),
+    // data/sf/disk-independent, wholly codegen CPU — is timed three times
+    // (median, after one untimed warm run) and lands in bench_full.json
+    // and the stdout line as `calib_sec`. Cross-round comparisons divide
+    // query walls by the two runs' calib_sec ratio to normalize the box.
+    val calibSec = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // modulo keeps the 8G-term sum inside a long under ANSI mode
+        spark.range(8L * 1000 * 1000 * 1000).select(sum(xxhash64(col("id")) % 1000000L))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      Vector.fill(3)(once()).sorted.apply(1)
+    }
+
     // Two passes, min per query — EXCEPT the headline set (3 samples,
     // median — see below) and queries whose first pass lands under 0.2 s,
     // which keep their single cold sample. A single-shot
@@ -154,7 +175,7 @@ object Bench {
     val headlineStat = if (passes <= 1) "single_pass" else s"median_of_$lastPass"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"sf":"$sfDir","headline_stat":"$headlineStat","baseline_tags":$tagJson,"headline_samples":$sampJson,"queries":${fmt(results)}}""")
+      s"""{"sf":"$sfDir","headline_stat":"$headlineStat","calib_sec":${ms3(calibSec)},"baseline_tags":$tagJson,"headline_samples":$sampJson,"queries":${fmt(results)}}""")
     catch { case _: Throwable => () }
     // a renamed/removed headline query must fail loudly, not silently drop
     // out of the stdout JSON the driver parses
@@ -163,7 +184,7 @@ object Bench {
       s"bench headline names not in query set: $missing")
     val qs = fmt(results.filter(r => headline(r._1)))
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"calib_sec":${ms3(calibSec)},"queries":$qs,"sf":"$sfDir"}"""
     // the driver parses the last ~2000 stdout chars; an overgrown headline
     // set must fail the build here, not silently come back parsed:null
     require(line.length <= 2000, s"bench stdout line ${line.length} chars > 2000")
