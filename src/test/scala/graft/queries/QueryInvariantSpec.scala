@@ -167,6 +167,42 @@ class QueryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("near-twin corpus: the margin gate captures the nprobe=2 ceiling " +
+    "in both planted bands and beats home-only search") {
+    // Round 13 — the τ apparatus exercised by pairs it was BUILT for
+    // (perturbed twins that genuinely straddle regions; byte-identical
+    // copies cannot). The scale-stable contract is the CAPTURE ratio:
+    // candidates at the production τ recover ≥99% of what the ungated
+    // nprobe=2 search sees, per band (measured 99.2–100% at sf0.1 and
+    // 10⁶; per-tier numbers in SCALE.md round 13); and the apparatus is
+    // non-vacuous — it strictly beats home-only search in the planted
+    // bands.
+    VectorOps.register(spark)
+    val emb = VectorOps.ntAugmented(spark, dir)
+    val truth = VectorOps.anchoredNtTruthBands(spark, dir)
+    val anchors = graft.queries.AnchorSample
+      .withAnchors(emb.select($"vec_id"), $"vec_id")
+      .filter($"is_anchor").select($"vec_id")
+    val assign = VectorOps.sharedImiAssignNt(spark, dir)
+    def foundPerBand(tau: Double): Map[String, Long] =
+      truth.join(VectorOps.probeAnchorCandidatesAt(assign, anchors, tau),
+          Seq("i", "j"), "left_semi")
+        .groupBy($"band").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+    val home = foundPerBand(-1.0)
+    val gated = foundPerBand(VectorOps.PROBE_MARGIN_T)
+    val ceil = foundPerBand(2.0)
+    for (band <- Seq("a_dup", "b_neartwin")) {
+      assert(ceil(band) > 0L, s"$band must be populated")
+      assert(gated(band).toDouble >= 0.99 * ceil(band),
+        s"$band: gated ${gated(band)} < 99% of nprobe=2 ceiling ${ceil(band)}")
+    }
+    assert(gated("a_dup") + gated("b_neartwin") >
+      home("a_dup") + home("b_neartwin"),
+      "the second probe must add planted-band recall over home-only search")
+  }
+
   test("margin-gated nprobe=2: the gate only ever removes clear-winner " +
     "probes, and holds the anchored recall at this fixture") {
     // round 11 (the FAISS refinement discipline): only boundary vectors
