@@ -1815,19 +1815,22 @@ object VectorOps {
   /** Why the near-twin band carries NO recall floor (round 13): its
     * absolute recall is scale-dependent GEOMETRY, not index health —
     * measured 0.89/0.71/0.77 (coarse) and 0.80/0.88/0.86 (imi nprobe=2)
-    * across the three gate sfs, then 0.55/0.66 at 10⁶ and declining at
-    * 10⁷ (SCALE.md round 13): a [0.95, 0.999) pair straddles cell
-    * boundaries with probability that grows with the derived cell count,
-    * and NO bounded-probe structure pins it — the same adjudication the
+    * across the three gate sfs, then 0.66 at 10⁶ and 0.60 at 10⁷
+    * (SCALE.md round 13): a [0.95, 0.999) pair straddles cell boundaries
+    * with probability that grows with the derived cell count, and NO
+    * bounded-probe structure pins it — the same adjudication the
     * round-12 tail decomposition made one band down. A static floor here
     * would be the exact latent-gate-failure class the round-12 verdict
     * (#3) removed from the blended number. What IS scale-stable — and
     * spec-pinned ([[QueryInvariantSpec]] "margin gate captures the
     * nprobe=2 ceiling") plus measured per-tier in SCALE.md — is the τ
-    * CAPTURE contract: the margin-gated candidate set recovers ≥99% of
-    * what the ungated nprobe=2 search can see, in both planted bands, at
-    * every measured tier, while pruning the second probe for the
-    * clear-winner majority.
+    * CAPTURE contract: the margin-gated candidate set recovers 97–100%
+    * of what the ungated nprobe=2 search can see (≥99.3% in the emission
+    * band), at every measured tier through 10⁷, while pruning the second
+    * probe for the clear-winner minority that remains at scale. The 10⁷
+    * sweep also measured the emission band's own nprobe=2 ceiling at
+    * 0.9217 — the named round-14 lever is a cell-count-derived nprobe,
+    * not τ.
     */
 
   private val dotSql =
