@@ -31,6 +31,25 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.size === 41 + 5 + 2)
   }
 
+  test("iteration state does not accumulate: pinned label checkpoints are " +
+    "released as the closure advances") {
+    // Round 13: every pass localCheckpoints its label table, and
+    // localCheckpoint blocks are pinned (unevictable) — without the eager
+    // release a D-diameter closure holds O(log D) label tables alive
+    // simultaneously, which is exactly what OOMed the 20M-name closure at
+    // 8 GB (SCALE.md round 12→13). A diameter-40 chain needs ~6 passes;
+    // pin that live checkpointed-RDD count stays O(1), not O(passes).
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 40L).map(k => (k, k + 1)).toDF("i", "j")
+    val labels = Components.connectedComponents(chain)
+    labels.count()
+    val live = spark.sparkContext.getPersistentRDDs.size - before
+    // edges + final labels (+ the just-released predecessor whose async
+    // unpersist may not have landed yet) — anything more means the loop
+    // is hoarding iteration state again
+    assert(live <= 3, s"$live checkpointed RDDs alive after a ~6-pass closure")
+  }
+
   test("edge direction does not matter (symmetrized internally)") {
     val reversed = Seq((3L, 2L), (2L, 1L), (1L, 0L)).toDF("i", "j")
     val labels = Components.connectedComponents(reversed)
