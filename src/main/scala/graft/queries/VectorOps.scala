@@ -1783,10 +1783,18 @@ object VectorOps {
   private[queries] val FUSE_N = 20
   private[queries] val RRF_K = 60
 
-  private val RECALL_LSH_T = 0.8
-  private val RECALL_MP_T = 0.8
-  private val RECALL_IVF_T = 0.8
-  private val RECALL_IMI_T = 0.8
+  /** Blended-recall design floors, pinned per method at the sf0.001
+    * fixture by [[QueryInvariantSpec]] (all four methods — round-13
+    * advice: the lsh floors had silently dropped out of governance when
+    * the gated boolean narrowed to dup_ok). The blended number is
+    * composition-sensitive at scale (see the recallRow note), which is
+    * why these live in the spec at the fixture where they are meaningful
+    * rather than in the driver-sf gate.
+    */
+  private[queries] val RECALL_LSH_T = 0.8
+  private[queries] val RECALL_MP_T = 0.8
+  private[queries] val RECALL_IVF_T = 0.8
+  private[queries] val RECALL_IMI_T = 0.8
 
   /** Floor on DUPLICATE-BAND recall (truth pairs at cos ≥ ANN_T — the band
     * the production consumers emit after verification). Identical planted

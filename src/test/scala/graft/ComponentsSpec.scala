@@ -43,11 +43,16 @@ class ComponentsSpec extends SparkSpec {
     val chain = (0L until 40L).map(k => (k, k + 1)).toDF("i", "j")
     val labels = Components.connectedComponents(chain)
     labels.count()
-    val live = spark.sparkContext.getPersistentRDDs.size - before
-    // edges + final labels (+ the just-released predecessor whose async
-    // unpersist may not have landed yet) — anything more means the loop
+    // the closure's releases are unpersist(blocking = false), so a slow
+    // block-manager listener can still have more than one reclaim in
+    // flight here (round-13 advice: a hardcoded slack races it) — poll
+    // until the count settles at the steady state instead
+    def live() = spark.sparkContext.getPersistentRDDs.size - before
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (live() > 2 && System.nanoTime() < deadline) Thread.sleep(100)
+    // steady state = edges + final labels; anything more means the loop
     // is hoarding iteration state again
-    assert(live <= 3, s"$live checkpointed RDDs alive after a ~6-pass closure")
+    assert(live() <= 2, s"${live()} checkpointed RDDs alive after a ~6-pass closure")
   }
 
   test("edge direction does not matter (symmetrized internally)") {
