@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{ArgMax1, ArgTop2, BloomMightContain, CmsEstimate, FarmFingerprint, FloatVecDot}
+import graft.expr.{ArgMax1, ArgTop2, ArgTopN, BloomMightContain, CmsEstimate, FarmFingerprint, FloatVecDot}
 
 /** Cluster-deployment registration of the engine's native expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` makes
@@ -54,7 +54,10 @@ object GraftExtensions {
       arity("vec_arg_top2", 2)(exprs => ArgTop2(exprs.head, exprs(1)))),
     (FunctionIdentifier("vec_arg_max1"),
       new ExpressionInfo(classOf[ArgMax1].getName, "vec_arg_max1"),
-      arity("vec_arg_max1", 2)(exprs => ArgMax1(exprs.head, exprs(1)))))
+      arity("vec_arg_max1", 2)(exprs => ArgMax1(exprs.head, exprs(1)))),
+    (FunctionIdentifier("vec_arg_topn"),
+      new ExpressionInfo(classOf[ArgTopN].getName, "vec_arg_topn"),
+      arity("vec_arg_topn", 3)(ArgTopN.fromArgs)))
 
   /** Builder lookup for the per-session register() helpers. */
   def builder(name: String): Seq[Expression] => Expression =

@@ -79,6 +79,38 @@ object CorpusCache {
     */
   private[queries] val MaxSessions = 8
 
+  /** Scratch-bounded index mode (round 14 — the 2×10⁸ single-box lever):
+    * when set, shared indexes are PUBLISHED to parquet under this
+    * directory and served from the read-back scan instead of being
+    * persist()ed in the block manager. Two effects, both aimed at the
+    * measured 62 GB mid-flight block-manager wall of the 2×10⁸
+    * `dedup_semantic` tier (SCALE.md round 13): (a) index rows stop
+    * competing with execution memory and stop spilling into pinned
+    * block-manager files; (b) the index-build lineage becomes
+    * unreachable once the write completes, so the ContextCleaner can
+    * delete the build stages' shuffle files instead of holding them for
+    * the query's whole lifetime. This is the streaming ingest gate's
+    * codebook discipline (train once, write the artifact, read per
+    * consumer) applied to every maintained index; a cluster deployment
+    * gets the same effect from executor-fleet storage, so the default
+    * stays in-memory persist.
+    */
+  private[queries] def stageDir: Option[String] = sys.env.get("SPARK_GRAFT_STAGE_DIR")
+
+  /** Materialize a built index: parquet-publish + read back under
+    * [[stageDir]], block-manager persist otherwise.
+    */
+  private def materialize(s: SparkSession, key: String, df: DataFrame): DataFrame =
+    stageDir match {
+      case Some(dir) =>
+        val safe = key.replaceAll("[^a-zA-Z0-9._-]", "_") +
+          "_" + Integer.toHexString(key.hashCode)
+        val path = s"$dir/$safe"
+        df.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      case None => df.persist()
+    }
+
   // Inner LinkedHashMap iterates in insertion order; getOrBuild re-inserts
   // on every hit, so head == least-recently-used. Strong keys AND strong
   // values (see the scaladoc): boundedness comes from the deterministic
@@ -132,10 +164,11 @@ object CorpusCache {
       }
       val df = entries.get(key) match {
         case Some(hit) =>
-          if (hit.storageLevel == StorageLevel.NONE) hit.persist()
+          // staged entries are parquet scans — nothing to re-persist
+          if (stageDir.isEmpty && hit.storageLevel == StorageLevel.NONE) hit.persist()
           hit
         case None =>
-          build.persist()
+          materialize(s, key, build)
       }
       // LRU touch: re-insert at the tail (LinkedHashMap keeps first-insert
       // position on plain update, so remove first)

@@ -171,7 +171,16 @@ object VectorOps {
       "vec_arg_top2", graft.GraftExtensions.builder("vec_arg_top2"), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_arg_max1", graft.GraftExtensions.builder("vec_arg_max1"), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_arg_topn", graft.GraftExtensions.builder("vec_arg_topn"), "built-in")
   }
+
+  /** Top-N (ord DESC, id ASC) rows per group as a null-padded ranked array
+    * of struct(cs, cid) — the sort-free generalized beam (graft.expr
+    * .ArgTopN), buffer capacity [[PROBE_CAP]].
+    */
+  private def argTopN(ord: Column, id: Column): Column =
+    call_function("vec_arg_topn", ord, id, lit(PROBE_CAP))
 
   /** Top-2 centroid ids per group under (ord DESC, id ASC) — the
     * sort-free argmax (graft.expr.ArgTop2); returns struct(cell, cell2).
@@ -215,12 +224,46 @@ object VectorOps {
       .distinct()
   }
 
+  /** Anchored exact-cosine governance truth over the AUGMENTED corpus,
+    * cached per (session, corpus) like the indexes it audits (round 14 —
+    * the round-13 verdict's bench-cost item: the truth cross-join and the
+    * per-component md5 corpus derivations were rebuilt on every
+    * governance evaluation; one maintained table serves `ann_recall`,
+    * the margin sweep, and the band decomposition, with every consumer
+    * deriving its own flags/bands from the exact cosine by projection).
+    * Anchored (O(s·n)) and near-dup-sized — the same boundedness class
+    * as the cached pair/signature tables.
+    */
+  private[queries] def sharedAnnTruth(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"anntruth:$dir")(
+      anchoredCosinePairs(augmented(s, dir), COS_T))
+
+  /** Anchored governance truth over the NEAR-TWIN corpus, cached like
+    * [[sharedAnnTruth]].
+    */
+  private[queries] def sharedNtTruth(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"nttruth:$dir")(
+      anchoredCosinePairs(ntAugmented(s, dir), COS_T))
+
+  /** The governance anchor sets (vec_id rows, ~[[AnchorSample.TargetAnchors]]
+    * at any scale), cached with their truth tables.
+    */
+  private[queries] def sharedAnnAnchors(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"annanchors:$dir")(
+      AnchorSample.withAnchors(augmented(s, dir).select(col("vec_id")), col("vec_id"))
+        .filter(col("is_anchor")).select(col("vec_id")))
+
+  private[queries] def sharedNtAnchors(s: SparkSession, dir: String): DataFrame =
+    CorpusCache.getOrBuild(s, s"ntanchors:$dir")(
+      AnchorSample.withAnchors(ntAugmented(s, dir).select(col("vec_id")), col("vec_id"))
+        .filter(col("is_anchor")).select(col("vec_id")))
+
   /** Anchored banded exact-cosine truth over the near-twin corpus —
     * shared by the `ann_recall_neartwin` gate and the capture-contract
     * spec so both audit the identical truth relation.
     */
   private[queries] def anchoredNtTruthBands(s: SparkSession, dir: String): DataFrame =
-    anchoredCosinePairs(ntAugmented(s, dir), COS_T)
+    sharedNtTruth(s, dir)
       .select(col("i"), col("j"),
         when(col("cos") >= ANN_T, "a_dup")
           .when(col("cos") >= NT_BAND_LO, "b_neartwin")
@@ -417,10 +460,14 @@ object VectorOps {
     */
   private[queries] def probeAnchorCandidatesAt(assign: DataFrame,
       anchors: DataFrame, tau: Double): DataFrame = {
+    // round 14: extra regions come from the chain's ranked probe list
+    // (derived width for the IMI chain, the runner-up for two-level) —
+    // each gated by its OWN cross-region margin at τ
     val probes = assign.select(col("cell").as("pc"), col("vec_id"))
-      .unionByName(assign.filter(col("cell2").isNotNull &&
-          col("mgn") <= lit(tau))
-        .select(col("cell2").as("pc"), col("vec_id")))
+      .unionByName(assign
+        .select(col("vec_id"), explode(col("probes")).as("pr"))
+        .filter(col("pr").getField("mgn") <= lit(tau))
+        .select(col("pr").getField("pc").as("pc"), col("vec_id")))
     val homes = assign.select(col("cell").as("pc"), col("vec_id"))
     val aProbes = probes.join(anchors, Seq("vec_id"), "left_semi")
     val aHomes = homes.join(anchors, Seq("vec_id"), "left_semi")
@@ -444,18 +491,17 @@ object VectorOps {
   private[queries] def marginSweep(s: SparkSession, dir: String,
       taus: Seq[Double], nt: Boolean = false): Seq[(Double, String, Long, Long, Double, Double)] = {
     register(s)
-    val emb = if (nt) ntAugmented(s, dir) else augmented(s, dir)
     // round 13: the sweep reports PER-BAND recall — the τ decision is
     // owned by the band the apparatus serves (near-twins that straddle
-    // regions), and a blended number buries it under the geometric tail
-    val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
+    // regions), and a blended number buries it under the geometric tail.
+    // Round 14: truth/anchors come from the shared cached governance
+    // tables ([[sharedAnnTruth]] and friends) like the assignments.
+    val truth = (if (nt) sharedNtTruth(s, dir) else sharedAnnTruth(s, dir))
       .select(col("i"), col("j"),
         when(col("cos") >= ANN_T, "a_dup")
           .when(col("cos") >= NT_BAND_LO, "b_neartwin")
-          .otherwise("c_tail").as("band")).persist())
-    val anchors = ScratchCache.register(
-      AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
-        .filter(col("is_anchor")).select(col("vec_id")).persist())
+          .otherwise("c_tail").as("band"))
+    val anchors = if (nt) sharedNtAnchors(s, dir) else sharedAnnAnchors(s, dir)
     val assign = if (nt) sharedImiAssignNt(s, dir) else sharedImiAssign(s, dir)
     val nVec = assign.count()
     taus.flatMap { tau =>
@@ -494,11 +540,8 @@ object VectorOps {
   private[queries] def recallBands(s: SparkSession, dir: String,
       tau: Double, copySpan: Long, nt: Boolean = false): DataFrame = {
     register(s)
-    val emb = if (nt) ntAugmented(s, dir) else augmented(s, dir)
-    val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T).persist())
-    val anchors = ScratchCache.register(
-      AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
-        .filter(col("is_anchor")).select(col("vec_id")).persist())
+    val truth = if (nt) sharedNtTruth(s, dir) else sharedAnnTruth(s, dir)
+    val anchors = if (nt) sharedNtAnchors(s, dir) else sharedAnnAnchors(s, dir)
     val assign = if (nt) sharedImiAssignNt(s, dir) else sharedImiAssign(s, dir)
     val cand = probeAnchorCandidatesAt(assign, anchors, tau)
       .withColumn("found", lit(1L))
@@ -820,22 +863,25 @@ object VectorOps {
   private def probeVerifiedPairs(s: SparkSession, dir: String,
       assign: DataFrame): DataFrame = {
     val sk = sharedPairSketch(s, dir)
-      .join(assign.select(col("vec_id"), col("cell"), col("cell2"), col("mgn")),
+      .join(assign.select(col("vec_id"), col("cell"), col("probes")),
         Seq("vec_id"))
     val probes = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
         col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"))
-      // margin-gated second region (round 11): only BOUNDARY vectors —
-      // assignment margin ≤ PROBE_MARGIN_T — pay for the second probe.
-      // A vector that beat its runner-up decisively sits deep inside its
-      // cell, and a ≥COS_T-similar neighbor of a deep vector lands in
-      // the same cell; the recall-relevant second probes concentrate at
-      // small margins (the FAISS refinement discipline). Candidates
-      // remain a superset of the nprobe=1 search (the home branch is
-      // untouched), so probe recall ≥ nprobe=1 recall still holds.
-      .unionByName(sk.filter(col("cell2").isNotNull &&
-          col("mgn") <= lit(PROBE_MARGIN_T))
-        .select(col("cell2").as("pc"), col("vec_id").as("u"),
-          col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na")))
+      // margin-gated extra regions (round 11; round 14 — derived width):
+      // the chain's ranked probe list carries each region's cross-region
+      // margin, and only BOUNDARY pairings — margin ≤ PROBE_MARGIN_T —
+      // pay the probe. A vector that beat a region's winner decisively
+      // sits deep inside its home cell, and a ≥COS_T-similar neighbor of
+      // a deep vector lands in the same cell; the recall-relevant probes
+      // concentrate at small margins (the FAISS refinement discipline).
+      // Candidates remain a superset of the nprobe=1 search (the home
+      // branch is untouched), so probe recall ≥ nprobe=1 recall holds.
+      .unionByName(sk
+        .select(col("vec_id").as("u"), col("hd").as("ha"), col("tn").as("ta"),
+          col("nrm").as("na"), explode(col("probes")).as("pr"))
+        .filter(col("pr").getField("mgn") <= lit(PROBE_MARGIN_T))
+        .select(col("pr").getField("pc").as("pc"), col("u"),
+          col("ha"), col("ta"), col("na")))
     val home = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
       col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"))
     val cand = probes.join(home, Seq("pc")).filter(col("u") =!= col("v"))
@@ -1057,7 +1103,19 @@ object VectorOps {
         // the runner-up — the nprobe=2 search probes the second cell
         // only for boundary vectors (small margin); null when k = 1
         (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
+      .withColumn("probes", rankTwoProbes)
   }
+
+  /** The two-level/flat chains' probe list: exactly the runner-up cell
+    * with its margin — these chains' region structure is one level deep,
+    * so their probe search keeps the round-11 nprobe=2 shape, expressed
+    * in the shared (pc, mgn)-array contract the probe consumers read
+    * (the IMI chain's list is the derived-width [[probeWidth]] one).
+    * Empty when k = 1 leaves no runner-up.
+    */
+  private def rankTwoProbes: Column =
+    filter(array(struct(col("cell2").as("pc"), col("mgn").as("mgn"))),
+      t => t.getField("pc").isNotNull)
 
   /** Integer-exact ⌈k^(1/3)⌉ as a 1-row (k) frame: libm `pow`/`cbrt` are
     * not correctly-rounded (unlike sqrt, which IEEE 754 requires exact),
@@ -1072,6 +1130,54 @@ object VectorOps {
       when((c - 1) * (c - 1) * (c - 1) >= col("k"), c - 1)
         .when(c * c * c >= col("k"), c)
         .otherwise(c + 1).as("k"))
+  }
+
+  /** Buffer capacity of the [[graft.expr.ArgTopN]] beams — the static
+    * ceiling of the DERIVED probe width [[probeWidth]] (a Tungsten agg
+    * buffer is plan-static; the data-derived width slices it). 16 covers
+    * the k^(1/4) law through k = 65536 cells (≈ 7·10⁷-vector corpora at
+    * TARGET_CELL) — 1.4 decades past the largest measured IMI tier
+    * (10⁷); past that the probe width saturates at 16 and lifting is a
+    * one-constant buffer-width change (merge expressions stay O(cap³)
+    * leaf-ref nodes, codegen-safe well past 32).
+    */
+  private[queries] val PROBE_CAP = 16
+
+  /** Level-1 beam ceiling: b1 = ⌈√p⌉ ≤ ⌈√PROBE_CAP⌉ = 4; 8 leaves a
+    * doubling of headroom for a future PROBE_CAP lift.
+    */
+  private[queries] val L1_BEAM_CAP = 8
+
+  /** The derived probe-width frame (round 14 — replacing the fixed
+    * two-region probe whose 10⁷ emission-band recall ceiling, 0.9217,
+    * sat under the 0.95 governance floor; SCALE.md round 13): from the
+    * cell-count frame `nk`, one broadcastable row
+    *   p  = min(PROBE_CAP, max(2, ⌈k^(1/4)⌉))  — the searched regions,
+    *   b1 = min(L1_BEAM_CAP, ⌈√p⌉)             — the level-1 beam.
+    * The k^(1/4) law is the FAISS discipline of growing nprobe with the
+    * cell count, pinned to this chain's cost algebra: the descent
+    * explores b1·k^(1/3) level-2 candidates and p·k^(1/3) fine
+    * candidates per vector, so assignment stays O(n·k^(1/3+1/4)·d) ≪
+    * O(n·√k·d) (the two-level chain it undercuts), and the probe join's
+    * candidate volume grows as p·E[cell] with the τ margin gate pruning
+    * the clear-winner majority of extra regions. At k = 16 (every gate
+    * sf) the law lands exactly on p = 2, b1 = 2 — the round-13 probe
+    * shape, so gate outputs are bit-identical to the fixed-nprobe round.
+    * ⌈k^(1/4)⌉ is quartic-snapped like [[cbrtCeil]] (libm pow is not
+    * correctly rounded; exact BIGINT fourth-power comparisons make both
+    * engines land on the true ceiling whenever the estimate is within
+    * ±1); ⌈√p⌉ is IEEE-exact.
+    */
+  private[queries] def probeWidth(nk: DataFrame): DataFrame = {
+    val c = round(pow(col("k").cast(DoubleType), lit(0.25))).cast(LongType)
+    nk.select(
+        when((c - 1) * (c - 1) * (c - 1) * (c - 1) >= col("k"), c - 1)
+          .when(c * c * c * c >= col("k"), c)
+          .otherwise(c + 1).as("q"))
+      .select(least(lit(PROBE_CAP.toLong), greatest(lit(2L), col("q"))).as("p"))
+      .select(col("p"),
+        least(lit(L1_BEAM_CAP.toLong),
+          ceil(sqrt(col("p").cast(DoubleType))).cast(LongType)).as("b1"))
   }
 
   /** The three-level (IMI-shaped) assignment chain: descend level-1
@@ -1130,34 +1236,39 @@ object VectorOps {
     // end at ≥1 fine centroid
     val l2ne = l2g.join(broadcast(fgrp.select(col("g2")).distinct()), Seq("g2"))
     val l1ne = l1.join(broadcast(l2ne.select(col("g1")).distinct()), Seq("g1"))
-    // Vector descent (round 10 — multi-probe-shaped): level-1 keeps the
-    // TOP-2 groups, level-2 ranks the union of both groups' centroids
-    // and keeps the top-2 CELLS, and the fine step picks the best
-    // centroid within EACH of the two cells; `cell` is the overall
-    // argmax, `cell2` the other cell's winner — the second-best REGION,
-    // not the same menu's runner-up. This is what makes the gate's
-    // nprobe=2 search able to bridge upper-level descent divergence:
-    // round 10 measured that probing a same-menu runner-up adds ZERO
-    // recall at sf0.1 (truth pairs that separate, separate at levels
-    // 1–2, where the menus don't overlap at all), while the two-region
-    // probe is the multi-probe ordering FAISS's IMI searches with.
-    // Every argmax is still the sort-free ArgTop2 collapse; identical
-    // vectors take identical decisions at every step, so planted twins
-    // still co-assign. Cost: the level-2 and fine stages double —
-    // O(4·n·k^(1/3)·d) chain candidates, still k^(1/6) under the
-    // two-level chain's books.
+    // Vector descent (round 10 — multi-probe-shaped; round 14 — DERIVED
+    // width): level-1 keeps the top-b1 groups, level-2 ranks the union
+    // of those groups' centroids and keeps the top-p CELLS, and the fine
+    // step picks the best centroid within EACH cell; `cell` is the
+    // overall argmax and the remaining ranked cell winners are the
+    // probe REGIONS — never a same-menu runner-up (round 10 measured
+    // that probing one adds ZERO recall: truth pairs that separate,
+    // separate at levels 1–2, where the menus don't overlap at all).
+    // Round 14: the region count p derives from the cell count
+    // ([[probeWidth]] — the fixed p = 2 left the 10⁷ emission-band
+    // recall ceiling at 0.9217 against the 0.95 governance floor), so
+    // the beams are the sort-free ArgTopN collapse sliced to (b1, p) at
+    // projection time; identical vectors take identical decisions at
+    // every step, so planted twins still co-assign. Cost: O((b1+p+2)·
+    // n·k^(1/3)·d) chain candidates — k^(1/4+1/3) per vector, still
+    // k^(1/6)/k^(1/4)-factors under the two-level chain's O(n·√k·d).
+    val pb = probeWidth(nk)
     val v1 = withNorm(emb).crossJoin(broadcast(l1ne))
       .withColumn("cs", dot(col("embedding"), col("e1")) / (col("nrm") * col("n1")))
-      .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("g1")).as("t2"))
+      .groupBy(col("vec_id")).agg(argTopN(col("cs"), col("g1")).as("tops"))
+      .crossJoin(broadcast(pb))
       .select(col("vec_id"),
-        explode(array(col("t2").getField("cell"), col("t2").getField("cell2"))).as("g1"))
-      .filter(col("g1").isNotNull)
+        explode(slice(col("tops"), lit(1), col("b1").cast(IntegerType))).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("vec_id"), col("t").getField("cid").as("g1"))
     val v2 = withNorm(emb).join(v1, Seq("vec_id")).join(broadcast(l2ne), Seq("g1"))
       .withColumn("cs", dot(col("embedding"), col("e2")) / (col("nrm") * col("n2")))
-      .groupBy(col("vec_id")).agg(argTop2(col("cs"), col("g2")).as("t2"))
+      .groupBy(col("vec_id")).agg(argTopN(col("cs"), col("g2")).as("tops"))
+      .crossJoin(broadcast(pb))
       .select(col("vec_id"),
-        explode(array(col("t2").getField("cell"), col("t2").getField("cell2"))).as("g2"))
-      .filter(col("g2").isNotNull)
+        explode(slice(col("tops"), lit(1), col("p").cast(IntegerType))).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("vec_id"), col("t").getField("cid").as("g2"))
     val fineCand = withNorm(emb).join(v2, Seq("vec_id")).join(broadcast(fgrp), Seq("g2"))
       .withColumn("cs", dot(col("embedding"), col("ce")) / (col("nrm") * col("nc")))
     // per-(vector, cell) winner CARRYING its score for the cross-cell
@@ -1172,15 +1283,25 @@ object VectorOps {
       .agg(argMax1(col("cs"), col("cid")).as("w"))
       .select(col("vec_id"), col("w").getField("cs").as("cs"),
         col("w").getField("cid").as("cid"))
-    winners.groupBy(col("vec_id")).agg(argTop2(col("cs"), col("cid")).as("t2"))
+    // Region emission (round 14): the ≤p explored cells' winners rank
+    // into ONE ArgTopN pass; `cell` is the overall argmax, `probes` the
+    // ranked extra regions 2..p each carrying its cross-REGION margin
+    // s1 − s_r — how much better the home region's best centroid fits
+    // than region r's — the boundary-ness the margin-gated probe search
+    // keys on, per region. cell2/mgn stay as the rank-2 columns (the
+    // hot-cell split key and the margin-distribution stat).
+    val s1 = col("tops").getItem(0).getField("cs")
+    winners.groupBy(col("vec_id")).agg(argTopN(col("cs"), col("cid")).as("tops"))
+      .crossJoin(broadcast(pb))
       .select(col("vec_id"),
-        col("t2").getField("cell").as("cell"),
-        col("t2").getField("cell2").as("cell2"),
-        // cross-REGION margin: cell and cell2 are different level-2
-        // cells' winners, so s1 − s2 measures how much better the home
-        // region's best centroid fits than the other region's — the
-        // boundary-ness the margin-gated nprobe=2 search keys on
-        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
+        col("tops").getItem(0).getField("cid").as("cell"),
+        get(col("tops"), lit(1)).getField("cid").as("cell2"),
+        (s1 - get(col("tops"), lit(1)).getField("cs")).as("mgn"),
+        transform(
+          filter(slice(col("tops"), lit(2), (col("p") - 1).cast(IntegerType)),
+            t => t.isNotNull),
+          t => struct(t.getField("cid").as("pc"),
+            (s1 - t.getField("cs")).as("mgn"))).as("probes"))
   }
 
   /** Nearest- and second-nearest-centroid assignment by cosine (spherical
@@ -1204,6 +1325,7 @@ object VectorOps {
         col("t2").getField("cell").as("cell"),
         col("t2").getField("cell2").as("cell2"),
         (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
+      .withColumn("probes", rankTwoProbes)
 
   /** Refined join key over an IVF assignment: cells at or under CELL_CAP
     * keep the plain cell id; hot cells split by the second-nearest
@@ -1217,7 +1339,9 @@ object VectorOps {
       .withColumn("ck", when(col("cn") > CELL_CAP,
         concat_ws(":", col("cell"), coalesce(col("cell2"), col("cell"))))
         .otherwise(col("cell").cast(StringType)))
-      .select(col("vec_id"), col("cell"), col("cell2"), col("mgn"), col("ck"))
+      // pass the chain's own columns through (the IMI chain adds the
+      // derived-width probe list); only the size scratch column drops
+      .select(assign.columns.map(col) :+ col("ck"): _*)
   }
 
   /** Deterministic IVF cell assignments: k-means seeds = the first vec_ids,
@@ -1562,7 +1686,6 @@ object VectorOps {
     // pays — or legitimizes — the quadratic flat assignment.
     "ann_recall" -> ((s, dir) => {
       register(s)
-      val emb = augmented(s, dir)
       // round 12: truth carries the cosine BAND — the blended recall over
       // all ≥COS_T pairs is composition-dominated at scale (a 64-dim
       // corpus's random geometric tail at barely-COS_T grows with n·s
@@ -1575,15 +1698,32 @@ object VectorOps {
       // floors, the historical record) and the duplicate-band recall with
       // its own floor (the quality-at-scale contract — flat at 1.0
       // through 10⁷, see SCALE.md).
-      val truth = ScratchCache.register(anchoredCosinePairs(emb, COS_T)
-        .select(col("i"), col("j"), (col("cos") >= ANN_T).as("is_dup")).persist())
+      // round 14: truth and anchors are the shared per-(session, corpus)
+      // cached governance tables — one maintained fixture serves this
+      // gate, the near-twin gate's superset corpus twin, the margin
+      // sweep, and the band decomposition (the round-13 verdict's
+      // bench-cost item); is_dup derives from the exact cosine by
+      // projection, so the gate's rows are bit-identical to the
+      // per-query-built round-13 chain
+      val truth = sharedAnnTruth(s, dir)
+        .select(col("i"), col("j"), (col("cos") >= ANN_T).as("is_dup"))
       // the same anchor set the truth side samples (same universe → same
       // broadcast-derived modulus → identical membership)
-      val anchors = ScratchCache.register(
-        AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
-          .filter(col("is_anchor")).select(col("vec_id")).persist())
+      val anchors = sharedAnnAnchors(s, dir)
       val sigs = sharedLshSigs(s, dir)
-      val ivfCand = anchorCandidates(sharedCoarseAssign(s, dir), "ck", anchors)
+      // round 14: the four anchor-candidate relations are cached per
+      // (session, corpus) WITH the indexes they derive from — an anchored
+      // recall estimate is maintained state in a production governance
+      // pipeline (fixed anchor set, relation changes only when the index
+      // does), and the decomposed warm cost of these gates was almost
+      // entirely the ~10-stage self-join plans re-run per evaluation
+      // (GovProbe round 14: 8.7 s for one probe-candidate action over an
+      // 8000-row cached assignment — stage overhead, not data). Tiny
+      // tables (O(s·cell) rows); the sweep/spec seams keep calling the
+      // uncached builders, so the cache can never mask a drift between
+      // the two.
+      val ivfCand = CorpusCache.getOrBuild(s, s"candivf:$dir")(
+        anchorCandidates(sharedCoarseAssign(s, dir), "ck", anchors))
       // round 13 (round-12 verdict #3): the BLENDED recall is a
       // composition-sensitive DIAGNOSTIC, not a gated floor — at 10⁶⁺ the
       // random geometric tail dominates n_true and the blended number
@@ -1616,12 +1756,12 @@ object VectorOps {
       recallRow("ivf", ivfCand)
         // round 10: the imi row audits the nprobe=2 candidate shape the
         // sim_ann_ivf_imi gate actually searches (probeVerifiedPairs)
-        .unionByName(recallRow("ivf_imi",
-          probeAnchorCandidates(sharedImiAssign(s, dir), anchors)))
-        .unionByName(recallRow("lsh",
-          anchorCandidates(sigs, "bucket", anchors)))
-        .unionByName(recallRow("lsh_multiprobe",
-          multiprobeAnchorCandidates(sigs, anchors)))
+        .unionByName(recallRow("ivf_imi", CorpusCache.getOrBuild(s, s"candimi:$dir")(
+          probeAnchorCandidates(sharedImiAssign(s, dir), anchors))))
+        .unionByName(recallRow("lsh", CorpusCache.getOrBuild(s, s"candlsh:$dir")(
+          anchorCandidates(sigs, "bucket", anchors))))
+        .unionByName(recallRow("lsh_multiprobe", CorpusCache.getOrBuild(s, s"candmp:$dir")(
+          multiprobeAnchorCandidates(sigs, anchors))))
     }),
 
     // Near-twin recall governance (round 13 — the round-12 verdict's top
@@ -1645,11 +1785,8 @@ object VectorOps {
     // assignments are cached per (session, corpus) like every index.
     "ann_recall_neartwin" -> ((s, dir) => {
       register(s)
-      val emb = ntAugmented(s, dir)
-      val truth = ScratchCache.register(anchoredNtTruthBands(s, dir).persist())
-      val anchors = ScratchCache.register(
-        AnchorSample.withAnchors(emb.select(col("vec_id")), col("vec_id"))
-          .filter(col("is_anchor")).select(col("vec_id")).persist())
+      val truth = anchoredNtTruthBands(s, dir)
+      val anchors = sharedNtAnchors(s, dir)
       def bandRows(method: String, cand: DataFrame): DataFrame =
         truth.join(cand.withColumn("hit", lit(1L)), Seq("i", "j"), "left")
           .groupBy(col("band"))
@@ -1665,9 +1802,12 @@ object VectorOps {
             when(col("band") === "a_dup",
               col("n_found").cast(DoubleType) / col("n_true") >= RECALL_DUP_T)
               .otherwise(lit(true)).as("band_ok"))
-      bandRows("ivf", anchorCandidates(sharedCoarseAssignNt(s, dir), "ck", anchors))
-        .unionByName(bandRows("ivf_imi",
-          probeAnchorCandidates(sharedImiAssignNt(s, dir), anchors)))
+      // the same maintained-candidate discipline as `ann_recall` (the
+      // sweep/spec seams audit the uncached builders)
+      bandRows("ivf", CorpusCache.getOrBuild(s, s"candivfnt:$dir")(
+        anchorCandidates(sharedCoarseAssignNt(s, dir), "ck", anchors)))
+        .unionByName(bandRows("ivf_imi", CorpusCache.getOrBuild(s, s"candimint:$dir")(
+          probeAnchorCandidates(sharedImiAssignNt(s, dir), anchors))))
     }),
 
     // IVF under a COARSE QUANTIZER — the billion-vector assignment shape.
@@ -2171,8 +2311,7 @@ object VectorOps {
          |imi_probes AS (
          |  SELECT vec_id, cell AS pc FROM massign
          |  UNION ALL
-         |  SELECT vec_id, cell2 AS pc FROM massign
-         |  WHERE cell2 IS NOT NULL AND mgn <= $PROBE_MARGIN_T),
+         |  SELECT vec_id, pc FROM mprobes WHERE mgn <= $PROBE_MARGIN_T),
          |imi_cand AS (
          |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
          |    greatest(p.vec_id, t.vec_id) AS j
@@ -2266,8 +2405,7 @@ object VectorOps {
          |imi_probes AS (
          |  SELECT vec_id, cell AS pc FROM massign
          |  UNION ALL
-         |  SELECT vec_id, cell2 AS pc FROM massign
-         |  WHERE cell2 IS NOT NULL AND mgn <= $PROBE_MARGIN_T),
+         |  SELECT vec_id, pc FROM mprobes WHERE mgn <= $PROBE_MARGIN_T),
          |imi_cand AS (
          |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
          |    greatest(p.vec_id, t.vec_id) AS j
@@ -2317,8 +2455,7 @@ object VectorOps {
          |probes AS (
          |  SELECT vec_id, cell AS pc FROM massign
          |  UNION ALL
-         |  SELECT vec_id, cell2 AS pc FROM massign
-         |  WHERE cell2 IS NOT NULL AND mgn <= $PROBE_MARGIN_T),
+         |  SELECT vec_id, pc FROM mprobes WHERE mgn <= $PROBE_MARGIN_T),
          |cand AS (
          |  SELECT DISTINCT least(p.vec_id, t.vec_id) AS i,
          |    greatest(p.vec_id, t.vec_id) AS j
@@ -2565,6 +2702,15 @@ object VectorOps {
     s"""${p}nk AS (
        |  SELECT greatest($MIN_CENTROIDS,
        |    CAST(ceil(count(*) / $TARGET_CELL) AS BIGINT)) AS k FROM $univ),
+       |${p}pq AS (
+       |  SELECT least($PROBE_CAP, greatest(2,
+       |    CASE WHEN (c-1)*(c-1)*(c-1)*(c-1) >= k THEN c-1
+       |         WHEN c*c*c*c >= k THEN c ELSE c+1 END)) AS p
+       |  FROM (SELECT k, CAST(round(pow(CAST(k AS DOUBLE), 0.25)) AS BIGINT) AS c
+       |        FROM ${p}nk)),
+       |${p}bw AS (
+       |  SELECT least($L1_BEAM_CAP,
+       |    CAST(ceil(sqrt(CAST(p AS DOUBLE))) AS BIGINT)) AS b1 FROM ${p}pq),
        |${p}k1 AS (
        |  SELECT CASE WHEN (c-1)*(c-1)*(c-1) >= k THEN c-1
        |              WHEN c*c*c >= k THEN c ELSE c+1 END AS k
@@ -2612,7 +2758,7 @@ object VectorOps {
        |      ORDER BY ${dSql("a.embedding", "c.e1")} / (a.nrm * c.n1) DESC,
        |        c.g1 ASC) AS rn
        |    FROM $univ a CROSS JOIN ${p}l1ne c)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= (SELECT b1 FROM ${p}bw)),
        |${p}v2 AS (
        |  SELECT vec_id, g2 FROM (
        |    SELECT v.vec_id, b.g2, row_number() OVER (
@@ -2621,7 +2767,7 @@ object VectorOps {
        |        b.g2 ASC) AS rn
        |    FROM ${p}v1 v JOIN $univ ax ON ax.vec_id = v.vec_id
        |    JOIN ${p}l2ne b ON b.g1 = v.g1)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= (SELECT p FROM ${p}pq)),
        |${p}fw AS (
        |  SELECT vec_id, g2, cid, cs FROM (
        |    SELECT v.vec_id, v.g2, f.cid,
@@ -2633,16 +2779,21 @@ object VectorOps {
        |    FROM ${p}v2 v JOIN $univ ax ON ax.vec_id = v.vec_id
        |    JOIN ${p}fgrp f ON f.g2 = v.g2)
        |  WHERE rn = 1),
+       |${p}rw AS (
+       |  SELECT vec_id, cid, cs,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn,
+       |    max(cs) OVER (PARTITION BY vec_id) AS s1
+       |  FROM ${p}fw),
+       |${p}probes AS (
+       |  SELECT vec_id, cid AS pc, s1 - cs AS mgn FROM ${p}rw
+       |  WHERE rn >= 2 AND rn <= (SELECT p FROM ${p}pq)),
        |${p}assign AS (
        |  SELECT vec_id,
        |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
        |    max(CASE WHEN rn = 2 THEN cid END) AS cell2,
        |    max(CASE WHEN rn = 1 THEN cs END)
        |      - max(CASE WHEN rn = 2 THEN cs END) AS mgn
-       |  FROM (
-       |    SELECT vec_id, cid, cs, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-       |    FROM ${p}fw)
+       |  FROM ${p}rw
        |  WHERE rn <= 2 GROUP BY vec_id),
        |${p}cellsz AS (SELECT cell, count(*) AS cn FROM ${p}assign GROUP BY cell),
        |${p}rk AS (

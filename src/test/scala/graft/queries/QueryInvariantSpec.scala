@@ -211,6 +211,46 @@ class QueryInvariantSpec extends SparkSpec {
       "the second probe must add planted-band recall over home-only search")
   }
 
+  test("derived probe width: the k^(1/4) law is integer-exact, clamps at " +
+    "its capacity, and lands on the round-13 shape at every gate k") {
+    // Round 14 (the round-13 verdict's top item): nprobe derives from the
+    // cell count — p = min(PROBE_CAP, max(2, ⌈k^(1/4)⌉)), b1 = min(8, ⌈√p⌉)
+    // — so the probe width a 10⁹-vector index needs can never silently
+    // regress to the fixed two-region probe whose 10⁷ emission-band
+    // ceiling (0.9217) sat under the 0.95 floor. The ER q=7 discipline:
+    // the law is pinned EXECUTABLY against injected k frames, spanning
+    // the gate fixtures (k = 16 → the round-13 p = 2 shape, which is why
+    // every gate hash survived this round unchanged), the measured probe
+    // tiers, exact fourth powers (the libm-snap boundary), and the
+    // capacity clamps.
+    import spark.implicits._
+    def pb(k: Long): (Long, Long) = {
+      val r = VectorOps.probeWidth(Seq(k).toDF("k")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(pb(16L) === ((2L, 2L)), "gate fixtures: the round-13 probe shape")
+    assert(pb(80L) === ((3L, 2L)))
+    assert(pb(2401L) === ((7L, 3L)), "exact fourth power: 7^4 must give 7, not 8")
+    assert(pb(2402L) === ((8L, 3L)))
+    assert(pb(19532L) === ((12L, 4L)), "the 10^7 augmented tier")
+    assert(pb(39063L) === ((15L, 4L)), "the 10^7 near-twin tier")
+    assert(pb(65536L) === ((16L, 4L)), "capacity clamp engages")
+    assert(pb(2000000L) === ((16L, 4L)), "clamped at PROBE_CAP past 10^9 vectors")
+    // the emitted probe list obeys the law on the fixture: ranked extra
+    // regions only (home excluded), margins non-negative and monotone,
+    // and rank-2 consistent with the compat columns (cell2, mgn)
+    VectorOps.register(spark)
+    val assign = VectorOps.sharedImiAssign(spark, dir)
+    val bad = assign.filter(size($"probes") > 0).filter(
+      $"probes".getItem(0).getField("pc") =!= $"cell2" ||
+        abs($"probes".getItem(0).getField("mgn") - $"mgn") > 1e-15 ||
+        exists($"probes", p => p.getField("mgn") < 0) ||
+        exists($"probes", p => p.getField("pc") === $"cell")).count()
+    assert(bad === 0L, "probe list must rank extra regions consistently with cell2/mgn")
+    val wide = assign.filter(size($"probes") > 1).count()
+    assert(wide === 0L, "at the fixture's k = 16 the derived p = 2 caps the list at one region")
+  }
+
   test("margin-gated nprobe=2: the gate only ever removes clear-winner " +
     "probes, and holds the anchored recall at this fixture") {
     // round 11 (the FAISS refinement discipline): only boundary vectors
