@@ -55,6 +55,42 @@ object Bench {
       Vector.fill(3)(once()).sorted.apply(1)
     }
 
+    // Second, I/O-flavored calibration scalar (round-15 verdict #5): the
+    // xxhash kernel is pure codegen CPU, and the r14 driver box proved it
+    // OVER-corrects shuffle/IO-bound suites (calib 3.607 = "2× slower"
+    // while the raw bench total FELL — a −54% normalized trend where the
+    // quiet same-code decomposition measured −18%). This kernel is a
+    // fixed parquet scan + full-row shuffle + aggregate over a synthetic
+    // table written untimed to local scratch (data/sf-independent):
+    // 32M × (id, hash) rows ≈ a few hundred MB scanned and ~0.5 GB
+    // shuffled per pass. Cross-round comparisons read the PAIR — the two
+    // scalars bound the correction band for mixed workloads instead of
+    // point-estimating it from CPU alone.
+    val calibIoSec = {
+      import org.apache.spark.sql.functions.{col, count, spark_partition_id, sum, xxhash64}
+      val dir = java.nio.file.Files.createTempDirectory("graft-calib-io")
+      val path = dir.resolve("t").toString
+      try {
+        spark.range(32L * 1000 * 1000)
+          .select(col("id"), xxhash64(col("id")).as("h"))
+          .write.mode("overwrite").parquet(path)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          spark.read.parquet(path)
+            .repartition(64, col("h"))
+            .groupBy(spark_partition_id().as("p"))
+            .agg(count(col("id")).as("n"), sum(col("h") % 1000000L).as("s"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        Vector.fill(3)(once()).sorted.apply(1)
+      } finally {
+        try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+        catch { case _: Throwable => () }
+      }
+    }
+
     // Two passes, min per query — EXCEPT the headline set (3 samples,
     // median — see below) and queries whose first pass lands under 0.2 s,
     // which keep their single cold sample. A single-shot
@@ -175,7 +211,7 @@ object Bench {
     val headlineStat = if (passes <= 1) "single_pass" else s"median_of_$lastPass"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"sf":"$sfDir","headline_stat":"$headlineStat","calib_sec":${ms3(calibSec)},"baseline_tags":$tagJson,"headline_samples":$sampJson,"queries":${fmt(results)}}""")
+      s"""{"sf":"$sfDir","headline_stat":"$headlineStat","calib_sec":${ms3(calibSec)},"calib_io_sec":${ms3(calibIoSec)},"baseline_tags":$tagJson,"headline_samples":$sampJson,"queries":${fmt(results)}}""")
     catch { case _: Throwable => () }
     // a renamed/removed headline query must fail loudly, not silently drop
     // out of the stdout JSON the driver parses
@@ -184,7 +220,7 @@ object Bench {
       s"bench headline names not in query set: $missing")
     val qs = fmt(results.filter(r => headline(r._1)))
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"calib_sec":${ms3(calibSec)},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"calib_sec":${ms3(calibSec)},"calib_io_sec":${ms3(calibIoSec)},"queries":$qs,"sf":"$sfDir"}"""
     // the driver parses the last ~2000 stdout chars; an overgrown headline
     // set must fail the build here, not silently come back parsed:null
     require(line.length <= 2000, s"bench stdout line ${line.length} chars > 2000")

@@ -32,6 +32,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   * (ord, id) order is total and the top-2 is unique regardless of row
   * arrival or partial-merge order — the oracle's row_number twin is
   * replayed exactly.
+  *
+  * FINITE-INPUT PRECONDITION: a NaN ord loses every GreaterThan here
+  * (ranks last) while the row_number twins sort NaN FIRST under ORDER BY
+  * ord DESC — the two spellings disagree on NaN input. Unreachable from
+  * the cosine chains (Spark's Divide nulls on zero norms, and null ords
+  * are skipped), so this declarative spelling documents the precondition
+  * rather than paying an IsNaN branch per candidate row in its hottest
+  * path; the imperative [[ArgTopN]] skips NaN like null in update().
   */
 case class ArgTop2(ord: Expression, id: Expression) extends DeclarativeAggregate {
 

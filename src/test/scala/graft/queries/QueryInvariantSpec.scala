@@ -234,8 +234,27 @@ class QueryInvariantSpec extends SparkSpec {
     assert(pb(2402L) === ((8L, 3L)))
     assert(pb(19532L) === ((12L, 4L)), "the 10^7 augmented tier")
     assert(pb(39063L) === ((15L, 4L)), "the 10^7 near-twin tier")
-    assert(pb(65536L) === ((16L, 4L)), "capacity clamp engages")
-    assert(pb(2000000L) === ((16L, 4L)), "clamped at PROBE_CAP past 10^9 vectors")
+    // round 15: PROBE_CAP lifted 16 → 32 (the old cap saturated the law at
+    // k = 65536 ≈ 7·10^7 vectors, an order of magnitude under the 10^9
+    // regime it cites) — these frames span the old clamp, the new exact
+    // fourth-power boundary, and the new clamp
+    assert(pb(65536L) === ((16L, 4L)), "the old cap's k: the law now passes through")
+    assert(pb(65537L) === ((17L, 5L)), "first k past the old clamp")
+    assert(pb(1048576L) === ((32L, 6L)), "exact fourth power 32^4: the 10^9-vector regime")
+    assert(pb(1048577L) === ((32L, 6L)), "capacity clamp engages")
+    assert(pb(4000000000L) === ((32L, 6L)), "clamped at PROBE_CAP past 10^12 vectors")
+    // the PLAN-STATIC twin (buffer-width law) must agree with the Column
+    // law at every corpus size — buffer width == runtime slice width is
+    // what lets the ArgTopN beams size to the tier instead of the ceiling.
+    // n frames chosen so k crosses the MIN_CENTROIDS floor, the gate
+    // shape, both measured probe tiers, and both clamps.
+    for (n <- Seq(1L, 2000L, 16384L, 200000L, 20000000L, 40000000L,
+        67108864L, 1073741824L, 2000000000L)) {
+      val k = math.max(16L, (n + 1023L) / 1024L)
+      assert(VectorOps.staticProbeWidth(n) ===
+        ((pb(k)._1.toInt, pb(k)._2.toInt)),
+        s"static/Column probe-width law drift at n=$n (k=$k)")
+    }
     // the emitted probe list obeys the law on the fixture: ranked extra
     // regions only (home excluded), margins non-negative and monotone,
     // and rank-2 consistent with the compat columns (cell2, mgn)
