@@ -85,7 +85,16 @@ object Components {
         .getFileSystem(ses.sessionState.newHadoopConf())
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-cc-edges-$nonce")
       val fin = new org.apache.hadoop.fs.Path(s"$dir/cc-edges-$nonce")
-      observed.write.mode("overwrite").parquet(tmp.toString)
+      // small row groups (the repo's 8 MB local-split discipline): the
+      // default 128 MB block size hands every reader task a row-group-
+      // sized decompression buffer — 32 concurrent readers of the 50M-name
+      // closure's edge files OOMed a default 8 GB heap on exactly that
+      // (round-15 measurement); a row group is also the unsplittable unit,
+      // so small groups are what lets maxPartitionBytes spread the
+      // per-pass edge scans across cores at all
+      observed.write.mode("overwrite")
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .parquet(tmp.toString)
       require(fs.rename(tmp, fin), s"cc staged publish: rename $tmp -> $fin failed")
       fin
     }

@@ -146,7 +146,15 @@ object CorpusCache {
         if (strays != null) strays.foreach(st => fs.delete(st.getPath, true))
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-$safe-$nonce")
         val fin = new org.apache.hadoop.fs.Path(s"$dir/$safe-$nonce")
-        df.write.mode("overwrite").parquet(tmp.toString)
+        // small row groups (8 MB, the repo's local-split discipline): a
+        // row group is the reader's decompression-buffer unit AND the
+        // unsplittable scan unit — default 128 MB groups handed 32
+        // concurrent readers of a staged 50M-name edge set ~4-8 GB of
+        // transient buffers (OOMed the default heap, round-15 ER probe)
+        // and would cap scan parallelism at the file count
+        df.write.mode("overwrite")
+          .option("parquet.block.size", 8L * 1024 * 1024)
+          .parquet(tmp.toString)
         require(fs.rename(tmp, fin),
           s"CorpusCache staged publish: rename $tmp -> $fin failed")
         s.read.parquet(fin.toString)
