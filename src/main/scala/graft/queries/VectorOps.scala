@@ -836,18 +836,30 @@ object VectorOps {
       assign: DataFrame): DataFrame = {
     // round 15: each side also carries its ASSIGNMENT SCORE s1 = cos(v,
     // c(v)) and its sine — the angular-prune anchor (computed once per
-    // ROW, before the pair-scan exchange, never per candidate). See
-    // [[anglePruneKeep]] for the algebra; within one cell key both
-    // directions of the anchor argument hold (c(u) and c(v) both live in
-    // the joined cell), so the symmetric spelling applies.
+    // ROW, before the pair-scan exchange, never per candidate). Within
+    // one cell key both directions of the anchor argument hold (c(u) and
+    // c(v) both live in the joined cell), so the symmetric spelling
+    // applies — and the keep test is a pure WINDOW in the other side's
+    // score, so the join keys on (ck, band): the left side carries its
+    // quartile band, the right side explodes over exactly the bands its
+    // window intersects ([[bandRange]]), and out-of-window candidate
+    // pairs are never materialized. Every keepable pair still meets: if
+    // f(su) clears the threshold then su lies in v's window, so band(u)
+    // is in v's exploded list — BOTH orderings materialize and i < j
+    // picks one, exactly as in the unbanded join.
     val sk = sharedPairSketch(s, dir)
       .join(assign.select(col("vec_id"), col("ck"), col("s1")), Seq("vec_id"))
       .withColumn("sn", sinFromCos(col("s1")))
-    val l = sk.select(col("ck"), col("vec_id").as("i"), col("hd").as("ha"),
-      col("tn").as("ta"), col("nrm").as("na"), col("s1").as("su"), col("sn").as("snu"))
-    val r = sk.select(col("ck"), col("vec_id").as("j"), col("hd").as("hb"),
-      col("tn").as("tb"), col("nrm").as("nb"), col("s1").as("sv"), col("sn").as("snv"))
-    val cand = l.join(r, Seq("ck")).filter(col("i") < col("j"))
+    val bnd = bandBoundaries(assign, "ck", "ck")
+    val l = sk.join(bnd, Seq("ck"))
+      .select(col("ck"), bandOf(col("s1")).as("band"), col("vec_id").as("i"),
+        col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"),
+        col("s1").as("su"), col("sn").as("snu"))
+    val r = sk.join(bnd, Seq("ck"))
+      .select(col("ck"), bandRange(col("s1"), col("sn")).as("band"),
+        col("vec_id").as("j"), col("hd").as("hb"), col("tn").as("tb"),
+        col("nrm").as("nb"), col("s1").as("sv"), col("sn").as("snv"))
+    val cand = l.join(r, Seq("ck", "band")).filter(col("i") < col("j"))
       // tier 0 (scalar, short-circuits tier 1's 16-d dot): cos(u,v) ≤
       // cos(θ_u − θ_v) by the angular triangle inequality around the
       // shared cell anchor — prune when even that ceiling misses ANN_T
@@ -866,6 +878,71 @@ object VectorOps {
   private def sinFromCos(c: Column): Column =
     sqrt(greatest(lit(0.0d), lit(1.0d) - c * c))
 
+  /** Band-split probe join (round 15 — the materialization half of the
+    * angular prune): the tier-0 keep test is, for a fixed prober, a pure
+    * WINDOW in the member's own anchor score sv — f(sv) = sr·sv +
+    * sin·sin = cos(θ_r − θ_v) is unimodal with its peak at sv = sr, so
+    * the keepable members are exactly sv ∈ [cos(θ_r + W), cos(θ_r − W)]
+    * with W = acos(ANN_T). Splitting each cell's members into quartile
+    * BANDS of sv (three per-cell boundaries, a k-row broadcast) and
+    * keying the pair join on (cell, band) lets each probe row join ONLY
+    * the bands its window intersects — the same algebra as the scalar
+    * prune, moved from the filter into the equi-join key, so the pruned
+    * volume is never MATERIALIZED by the join at all (at 39k-cell tiers
+    * the τ margin gate admits 96% of rank-2 probes, so join-output
+    * volume — not dot work — is the binding term; SCALE.md round 15).
+    * Output-invariant by the same superset argument as the prune: a band
+    * is skipped only when every sv in it fails the tier-0 window, and
+    * tier-0 is a true upper bound of the exact cosine. [[BAND_PAD]]
+    * absorbs double rounding between the probe-side window arithmetic
+    * and the per-candidate filter.
+    */
+  private val BAND_PCTS = Seq(0.25d, 0.5d, 0.75d)
+  private val BAND_PAD = 1e-12
+
+  /** Per-cell quantile boundaries of the member anchor scores: one
+    * broadcastable row per join key — `key` renamed to `as` — carrying
+    * `qs` = [q1, q2, q3]. Derived from the (cached) assignment, so the
+    * extra cost is one O(n)→k aggregate per consumer, paid once per
+    * pair scan it guards.
+    */
+  private def bandBoundaries(assign: DataFrame, key: String, as: String): DataFrame =
+    broadcast(assign.groupBy(col(key).as(as))
+      .agg(percentile(col("s1"), array(BAND_PCTS.map(lit): _*)).as("qs")))
+
+  /** Member-side band of an anchor score against the joined `qs`
+    * boundaries: band b = (q_b, q_{b+1}], open below, with band 0
+    * unbounded below and band 3 unbounded above.
+    */
+  private def bandOf(sv: Column): Column =
+    when(sv > col("qs").getItem(2), lit(3))
+      .when(sv > col("qs").getItem(1), lit(2))
+      .when(sv > col("qs").getItem(0), lit(1))
+      .otherwise(lit(0))
+
+  /** Probe-side band list: the contiguous run of bands whose sv interval
+    * intersects the prober's keep window [lo, hi] = cos(θ_r ± acos(T)).
+    * minb = first band whose UPPER boundary reaches lo, maxb = last band
+    * whose LOWER boundary stays under hi; q1 ≤ q2 ≤ q3 and lo ≤ hi make
+    * minb ≤ maxb always (if minb > 0 then q_minb < lo ≤ hi, which forces
+    * maxb ≥ minb), so the sequence is never empty or descending.
+    */
+  private def bandRange(sc: Column, sn: Column): Column = {
+    val cw = ANN_T - BOUND_EPS
+    val sw = math.sqrt(math.max(0.0, 1.0 - cw * cw))
+    val lo = sc * lit(cw) - sn * lit(sw) - lit(BAND_PAD)
+    val hi = sc * lit(cw) + sn * lit(sw) + lit(BAND_PAD)
+    val minb = when(col("qs").getItem(0) >= lo, lit(0))
+      .when(col("qs").getItem(1) >= lo, lit(1))
+      .when(col("qs").getItem(2) >= lo, lit(2))
+      .otherwise(lit(3))
+    val maxb = when(col("qs").getItem(2) <= hi, lit(3))
+      .when(col("qs").getItem(1) <= hi, lit(2))
+      .when(col("qs").getItem(0) <= hi, lit(1))
+      .otherwise(lit(0))
+    explode(sequence(minb, maxb))
+  }
+
   /** nprobe=2 verified pairs over an IVF assignment — the probe-search
     * shape shared by `sim_ann_ivf_probe` (coarse chain) and, round 10,
     * `sim_ann_ivf_imi` (the three-level chain's production search: a
@@ -881,16 +958,26 @@ object VectorOps {
     * join; the distinct runs over bound survivors (O(near-dups)); tier-2
     * rescores exactly ([[rescoreExact]]).
     */
-  private def probeVerifiedPairs(s: SparkSession, dir: String,
+  private[queries] def probeVerifiedPairs(s: SparkSession, dir: String,
       assign: DataFrame): DataFrame = {
     val sk = sharedPairSketch(s, dir)
       .join(assign.select(col("vec_id"), col("cell"), col("s1"), col("probes")),
         Seq("vec_id"))
-    // Each probe row carries sr = the prober's score OF THE REGION IT
-    // SEARCHES — s1 for the home region, s1 − mgn_r for a ranked extra
-    // region (both exactly the chain's max-cos over that region's
-    // codebook) — plus its sine, computed once per probe ROW (round 15:
-    // the anchors of the angular prune below).
+    val bnd = bandBoundaries(assign, "cell", "pc")
+    // Each probe row carries sr = the prober's cosine TO THE PROBED
+    // CELL'S OWN FINE CENTROID — s1 for the home region, s1 − mgn_r for
+    // a ranked extra region. Both are EXACT, not upper bounds: regions
+    // are single fine cells in every chain (the coarse chain's probe is
+    // the runner-up fine centroid with s2 = cos(u, c_pc); the IMI
+    // chain's ranked regions are per-explored-cell fine WINNERS, each
+    // carrying cs = cos(u, c_pc) — see [[imiAssignments]]'s region
+    // emission), and a member v of cell pc scores sv = cos(v, c_pc)
+    // against the SAME centroid. The prune anchor is therefore shared
+    // and exact on both sides, so the symmetric angular test applies to
+    // every ordering — the round-15 first cut's `sv ≤ sr` vacuous-keep
+    // escape (needed only if sr merely bounded cos(u, c_pc) from above)
+    // is unnecessary, and each probe row's keepable members form a pure
+    // sv WINDOW, which is what lets the join key on (cell, band).
     val probes = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
         col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"),
         col("s1").as("sr"))
@@ -911,27 +998,32 @@ object VectorOps {
           col("ha"), col("ta"), col("na"),
           (col("s1") - col("pr").getField("mgn")).as("sr")))
       .withColumn("snr", sinFromCos(col("sr")))
+      // band-split (round 15, second cut): explode each probe row over
+      // exactly the member bands its keep window intersects, so the join
+      // below never materializes out-of-window candidates — the prune
+      // moves from the filter into the equi-join key ([[bandRange]]).
+      .join(bnd, Seq("pc"))
+      .select(col("pc"), bandRange(col("sr"), col("snr")).as("band"),
+        col("u"), col("ha"), col("ta"), col("na"), col("sr"), col("snr"))
     val home = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
-      col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"),
-      col("s1").as("sv"), sinFromCos(col("s1")).as("snv"))
+        col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"),
+        col("s1").as("sv"), sinFromCos(col("s1")).as("snv"))
+      .join(bnd, Seq("pc"))
+      .withColumn("band", bandOf(col("sv")))
+      .drop("qs")
     // Tier-0 angular prune (round 15 — the derived width's cost lever,
-    // output-invariant by algebra): anchor at the MEMBER's winning
-    // centroid c(v), which lives in the probed region, so cos(u, c(v)) ≤
-    // sr and θ(u, c(v)) ≥ acos(sr), while θ(v, c(v)) = acos(sv) exactly.
-    // When sv > sr the angular triangle inequality gives θ(u,v) ≥
-    // acos(sr) − acos(sv) > 0, hence cos(u,v) ≤ sr·sv + sin·sin — prune
-    // when even that ceiling misses ANN_T. When sv ≤ sr the anchor sits
-    // no closer to v than to u and the bound is vacuous (kept). A pair
-    // whose exact cosine clears ANN_T therefore always survives: the
+    // output-invariant by algebra): sr·sv + sin·sin = cos(θ(u,c_pc) −
+    // θ(v,c_pc)) exactly, and cos(u,v) ≤ cos(Δθ) by the spherical
+    // triangle inequality around the shared anchor — prune when even
+    // that ceiling misses ANN_T. A pair whose exact cosine clears ANN_T
+    // always survives (its ceiling is at least its exact cosine), so the
     // verified OUTPUT is bit-identical to the unpruned search (the same
     // superset-safety as tier 1's Cauchy–Schwarz bound), every oracle
-    // twin replays unchanged, and only tier-1 dot work is saved — the
-    // conjunct order makes the 16-d dot short-circuit behind the scalar
-    // test.
-    val cand = probes.join(home, Seq("pc")).filter(col("u") =!= col("v"))
-      .filter((col("sv") <= col("sr") ||
-          col("sr") * col("sv") + col("snr") * col("snv") >=
-            lit(ANN_T) - lit(BOUND_EPS)) &&
+    // twin replays unchanged, and the conjunct order makes the 16-d dot
+    // short-circuit behind the scalar test.
+    val cand = probes.join(home, Seq("pc", "band")).filter(col("u") =!= col("v"))
+      .filter((col("sr") * col("sv") + col("snr") * col("snv") >=
+          lit(ANN_T) - lit(BOUND_EPS)) &&
         (dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
           lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS)))
       .select(least(col("u"), col("v")).as("i"),

@@ -637,10 +637,15 @@ class PlanShapeSpec extends SparkSpec {
     VectorOps.register(spark)
     val df = VectorOps.cellVerifiedPairs(spark, dir,
       VectorOps.sharedCoarseAssign(spark, dir))
+    // the candidate PAIR join: keyed on ck AND two-sided (both pair ids in
+    // its output) — the round-15 band split adds per-side boundary joins
+    // that also key on ck but are one-sided k-row broadcasts, not the pair
+    // space this pin guards
     def ckJoins(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
       p.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.condition.exists(_.references.exists(_.name == "ck")) => j
+            if j.condition.exists(_.references.exists(_.name == "ck")) &&
+              Set("i", "j").subsetOf(j.output.map(_.name).toSet) => j
       }
     val joins = ckJoins(df.queryExecution.optimizedPlan)
     assert(joins.nonEmpty, "pair scan must join on the refined cell key")

@@ -944,6 +944,76 @@ class QueryInvariantSpec extends SparkSpec {
       s"nprobe=2 lost ${(one -- two).size} nprobe=1 pairs")
   }
 
+  test("banded probe search equals the exact probe-space replay; the window " +
+      "join skips real bands") {
+    // round 15 second cut: the probe join keys on (cell, band) and each
+    // probe row explodes only over the member-score bands its angular keep
+    // window intersects. Two claims, both executed: (a) the banded search's
+    // verified output equals a full-precision replay of the entire probe
+    // candidate space (home ∪ margin-gated regions) with NO sketch, NO
+    // bands, NO tier-0 — the window may only ever skip candidates the
+    // exact rescore would discard; (b) the window is non-vacuous on this
+    // fixture — some probe rows join strictly fewer than all four bands.
+    VectorOps.register(spark)
+    def vdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("vec_dot", a, b)
+    val assign = VectorOps.sharedImiAssign(spark, dir)
+    val base = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val aug = base.unionByName(
+      base.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val n = aug.withColumn("nrm", sqrt(vdot(col("embedding"), col("embedding"))))
+    val probeSpace = assign.select($"vec_id".as("u"), $"cell".as("pc"))
+      .unionByName(assign
+        .select($"vec_id".as("u"), explode($"probes").as("pr"))
+        .filter($"pr.mgn" <= VectorOps.PROBE_MARGIN_T)
+        .select($"u", $"pr.pc".as("pc")))
+    val exact = probeSpace
+      .join(n.select($"vec_id".as("u"), $"embedding".as("ea"), $"nrm".as("na")), Seq("u"))
+      .join(assign.select($"cell".as("pc"), $"vec_id".as("v"))
+        .join(n.select($"vec_id".as("v"), $"embedding".as("eb"), $"nrm".as("nb")), Seq("v")),
+        Seq("pc"))
+      .filter($"u" =!= $"v")
+      .withColumn("cos", vdot($"ea", $"eb") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.999)   // = ANN_T
+      .select(least($"u", $"v").as("i"), greatest($"u", $"v").as("j"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = VectorOps.probeVerifiedPairs(spark, dir, assign)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted duplicate pairs")
+    assert(banded === exact,
+      s"lost ${(exact -- banded).size}, gained ${(banded -- exact).size}")
+    // (b) real skipping: recompute each probe row's joined-band count from
+    // the quartile boundaries and the window algebra (the test-side twin of
+    // bandRange); on a random 64-d fixture the ±acos(0.999) ≈ 2.56° window
+    // is far narrower than a cell's angular extent, so many probe rows must
+    // join a strict subset of the bands.
+    val bnd = assign.groupBy($"cell".as("pc"))
+      .agg(percentile($"s1", array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+    val cw = 0.999 - 1e-9
+    val sw = math.sqrt(1.0 - cw * cw)
+    val pr = assign.select($"cell".as("pc"), $"s1".as("sr"))
+      .unionByName(assign.select(explode($"probes").as("p"), $"s1")
+        .filter($"p.mgn" <= VectorOps.PROBE_MARGIN_T)
+        .select($"p.pc".as("pc"), ($"s1" - $"p.mgn").as("sr")))
+      .join(bnd, Seq("pc"))
+      .withColumn("snr", sqrt(greatest(lit(0.0), lit(1.0) - $"sr" * $"sr")))
+      .withColumn("lo", $"sr" * lit(cw) - $"snr" * lit(sw) - lit(1e-12))
+      .withColumn("hi", $"sr" * lit(cw) + $"snr" * lit(sw) + lit(1e-12))
+      .withColumn("minb",
+        when($"qs".getItem(0) >= $"lo", 0).when($"qs".getItem(1) >= $"lo", 1)
+          .when($"qs".getItem(2) >= $"lo", 2).otherwise(3))
+      .withColumn("maxb",
+        when($"qs".getItem(2) <= $"hi", 3).when($"qs".getItem(1) <= $"hi", 2)
+          .when($"qs".getItem(0) <= $"hi", 1).otherwise(0))
+    assert(pr.filter($"minb" > $"maxb").count() === 0,
+      "the band window must never be empty (minb ≤ maxb by construction)")
+    val narrowed = pr.filter($"maxb" - $"minb" < 3).count()
+    assert(narrowed > 0,
+      "the window join must skip at least one band for some probe row")
+  }
+
   test("quantized rescore output equals the exact IVF output") {
     // the int8 prefilter margin must dominate quantization error, so the
     // two-tier path may never lose (or add) a pair vs full-precision
