@@ -839,27 +839,22 @@ object VectorOps {
     // ROW, before the pair-scan exchange, never per candidate). Within
     // one cell key both directions of the anchor argument hold (c(u) and
     // c(v) both live in the joined cell), so the symmetric spelling
-    // applies — and the keep test is a pure WINDOW in the other side's
-    // score, so the join keys on (ck, band): the left side carries its
-    // quartile band, the right side explodes over exactly the bands its
-    // window intersects ([[bandRange]]), and out-of-window candidate
-    // pairs are never materialized. Every keepable pair still meets: if
-    // f(su) clears the threshold then su lies in v's window, so band(u)
-    // is in v's exploded list — BOTH orderings materialize and i < j
-    // picks one, exactly as in the unbanded join.
+    // applies. Deliberately NOT band-split ([[bandRange]]): a self-join
+    // has no small side to carry the band explode, so the ~1.9× row
+    // inflation would land on a full corpus-sized sketch exchange (+88%
+    // of ~16 GB at the 2×10⁸ tier — straight against the staged run's
+    // binding DISK budget) to cut join-output iteration that was never
+    // this scan's measured wall (the 10⁸ flagship ran 414 s end-to-end,
+    // r13). The probe search, whose probe side dwarfs its member side,
+    // is where the band key pays — see [[probeVerifiedPairs]].
     val sk = sharedPairSketch(s, dir)
       .join(assign.select(col("vec_id"), col("ck"), col("s1")), Seq("vec_id"))
       .withColumn("sn", sinFromCos(col("s1")))
-    val bnd = bandBoundaries(assign, "ck", "ck")
-    val l = sk.join(bnd, Seq("ck"))
-      .select(col("ck"), bandOf(col("s1")).as("band"), col("vec_id").as("i"),
-        col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"),
-        col("s1").as("su"), col("sn").as("snu"))
-    val r = sk.join(bnd, Seq("ck"))
-      .select(col("ck"), bandRange(col("s1"), col("sn")).as("band"),
-        col("vec_id").as("j"), col("hd").as("hb"), col("tn").as("tb"),
-        col("nrm").as("nb"), col("s1").as("sv"), col("sn").as("snv"))
-    val cand = l.join(r, Seq("ck", "band")).filter(col("i") < col("j"))
+    val l = sk.select(col("ck"), col("vec_id").as("i"), col("hd").as("ha"),
+      col("tn").as("ta"), col("nrm").as("na"), col("s1").as("su"), col("sn").as("snu"))
+    val r = sk.select(col("ck"), col("vec_id").as("j"), col("hd").as("hb"),
+      col("tn").as("tb"), col("nrm").as("nb"), col("s1").as("sv"), col("sn").as("snv"))
+    val cand = l.join(r, Seq("ck")).filter(col("i") < col("j"))
       // tier 0 (scalar, short-circuits tier 1's 16-d dot): cos(u,v) ≤
       // cos(θ_u − θ_v) by the angular triangle inequality around the
       // shared cell anchor — prune when even that ceiling misses ANN_T
@@ -879,23 +874,27 @@ object VectorOps {
     sqrt(greatest(lit(0.0d), lit(1.0d) - c * c))
 
   /** Band-split probe join (round 15 — the materialization half of the
-    * angular prune): the tier-0 keep test is, for a fixed prober, a pure
-    * WINDOW in the member's own anchor score sv — f(sv) = sr·sv +
-    * sin·sin = cos(θ_r − θ_v) is unimodal with its peak at sv = sr, so
-    * the keepable members are exactly sv ∈ [cos(θ_r + W), cos(θ_r − W)]
-    * with W = acos(ANN_T). Splitting each cell's members into quartile
-    * BANDS of sv (three per-cell boundaries, a k-row broadcast) and
-    * keying the pair join on (cell, band) lets each probe row join ONLY
-    * the bands its window intersects — the same algebra as the scalar
-    * prune, moved from the filter into the equi-join key, so the pruned
-    * volume is never MATERIALIZED by the join at all (at 39k-cell tiers
-    * the τ margin gate admits 96% of rank-2 probes, so join-output
-    * volume — not dot work — is the binding term; SCALE.md round 15).
-    * Output-invariant by the same superset argument as the prune: a band
-    * is skipped only when every sv in it fails the tier-0 window, and
-    * tier-0 is a true upper bound of the exact cosine. [[BAND_PAD]]
-    * absorbs double rounding between the probe-side window arithmetic
-    * and the per-candidate filter.
+    * angular prune): the tier-0 keep test is, for one side's score
+    * fixed, a pure WINDOW in the other side's score — f(x) = a·x +
+    * sin·sin = cos(θ_a − θ_x) is unimodal with its peak at x = a, so the
+    * keepable partners of a row with score a are exactly x ∈
+    * [cos(θ_a + W), cos(θ_a − W)] with W = acos(ANN_T). Quartile-banding
+    * one side's scores per cell (three per-cell boundaries, a k-row
+    * broadcast) and keying the pair join on (cell, band) — that side
+    * carries its own band, the OTHER side explodes over the bands its
+    * window intersects — means out-of-window candidates are never
+    * MATERIALIZED by the join at all: the same algebra as the scalar
+    * prune, moved from the filter into the equi-join key (at 39k-cell
+    * tiers the τ margin gate admits 96% of rank-2 probes, so join-output
+    * volume — not dot work — is the binding term; BandProbe measured the
+    * quartile key cutting candidate volume 2.13× at a 1.88× explode at
+    * 10⁷, against a 3.1× infinite-band floor — SCALE.md round 15).
+    * The explode must ride the SMALLER side. Output-invariant by the
+    * same superset argument as the prune: a band is skipped only when
+    * every score in it fails the tier-0 window, and tier-0 is a true
+    * upper bound of the exact cosine. [[BAND_PAD]] absorbs double
+    * rounding between the window arithmetic and the per-candidate
+    * filter.
     */
   private val BAND_PCTS = Seq(0.25d, 0.5d, 0.75d)
   private val BAND_PAD = 1e-12
@@ -910,9 +909,9 @@ object VectorOps {
     broadcast(assign.groupBy(col(key).as(as))
       .agg(percentile(col("s1"), array(BAND_PCTS.map(lit): _*)).as("qs")))
 
-  /** Member-side band of an anchor score against the joined `qs`
-    * boundaries: band b = (q_b, q_{b+1}], open below, with band 0
-    * unbounded below and band 3 unbounded above.
+  /** Band of an anchor score against the joined `qs` boundaries: band
+    * b = (q_b, q_{b+1}], open below, with band 0 unbounded below and
+    * band 3 unbounded above. Carried by the side that does NOT explode.
     */
   private def bandOf(sv: Column): Column =
     when(sv > col("qs").getItem(2), lit(3))
@@ -920,12 +919,13 @@ object VectorOps {
       .when(sv > col("qs").getItem(0), lit(1))
       .otherwise(lit(0))
 
-  /** Probe-side band list: the contiguous run of bands whose sv interval
-    * intersects the prober's keep window [lo, hi] = cos(θ_r ± acos(T)).
-    * minb = first band whose UPPER boundary reaches lo, maxb = last band
-    * whose LOWER boundary stays under hi; q1 ≤ q2 ≤ q3 and lo ≤ hi make
-    * minb ≤ maxb always (if minb > 0 then q_minb < lo ≤ hi, which forces
-    * maxb ≥ minb), so the sequence is never empty or descending.
+  /** Exploding-side band list: the contiguous run of bands whose score
+    * interval intersects this row's keep window [lo, hi] = cos(θ ±
+    * acos(T)). minb = first band whose UPPER boundary reaches lo, maxb =
+    * last band whose LOWER boundary stays under hi; q1 ≤ q2 ≤ q3 and
+    * lo ≤ hi make minb ≤ maxb always (if minb > 0 then q_minb < lo ≤ hi,
+    * which forces maxb ≥ minb), so the sequence is never empty or
+    * descending.
     */
   private def bandRange(sc: Column, sn: Column): Column = {
     val cw = ANN_T - BOUND_EPS
@@ -998,19 +998,28 @@ object VectorOps {
           col("ha"), col("ta"), col("na"),
           (col("s1") - col("pr").getField("mgn")).as("sr")))
       .withColumn("snr", sinFromCos(col("sr")))
-      // band-split (round 15, second cut): explode each probe row over
-      // exactly the member bands its keep window intersects, so the join
-      // below never materializes out-of-window candidates — the prune
-      // moves from the filter into the equi-join key ([[bandRange]]).
+      // band-split (round 15, second cut): the join keys on (cell, band)
+      // so out-of-window candidates are never materialized — the prune
+      // moves from the filter into the equi-join key. The probe side
+      // (n·(1 + τ-admitted regions) rows — ~6× the member side at the
+      // 10⁷ tier) carries its OWN band; the ~1.9×-row window explode
+      // ([[bandRange]], measured by BandProbe) rides the MEMBER side
+      // below, the ~6×-smaller relation — exploding the probe side
+      // instead was measured to inflate its sort-merge spill past the
+      // box's disk at 10⁷ (SCALE.md round 15).
       .join(bnd, Seq("pc"))
-      .select(col("pc"), bandRange(col("sr"), col("snr")).as("band"),
+      .select(col("pc"), bandOf(col("sr")).as("band"),
         col("u"), col("ha"), col("ta"), col("na"), col("sr"), col("snr"))
+    // member side: one row per (member, band its keep window intersects) —
+    // the window is symmetric in (sr, sv), so banding the probe score
+    // against the member's window is the same algebra as the reverse,
+    // with the explode on the smaller side.
     val home = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
         col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"),
         col("s1").as("sv"), sinFromCos(col("s1")).as("snv"))
       .join(bnd, Seq("pc"))
-      .withColumn("band", bandOf(col("sv")))
-      .drop("qs")
+      .select(col("pc"), bandRange(col("sv"), col("snv")).as("band"),
+        col("v"), col("hb"), col("tb"), col("nb"), col("sv"), col("snv"))
     // Tier-0 angular prune (round 15 — the derived width's cost lever,
     // output-invariant by algebra): sr·sv + sin·sin = cos(θ(u,c_pc) −
     // θ(v,c_pc)) exactly, and cos(u,v) ≤ cos(Δθ) by the spherical
@@ -1021,7 +1030,17 @@ object VectorOps {
     // superset-safety as tier 1's Cauchy–Schwarz bound), every oracle
     // twin replays unchanged, and the conjunct order makes the 16-d dot
     // short-circuit behind the scalar test.
-    val cand = probes.join(home, Seq("pc", "band")).filter(col("u") =!= col("v"))
+    // Deliberately UNHINTED (sort-merge), like [[rescoreExact]]: a
+    // SHUFFLE_HASH hint on the member side — attractive because it would
+    // skip sorting the ~6×-larger probe side — was MEASURED to fail the
+    // 10⁷ run outright ("There is not enough memory to build hash map",
+    // stage 137): 32 concurrent ~100 MB member-side builds demand
+    // execution memory the probe side's exchange is simultaneously
+    // draining, while sort-merge spills gracefully under the same
+    // pressure. The round-9 rescore lesson generalizes to every join
+    // that lives inside the pair-scan's memory envelope.
+    val cand = probes.join(home, Seq("pc", "band"))
+      .filter(col("u") =!= col("v"))
       .filter((col("sr") * col("sv") + col("snr") * col("snv") >=
           lit(ANN_T) - lit(BOUND_EPS)) &&
         (dot(col("ha"), col("hb")) + col("ta") * col("tb") >=

@@ -984,23 +984,22 @@ class QueryInvariantSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted duplicate pairs")
     assert(banded === exact,
       s"lost ${(exact -- banded).size}, gained ${(banded -- exact).size}")
-    // (b) real skipping: recompute each probe row's joined-band count from
-    // the quartile boundaries and the window algebra (the test-side twin of
-    // bandRange); on a random 64-d fixture the ±acos(0.999) ≈ 2.56° window
-    // is far narrower than a cell's angular extent, so many probe rows must
-    // join a strict subset of the bands.
+    // (b) real skipping: recompute each MEMBER row's joined-band count (the
+    // member side carries the window explode — the probe side, the larger
+    // relation, carries its own band) from the quartile boundaries and the
+    // window algebra (the test-side twin of bandRange); on a random 64-d
+    // fixture the ±acos(0.999) ≈ 2.56° window is far narrower than a cell's
+    // angular extent, so many member rows must join a strict subset of the
+    // bands.
     val bnd = assign.groupBy($"cell".as("pc"))
       .agg(percentile($"s1", array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
     val cw = 0.999 - 1e-9
     val sw = math.sqrt(1.0 - cw * cw)
-    val pr = assign.select($"cell".as("pc"), $"s1".as("sr"))
-      .unionByName(assign.select(explode($"probes").as("p"), $"s1")
-        .filter($"p.mgn" <= VectorOps.PROBE_MARGIN_T)
-        .select($"p.pc".as("pc"), ($"s1" - $"p.mgn").as("sr")))
+    val pr = assign.select($"cell".as("pc"), $"s1".as("sv"))
       .join(bnd, Seq("pc"))
-      .withColumn("snr", sqrt(greatest(lit(0.0), lit(1.0) - $"sr" * $"sr")))
-      .withColumn("lo", $"sr" * lit(cw) - $"snr" * lit(sw) - lit(1e-12))
-      .withColumn("hi", $"sr" * lit(cw) + $"snr" * lit(sw) + lit(1e-12))
+      .withColumn("snv", sqrt(greatest(lit(0.0), lit(1.0) - $"sv" * $"sv")))
+      .withColumn("lo", $"sv" * lit(cw) - $"snv" * lit(sw) - lit(1e-12))
+      .withColumn("hi", $"sv" * lit(cw) + $"snv" * lit(sw) + lit(1e-12))
       .withColumn("minb",
         when($"qs".getItem(0) >= $"lo", 0).when($"qs".getItem(1) >= $"lo", 1)
           .when($"qs".getItem(2) >= $"lo", 2).otherwise(3))
@@ -1011,7 +1010,7 @@ class QueryInvariantSpec extends SparkSpec {
       "the band window must never be empty (minb ≤ maxb by construction)")
     val narrowed = pr.filter($"maxb" - $"minb" < 3).count()
     assert(narrowed > 0,
-      "the window join must skip at least one band for some probe row")
+      "the window join must skip at least one band for some member row")
   }
 
   test("quantized rescore output equals the exact IVF output") {
