@@ -80,6 +80,10 @@ object Components {
     // so no reader can see a partial publish), the build lineage becomes
     // GC-able, and zero edge blocks pin the block manager
     val stagedFin: Option[org.apache.hadoop.fs.Path] = stageDir.map { dir =>
+      // branch line to stderr — same round-15 forensics discipline as
+      // CorpusCache.materialize: the probe log must say which edge-state
+      // mode a closure actually ran
+      System.err.println(s"[components] staged edges dir=$dir")
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(ses.sessionState.newHadoopConf())

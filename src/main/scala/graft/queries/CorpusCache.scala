@@ -133,7 +133,13 @@ object CorpusCache {
     */
   private def materialize(s: SparkSession, key: String, df: DataFrame): DataFrame =
     stageDir match {
+      // branch line to stderr (round 15): the 2×10⁸ probe ran twice with
+      // the env var VERIFIED in /proc yet its stage dir never received a
+      // publish — directory forensics could not name the branch taken, so
+      // every materialize now says which path it took and where. Probe
+      // logs only; the bench stdout contract is untouched.
       case Some(dir) =>
+        System.err.println(s"[corpuscache] staged publish key=$key dir=$dir")
         val safe = key.replaceAll("[^a-zA-Z0-9._-]", "_") +
           "_" + Integer.toHexString(key.hashCode)
         // process-random salt + monotone counter: unique across concurrent
@@ -157,8 +163,11 @@ object CorpusCache {
           .parquet(tmp.toString)
         require(fs.rename(tmp, fin),
           s"CorpusCache staged publish: rename $tmp -> $fin failed")
+        System.err.println(s"[corpuscache] staged publish DONE key=$key fin=$fin")
         s.read.parquet(fin.toString)
-      case None => df.persist()
+      case None =>
+        System.err.println(s"[corpuscache] persist (no stage dir) key=$key")
+        df.persist()
     }
 
   // Inner LinkedHashMap iterates in insertion order; getOrBuild re-inserts
