@@ -959,10 +959,23 @@ object VectorOps {
     * rescores exactly ([[rescoreExact]]).
     */
   private[queries] def probeVerifiedPairs(s: SparkSession, dir: String,
-      assign: DataFrame): DataFrame = {
+      assign: DataFrame, forceBands: Option[Boolean] = None): DataFrame = {
     val sk = sharedPairSketch(s, dir)
       .join(assign.select(col("vec_id"), col("cell"), col("s1"), col("probes")),
         Seq("vec_id"))
+    // The band key engages WITH the derived width (round 15): at the
+    // gate sfs the width law sits at its p = 2 floor, the probe volume
+    // is the round-13 two-region shape, and the band machinery (the
+    // percentile boundary pass, two broadcast joins, the ~1.9× member
+    // explode, a wider join key) is pure overhead — measured at sf0.1 as
+    // sim_ann_ivf_imi 6.0 → 12.9 s. Past the floor (p > 2, ≳1.6×10⁴
+    // corpus rows) the widened probe volume the key exists to cut is
+    // actually present. Plan-static from the memoized corpus count (the
+    // staticProbeWidth discipline); `forceBands` is the spec seam that
+    // pins BOTH shapes equal at the fixture sf.
+    val banded = forceBands.getOrElse(staticProbeWidth(
+      Preconditions.longOnce(s, s"rowcount:pairscan:$dir")(
+        augmented(s, dir).count()))._1 > 2)
     val bnd = bandBoundaries(assign, "cell", "pc")
     // Each probe row carries sr = the prober's cosine TO THE PROBED
     // CELL'S OWN FINE CENTROID — s1 for the home region, s1 − mgn_r for
@@ -978,7 +991,7 @@ object VectorOps {
     // escape (needed only if sr merely bounded cos(u, c_pc) from above)
     // is unnecessary, and each probe row's keepable members form a pure
     // sv WINDOW, which is what lets the join key on (cell, band).
-    val probes = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
+    val probesBase = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
         col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"),
         col("s1").as("sr"))
       // margin-gated extra regions (round 11; round 14 — derived width):
@@ -998,28 +1011,29 @@ object VectorOps {
           col("ha"), col("ta"), col("na"),
           (col("s1") - col("pr").getField("mgn")).as("sr")))
       .withColumn("snr", sinFromCos(col("sr")))
-      // band-split (round 15, second cut): the join keys on (cell, band)
-      // so out-of-window candidates are never materialized — the prune
-      // moves from the filter into the equi-join key. The probe side
-      // (n·(1 + τ-admitted regions) rows — ~6× the member side at the
-      // 10⁷ tier) carries its OWN band; the ~1.9×-row window explode
-      // ([[bandRange]], measured by BandProbe) rides the MEMBER side
-      // below, the ~6×-smaller relation — exploding the probe side
-      // instead was measured to inflate its sort-merge spill past the
-      // box's disk at 10⁷ (SCALE.md round 15).
-      .join(bnd, Seq("pc"))
-      .select(col("pc"), bandOf(col("sr")).as("band"),
-        col("u"), col("ha"), col("ta"), col("na"), col("sr"), col("snr"))
-    // member side: one row per (member, band its keep window intersects) —
-    // the window is symmetric in (sr, sv), so banding the probe score
-    // against the member's window is the same algebra as the reverse,
-    // with the explode on the smaller side.
-    val home = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
-        col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"),
-        col("s1").as("sv"), sinFromCos(col("s1")).as("snv"))
-      .join(bnd, Seq("pc"))
-      .select(col("pc"), bandRange(col("sv"), col("snv")).as("band"),
-        col("v"), col("hb"), col("tb"), col("nb"), col("sv"), col("snv"))
+    val homeBase = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
+      col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"),
+      col("s1").as("sv"), sinFromCos(col("s1")).as("snv"))
+    // band-split (round 15, second cut): the join keys on (cell, band)
+    // so out-of-window candidates are never materialized — the prune
+    // moves from the filter into the equi-join key. The probe side
+    // (n·(1 + τ-admitted regions) rows — ~6× the member side at the
+    // 10⁷ tier) carries its OWN band; the ~1.9×-row window explode
+    // ([[bandRange]], measured by BandProbe — the window is symmetric
+    // in (sr, sv), so either side can carry it) rides the MEMBER side,
+    // the ~6×-smaller relation — exploding the probe side instead was
+    // measured to inflate its sort-merge spill past the box's disk at
+    // 10⁷ (SCALE.md round 15).
+    val (probes, home, joinKeys) =
+      if (banded) (
+        probesBase.join(bnd, Seq("pc"))
+          .select(col("pc"), bandOf(col("sr")).as("band"),
+            col("u"), col("ha"), col("ta"), col("na"), col("sr"), col("snr")),
+        homeBase.join(bnd, Seq("pc"))
+          .select(col("pc"), bandRange(col("sv"), col("snv")).as("band"),
+            col("v"), col("hb"), col("tb"), col("nb"), col("sv"), col("snv")),
+        Seq("pc", "band"))
+      else (probesBase, homeBase, Seq("pc"))
     // Tier-0 angular prune (round 15 — the derived width's cost lever,
     // output-invariant by algebra): sr·sv + sin·sin = cos(θ(u,c_pc) −
     // θ(v,c_pc)) exactly, and cos(u,v) ≤ cos(Δθ) by the spherical
@@ -1039,7 +1053,7 @@ object VectorOps {
     // draining, while sort-merge spills gracefully under the same
     // pressure. The round-9 rescore lesson generalizes to every join
     // that lives inside the pair-scan's memory envelope.
-    val cand = probes.join(home, Seq("pc", "band"))
+    val cand = probes.join(home, joinKeys)
       .filter(col("u") =!= col("v"))
       .filter((col("sr") * col("sv") + col("snr") * col("snv") >=
           lit(ANN_T) - lit(BOUND_EPS)) &&

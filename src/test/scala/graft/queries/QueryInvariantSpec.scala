@@ -978,12 +978,19 @@ class QueryInvariantSpec extends SparkSpec {
       .select(least($"u", $"v").as("i"), greatest($"u", $"v").as("j"))
       .distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = VectorOps.probeVerifiedPairs(spark, dir, assign)
+    // both shapes of the width-gated switch (bands engage only past the
+    // p = 2 floor in production — forceBands pins each side at this sf)
+    val banded = VectorOps.probeVerifiedPairs(spark, dir, assign, Some(true))
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbanded = VectorOps.probeVerifiedPairs(spark, dir, assign, Some(false))
       .select("i", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain planted duplicate pairs")
     assert(banded === exact,
-      s"lost ${(exact -- banded).size}, gained ${(banded -- exact).size}")
+      s"banded: lost ${(exact -- banded).size}, gained ${(banded -- exact).size}")
+    assert(unbanded === exact,
+      s"unbanded: lost ${(exact -- unbanded).size}, gained ${(unbanded -- exact).size}")
     // (b) real skipping: recompute each MEMBER row's joined-band count (the
     // member side carries the window explode — the probe side, the larger
     // relation, carries its own band) from the quartile boundaries and the
