@@ -41,10 +41,11 @@ import org.apache.spark.storage.StorageLevel
   * object graph lingers until the next CorpusCache access anywhere.
   *
   * External eviction is survivable, not just tolerated: `getOrBuild`
-  * checks the entry's current storage level and re-persists one that a
-  * `clearCache()`/`unpersist()` dropped — otherwise every later lookup
-  * would silently return a never-again-cached plan and the self-join
-  * consumers would recompute the whole build chain once per join side.
+  * checks the entry's backing storage on every hit and REBUILDS one whose
+  * checkpoint blocks were externally released — otherwise every later
+  * lookup would return a dead single-leaf plan that can neither scan nor
+  * recompute. (`catalog.clearCache()` no longer touches these entries at
+  * all: checkpoint blocks live outside CacheManager.)
   */
 object CorpusCache {
 
@@ -111,7 +112,34 @@ object CorpusCache {
     java.util.UUID.randomUUID().toString.take(8)
 
   /** Materialize a built index: parquet-publish + read back under
-    * [[stageDir]], block-manager persist otherwise.
+    * [[stageDir]], LINEAGE-TRUNCATED block-manager checkpoint otherwise.
+    *
+    * Round 16 (bench attribution): the default branch used to
+    * `df.persist()` — correct, but the returned handle kept the FULL
+    * build-chain logical plan (the IMI assignment chain canonicalizes to
+    * hundreds of operators), and every consumer ACTION re-analyzes,
+    * re-optimizes and cache-matches that whole tree. Measured on the
+    * sf0.1 governance gates: a cached 77k-row candidate table cost
+    * 1.8-1.9 s PER SCAN in pure driver plan work (its sibling with a
+    * 3x-smaller build plan: 0.18 s), and the warm ann_recall gate spent
+    * ~5 s/evaluation re-processing plans of tables that were already in
+    * memory. `localCheckpoint` materializes the same rows and hands
+    * consumers a single-leaf LogicalRDD plan — the per-action cost
+    * becomes O(result), not O(build lineage). Serialized storage
+    * (MEMORY_AND_DISK_SER) keeps the pinned footprint near the old
+    * columnar cache's, not raw-row size. The trades, documented not
+    * hidden: (a) checkpoint blocks are pinned outside CacheManager, so
+    * `clearCache()` no longer evicts them (eviction goes through the
+    * entry's leaf RDD — see [[releaseEntry]]) and an externally released
+    * entry CANNOT recompute (lineage is gone): `getOrBuild` detects the
+    * dead leaf and REBUILDS a fresh entry instead of re-persisting the
+    * old instance; (b) like the staged branch (which has always written
+    * parquet under the lock), the build now executes inside the cache
+    * lock, so concurrent same-session builds of DIFFERENT keys
+    * serialize — the same-key race still builds exactly once
+    * (ConcurrencySoakSpec pins both); (c) on a cluster, localCheckpoint
+    * blocks die with their executor — the staged (parquet) mode is the
+    * fault-tolerant deployment path, exactly as its scaladoc says.
     *
     * The staged publish is RENAME-SWAPPED and PER-BUILD SALTED (round-15
     * verdict #6 / ADVICE): the write lands in a dot-prefixed `.tmp-` work
@@ -166,9 +194,50 @@ object CorpusCache {
         System.err.println(s"[corpuscache] staged publish DONE key=$key fin=$fin")
         s.read.parquet(fin.toString)
       case None =>
-        System.err.println(s"[corpuscache] persist (no stage dir) key=$key")
-        df.persist()
+        System.err.println(s"[corpuscache] checkpoint (no stage dir) key=$key")
+        // MEMORY_AND_DISK, not _SER: the checkpoint RDD's rows are already
+        // compact UnsafeRow binaries, so Java-serializing them costs CPU on
+        // every consumer scan for little space (measured: the flat-ADC scan
+        // over pqcodes regressed 3.4 -> 5.7 s under _SER, back under
+        // deserialized storage). Disk spill serializes either way.
+        // The checkpoint freezes the build plan's FINAL (AQE-coalesced)
+        // partition layout — often 1-4 partitions at gate scale. That is
+        // deliberate: measured across the full sweep, re-spreading narrow
+        // entries to defaultParallelism made nearly every index consumer
+        // SLOWER (32 near-empty tasks per stage over tables whose per-row
+        // work is trivial), and only the one consumer that amplifies each
+        // index row ~25× (the flat-ADC baseline scan) needed width — that
+        // consumer now re-spreads its own input where the amplification
+        // is known. At probe tiers (10⁷+) builds land wide on their own.
+        df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** The pinned RDD behind a checkpoint-truncated entry: the plan's single
+    * LogicalRDD leaf (staged entries are parquet scans — no such leaf).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** True while the entry's backing storage is still registered. A
+    * checkpointed entry whose leaf RDD was externally unpersisted is DEAD
+    * (truncated lineage cannot recompute) and must be rebuilt, never
+    * returned; staged entries are backed by files that live as long as the
+    * process and are always live.
+    */
+  private[queries] def entryLive(df: DataFrame): Boolean =
+    checkpointRdd(df).forall(_.getStorageLevel != StorageLevel.NONE)
+
+  /** Release an entry's storage: the CacheManager registration if any
+    * (legacy persist-shaped frames) and the checkpoint leaf's pinned
+    * blocks (the Components.releaseCheckpoint idiom). Async — eviction
+    * never waits on executor cleanup.
+    */
+  private[queries] def releaseEntry(df: DataFrame): Unit = {
+    df.unpersist(false)
+    checkpointRdd(df).foreach(_.unpersist(false))
+  }
 
   // Inner LinkedHashMap iterates in insertion order; getOrBuild re-inserts
   // on every hit, so head == least-recently-used. Strong keys AND strong
@@ -218,15 +287,16 @@ object CorpusCache {
       // drop the session from tracking; its next access rebuilds on demand
       while (cache.size > MaxSessions) {
         val (s0, e0) = cache.head
-        e0.valuesIterator.foreach(_.unpersist(false))
+        e0.valuesIterator.foreach(releaseEntry)
         cache.remove(s0)
       }
       val df = entries.get(key) match {
-        case Some(hit) =>
-          // staged entries are parquet scans — nothing to re-persist
-          if (stageDir.isEmpty && hit.storageLevel == StorageLevel.NONE) hit.persist()
-          hit
-        case None =>
+        // staged entries (no checkpoint leaf) are always live; a
+        // checkpointed entry whose blocks were externally released is
+        // dead — its truncated lineage cannot recompute — so the lookup
+        // REBUILDS a live entry rather than returning it
+        case Some(hit) if entryLive(hit) => hit
+        case _ =>
           materialize(s, key, build)
       }
       // LRU touch: re-insert at the tail (LinkedHashMap keeps first-insert
@@ -238,7 +308,7 @@ object CorpusCache {
       // needed again
       while (entries.size > MaxLive) {
         val (k0, df0) = entries.head
-        df0.unpersist(false)
+        releaseEntry(df0)
         entries.remove(k0)
       }
       df

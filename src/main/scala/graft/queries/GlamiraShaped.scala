@@ -285,6 +285,28 @@ object GlamiraShaped {
     fxShaped(s).select(col("fx_date"), lit("USD").as("base_code"),
       col("fx_ccy").as("currency_code"), col("usd_to_ccy"))
 
+  /** The e2e gate's ModelGraph over the shaped inputs — factored out of
+    * the query so the E2eProbe measurement main can time individual node
+    * materializations of the identical DAG.
+    */
+  private[queries] def e2eGraph(s: SparkSession, dir: String): graft.glamira.ModelGraph = {
+    val work = TempDirs.fresh("glamira_e2e")
+    // 7-mod-2 uids carry a MESSY raw email: stg_customer normalizes it
+    // into the dim, but mart_fact_order's raw-email equi-join (reference
+    // semantics: fl.email_address = dc.email_address_final) misses — the
+    // structural has_customer=false path at every sf (sf0.001 has no
+    // null-user events to miss on)
+    val email = when(col("user_id").isNull, lit(null).cast(StringType))
+      .when(col("user_id") % 7 === 2,
+        concat(lit("  U"), col("user_id"), lit("@Example.COM ")))
+      .otherwise(concat(lit("u"), col("user_id"), lit("@example.com")))
+    graft.glamira.Glamira.graph(s, work,
+      summaryShaped(s, dir, email),
+      productRawE2e(s, dir),
+      ipLocationRawE2e(s, dir),
+      fxSeedE2e(s))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "glamira_stg_order" -> ((s, dir) => stgOrderShaped(s, dir)
       .select(col("order_id"), col("time_stamp"), col("user_db_id"),
@@ -375,22 +397,7 @@ object GlamiraShaped {
     // key derivation; what this gate must prove is that the JOINS resolved
     // through those keys' lineage.
     "glamira_pipeline_e2e" -> ((s, dir) => {
-      val work = TempDirs.fresh("glamira_e2e")
-      // 7-mod-2 uids carry a MESSY raw email: stg_customer normalizes it
-      // into the dim, but mart_fact_order's raw-email equi-join (reference
-      // semantics: fl.email_address = dc.email_address_final) misses — the
-      // structural has_customer=false path at every sf (sf0.001 has no
-      // null-user events to miss on)
-      val email = when(col("user_id").isNull, lit(null).cast(StringType))
-        .when(col("user_id") % 7 === 2,
-          concat(lit("  U"), col("user_id"), lit("@Example.COM ")))
-        .otherwise(concat(lit("u"), col("user_id"), lit("@example.com")))
-      val g = graft.glamira.Glamira.graph(s, work,
-        summaryShaped(s, dir, email),
-        productRawE2e(s, dir),
-        ipLocationRawE2e(s, dir),
-        fxSeedE2e(s))
-      g.resolve("mart_fact_order").select(
+      e2eGraph(s, dir).resolve("mart_fact_order").select(
         col("order_id"), col("user_db_id"), col("time_stamp"),
         col("event_ts"), col("date").as("event_date"),
         col("product_id"), col("option_id"),

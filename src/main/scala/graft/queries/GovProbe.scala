@@ -16,7 +16,8 @@ object GovProbe {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "8388608")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -58,9 +59,17 @@ object GovProbe {
     // warm per-arm joins of the ann_recall gate
     val truth = VectorOps.sharedAnnTruth(s, dir)
     for (k <- Seq("candivf", "candimi", "candlsh", "candmp")) {
-      t(s"warm:join_$k")(truth.join(
-        CorpusCache.getOrBuild(s, s"$k:$dir")(sys.error("must be cached")),
-        Seq("i", "j"), "left").groupBy().count())
+      val cand = CorpusCache.getOrBuild(s, s"$k:$dir")(sys.error("must be cached"))
+      val cachedNodes = cand.queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+      println(s"[govprobe] $k rows=${cand.count()} level=${cand.storageLevel} " +
+        s"topIsCached=${cand.queryExecution.withCachedData.isInstanceOf[
+          org.apache.spark.sql.execution.columnar.InMemoryRelation]} imrNodes=${cachedNodes.size}")
+      t(s"warm:scan_$k")(cand)
+      t(s"warm:scan2_$k")(cand)
+      if (k == "candimi" || k == "candivf")
+        println(s"[govprobe-plan] $k:\n${cand.queryExecution.executedPlan.toString.take(4000)}")
+      t(s"warm:join_$k")(truth.join(cand, Seq("i", "j"), "left").groupBy().count())
     }
     t("warm:gate_again")(VectorOps.ivfQueries("ann_recall")(s, dir))
     s.stop()

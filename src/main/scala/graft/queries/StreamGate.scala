@@ -33,6 +33,39 @@ object StreamGate {
         s"streaming query '${q.name}' did not terminate within ${ms}ms")
     }
 
+  /** Isolated child session with shuffle/state partitions sized to the
+    * BACKLOG, not the session's scan parallelism — the stream_join
+    * discipline (round 15's ~9 s → ~3 s measurement) generalized to every
+    * stateful gate (round 16): a stateful operator's partition count is
+    * fixed at the query's first run from `spark.sql.shuffle.partitions`,
+    * and EVERY micro-batch then commits one state-store delta file per
+    * partition per stateful operator (per side, for joins) — at 32
+    * partitions that checkpoint I/O dominates these bounded-backlog gates.
+    * Partitions derive from the backlog's on-disk bytes at one
+    * advisory-size (64 MB, Spark's own default) state partition each,
+    * clamped to [8, the caller session's setting] — so the gate backlogs
+    * land at 8 while a 100 TB backlog keeps the deployment's configured
+    * parallelism. The override lives on an isolated child session (same
+    * context and cache, own conf): the source, transform, sink, AND the
+    * memory-sink temp view all resolve against the child, and the
+    * caller's session never observes the override.
+    */
+  private[queries] def streamSession(s: SparkSession, backlogDirs: String*): SparkSession = {
+    def dirBytes(p: String): Long = {
+      def rec(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(rec).sum).getOrElse(0L)
+        else f.length()
+      rec(new java.io.File(p))
+    }
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = backlogDirs.map(dirBytes).sum
+    val parts = math.max(8L,
+      math.min(bytes / (64L * 1024 * 1024) + 1, sessionParts.toLong)).toInt
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, dir) => {
       val in = TempDirs.fresh("stream_in")
@@ -46,9 +79,12 @@ object StreamGate {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
         .coalesce(1).write.mode("overwrite").parquet(in)
-      val q = EventStream.runAvailableNow(s, in, ckpt, "stream_window_agg_sink")
+      // backlog-derived state partitions on an isolated child session —
+      // see [[streamSession]]
+      val s2 = streamSession(s, in)
+      val q = EventStream.runAvailableNow(s2, in, ckpt, "stream_window_agg_sink")
       awaitOrFail(q, 300000)
-      s.table("stream_window_agg_sink")
+      s2.table("stream_window_agg_sink")
         .select(col("window_start"), col("event_type"), col("n"),
           col("sum_value").cast(DoubleType).as("sum_value"))
     }),
@@ -64,7 +100,6 @@ object StreamGate {
     // the result, leaving EXACTLY the batch sessionization of the real
     // events for the oracle to recompute declaratively.
     "stream_sessionize" -> ((s, dir) => {
-      import s.implicits._
       val in = TempDirs.fresh("sess_in")
       val ckpt = TempDirs.fresh("sess_ck")
       val base = Tables.events(s, dir)
@@ -82,7 +117,11 @@ object StreamGate {
       // event-time timeouts (round-4 advice; a huge watermark delay would
       // pin the batch but break that timeout path)
       base.unionByName(flush).coalesce(1).write.mode("overwrite").parquet(in)
-      val stream = s.readStream
+      // backlog-derived state partitions on an isolated child session —
+      // see [[streamSession]]
+      val s2 = streamSession(s, in)
+      import s2.implicits._
+      val stream = s2.readStream
         .schema("user_id LONG, ts TIMESTAMP, event_id LONG")
         .parquet(in)
         .withWatermark("ts", "0 seconds")
@@ -93,7 +132,7 @@ object StreamGate {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, 300000)
-      s.table("stream_sessionize_sink")
+      s2.table("stream_sessionize_sink")
         .filter(col("first_event_id") =!= Long.MaxValue)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("first_event_id"))
@@ -113,7 +152,10 @@ object StreamGate {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
         .write.mode("overwrite").parquet(in)
-      val q = s.readStream
+      // backlog-derived state partitions on an isolated child session —
+      // see [[streamSession]]
+      val s2 = streamSession(s, in)
+      val q = s2.readStream
         .schema("doc_id LONG, text STRING")
         .parquet(in)
         .select(md5(col("text")).as("content_hash"),
@@ -124,7 +166,7 @@ object StreamGate {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, 300000)
-      s.table("stream_dedup_sink")
+      s2.table("stream_dedup_sink")
     }),
 
     // The PRODUCTION streaming-dedup API under the gate:
@@ -140,7 +182,10 @@ object StreamGate {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
         .coalesce(1).write.mode("overwrite").parquet(in)
-      val q = s.readStream
+      // backlog-derived state partitions on an isolated child session —
+      // see [[streamSession]]
+      val s2 = streamSession(s, in)
+      val q = s2.readStream
         .schema("doc_id LONG, text STRING")
         .parquet(in)
         .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
@@ -154,7 +199,7 @@ object StreamGate {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, 300000)
-      s.table("stream_dedup_watermark_sink")
+      s2.table("stream_dedup_watermark_sink")
     }),
 
     // foreachBatch — THE production sink API for arbitrary destinations:
@@ -177,7 +222,9 @@ object StreamGate {
             .agg(count(lit(1)).as("n"),
               sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sv"))
             .write.mode("overwrite").parquet(s"$out/batch_$batchId")
-      val q = s.readStream
+      // backlog-derived shuffle partitions for the per-epoch batch work —
+      // see [[streamSession]]
+      val q = streamSession(s, in).readStream
         .schema("event_id LONG, event_type STRING, value DOUBLE")
         .parquet(in)
         .writeStream
@@ -246,7 +293,9 @@ object StreamGate {
           require(tmpF.renameTo(tgtF), s"cdc target swap failed: $tmpF -> $tgt")
           del(oldF)
         }
-      val q = s.readStream
+      // backlog-derived shuffle partitions for the per-epoch merge work —
+      // see [[streamSession]]
+      val q = streamSession(s, in).readStream
         .schema("o_orderkey LONG, o_custkey LONG, price DOUBLE, batch STRING, ver LONG")
         .option("maxFilesPerTrigger", 1)
         .parquet(in)
@@ -271,9 +320,12 @@ object StreamGate {
       Tables.events(s, dir).filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"))
         .coalesce(1).write.mode("overwrite").parquet(in)
-      val dim = Tables.customer(s, dir)
+      // stateless, but the per-batch planning still pays per-partition task
+      // overhead — same backlog-derived child session as the stateful gates
+      val s2 = streamSession(s, in)
+      val dim = Tables.customer(s2, dir)
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val q = s.readStream
+      val q = s2.readStream
         .schema("event_id LONG, user_id LONG")
         .parquet(in)
         .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
@@ -283,7 +335,7 @@ object StreamGate {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, 300000)
-      s.table("stream_static_join_sink")
+      s2.table("stream_static_join_sink")
     }),
 
     // Stream-stream interval join (attribution): each purchase joins the
@@ -304,10 +356,11 @@ object StreamGate {
         .coalesce(1).write.mode("overwrite").parquet(in)
       // The whole streaming pipeline lives on an isolated child session
       // (s2 below): the stream source, the join, and the memory sink all
-      // resolve against s2, so the 8-partition override scopes to this
-      // query alone.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // resolve against s2, so the partition override scopes to this query
+      // alone. Round 16: the fixed 8 became the shared backlog-derived
+      // [[streamSession]] (same 8 at gate scale, deployment parallelism at
+      // volume).
+      val s2 = streamSession(s, in)
       def src() = s2.readStream
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
         .parquet(in)

@@ -1128,7 +1128,15 @@ object VectorOps {
     val (fgrp, coarseNE) = coarseCodebook(s, dir, nk)
     fgrp.write.mode("overwrite").parquet(s"$cb/fgrp")
     coarseNE.write.mode("overwrite").parquet(s"$cb/coarse")
-    val q = s.readStream.schema(arrivals.schema).parquet(in)
+    // backlog-derived shuffle partitions for the per-batch assignment work
+    // (broadcast joins + argmax aggregates) — see [[StreamGate.streamSession]].
+    // The child session has a FRESH function registry, so the vec_* temp
+    // functions must be re-registered on it (the micro-batch execution
+    // clones ITS state, not the parent's).
+    val s2 = StreamGate.streamSession(s, in)
+    register(s2)
+    val q = s2.readStream
+      .schema(arrivals.schema).parquet(in)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
@@ -1828,7 +1836,14 @@ object VectorOps {
         .select(col("q"), col("m"), col("code"), col("ld2"))
       val w = Window.partitionBy(col("q"))
         .orderBy(col("adist").asc, col("neighbor_id").asc)
-      codes.join(broadcast(lut), Seq("m", "code"))
+      // spread the code table across cores before the ~|anchors|× LUT
+      // expansion + decimal aggregation: the cached entry's own layout is
+      // 1-4 AQE-coalesced partitions (right for its size), but THIS
+      // consumer amplifies every code row, so it re-spreads its input
+      // where the amplification factor is known (measured: 5.7 s -> 2.0 s
+      // at sf0.1 on the 1-partition entry)
+      codes.repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(lut), Seq("m", "code"))
         .filter(col("q") =!= col("vec_id"))
         .groupBy(col("q"), col("vec_id"))
         .agg(sum(col("ld2").cast(DecimalType(28, 12))).as("adist"))

@@ -4,12 +4,14 @@ import graft.SparkSpec
 import org.apache.spark.storage.StorageLevel
 
 /** Pins the shared-materialization contract the ANN/dedup index reuse is
-  * built on: one persisted table per (session, key), identical reference
-  * on every lookup, distinct entries per key.
+  * built on: one materialized table per (session, key), identical
+  * reference on every lookup, distinct entries per key — and (round 16)
+  * the LINEAGE-TRUNCATION property: an entry's plan is a single
+  * checkpoint leaf, so consumer actions never re-process the build chain.
   */
 class CorpusCacheSpec extends SparkSpec {
 
-  test("same (session, key) returns the same persisted table; keys are distinct") {
+  test("same (session, key) returns the same live table; keys are distinct") {
     import spark.implicits._
     var builds = 0
     def build(n: Int) = { builds += 1; Seq(n).toDF("v") }
@@ -19,17 +21,28 @@ class CorpusCacheSpec extends SparkSpec {
     assert(a1 eq a2, "second lookup must return the cached instance, not rebuild")
     assert(builds == 2, s"one build per key, got $builds")
     assert(b.head().getInt(0) == 2)
-    assert(a1.storageLevel != StorageLevel.NONE, "cached table must be persisted")
+    assert(CorpusCache.entryLive(a1), "cached table must be backed by live storage")
+    // the round-16 plan contract: consumers see ONE leaf, not the build
+    // chain — the per-action driver cost that motivated the checkpoint
+    assert(a1.queryExecution.analyzed.collectLeaves().size == 1 &&
+      a1.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD],
+      s"entry plan must be a single checkpoint leaf:\n${a1.queryExecution.analyzed}")
   }
 
-  test("an externally evicted entry is re-persisted on the next lookup") {
+  test("an externally released entry is rebuilt live on the next lookup") {
     import spark.implicits._
-    val df = CorpusCache.getOrBuild(spark, "cc-spec:evict")(Seq(3).toDF("v"))
-    df.unpersist(true)
-    assert(df.storageLevel == StorageLevel.NONE)
-    val again = CorpusCache.getOrBuild(spark, "cc-spec:evict")(Seq(3).toDF("v"))
-    assert(again.storageLevel != StorageLevel.NONE,
-      "lookup after clearCache/unpersist must re-persist, not return a dead entry")
+    var builds = 0
+    def build() = { builds += 1; Seq(3).toDF("v") }
+    val df = CorpusCache.getOrBuild(spark, "cc-spec:evict")(build())
+    // external release of the checkpoint blocks (a truncated plan cannot
+    // recompute, so the entry is now DEAD, not merely cold)
+    CorpusCache.releaseEntry(df)
+    assert(!CorpusCache.entryLive(df))
+    val again = CorpusCache.getOrBuild(spark, "cc-spec:evict")(build())
+    assert(builds == 2, "lookup after external release must rebuild")
+    assert(CorpusCache.entryLive(again) && again.head().getInt(0) == 3,
+      "lookup after external release must return a live rebuilt entry, not a dead plan")
   }
 
   test("live entries stay bounded at MaxLive across corpus dirs; LRU evicts first") {
@@ -51,13 +64,14 @@ class CorpusCacheSpec extends SparkSpec {
     (0 until 8).foreach(i => assert(!keys("cc-bound:" + i), s"cc-bound:$i should be evicted"))
     (n - CorpusCache.MaxLive until n).foreach(i =>
       assert(keys("cc-bound:" + i), s"cc-bound:$i should be live"))
-    // evicted tables were unpersisted (async — storage level cleared on the plan)
-    assert(dfs.head.storageLevel == StorageLevel.NONE,
-      "LRU-evicted entry must be unpersisted")
-    // a re-demand of an evicted key REBUILDS correctly and re-persists
+    // evicted tables were released (async — the checkpoint leaf's storage
+    // level clears)
+    assert(!CorpusCache.entryLive(dfs.head),
+      "LRU-evicted entry must have its checkpoint blocks released")
+    // a re-demand of an evicted key REBUILDS correctly and is live
     val back = CorpusCache.getOrBuild(s2, "cc-bound:0")(Seq(0).toDF("v"))
     assert(back.head().getInt(0) == 0)
-    assert(back.storageLevel != StorageLevel.NONE)
+    assert(CorpusCache.entryLive(back))
     assert(CorpusCache.liveCount(s2) <= CorpusCache.MaxLive)
   }
 
@@ -201,20 +215,20 @@ class CorpusCacheSpec extends SparkSpec {
     (0 until 4).foreach { i =>
       assert(CorpusCache.liveCount(sessions(i)) == 0,
         s"session $i should have been evicted from tracking")
-      assert(dfs(i).storageLevel == StorageLevel.NONE,
-        s"session $i's entry must be unpersisted on session eviction")
+      assert(!CorpusCache.entryLive(dfs(i)),
+        s"session $i's entry must be released on session eviction")
     }
-    // the most recent MaxSessions survive with their entries persisted
+    // the most recent MaxSessions survive with their entries live
     (4 until sessions.size).foreach { i =>
       assert(CorpusCache.liveKeys(sessions(i))(s"cc-sess:$i"),
         s"session $i should still be tracked")
-      assert(dfs(i).storageLevel != StorageLevel.NONE)
+      assert(CorpusCache.entryLive(dfs(i)))
     }
     // an evicted session that comes back simply rebuilds on demand
     val s0 = sessions.head
     import s0.implicits._
     val back = CorpusCache.getOrBuild(s0, "cc-sess:0")(Seq(910000).toDF("v"))
-    assert(back.head().getInt(0) == 910000 && back.storageLevel != StorageLevel.NONE)
+    assert(back.head().getInt(0) == 910000 && CorpusCache.entryLive(back))
   }
 
   test("a new session builds its own entry for the same key") {
