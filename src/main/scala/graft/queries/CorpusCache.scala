@@ -40,12 +40,12 @@ import org.apache.spark.storage.StorageLevel
   * pins in that shared context either way — and a stopped session's
   * object graph lingers until the next CorpusCache access anywhere.
   *
-  * External eviction is survivable, not just tolerated: `getOrBuild`
-  * checks the entry's backing storage on every hit and REBUILDS one whose
-  * checkpoint blocks were externally released — otherwise every later
-  * lookup would return a dead single-leaf plan that can neither scan nor
-  * recompute. (`catalog.clearCache()` no longer touches these entries at
-  * all: checkpoint blocks live outside CacheManager.)
+  * External eviction is survivable, not just tolerated: a
+  * `catalog.clearCache()` drops only the entry's COLUMNAR layer, which
+  * `getOrBuild` re-persists lazily from the disk checkpoint underneath;
+  * an external release of the checkpoint RDD itself leaves a dead
+  * single-leaf plan that can neither scan nor recompute, so `getOrBuild`
+  * detects the dead leaf and REBUILDS a fresh entry.
   */
 object CorpusCache {
 
@@ -125,14 +125,14 @@ object CorpusCache {
     * ~5 s/evaluation re-processing plans of tables that were already in
     * memory. `localCheckpoint` materializes the same rows and hands
     * consumers a single-leaf LogicalRDD plan — the per-action cost
-    * becomes O(result), not O(build lineage). Serialized storage
-    * (MEMORY_AND_DISK_SER) keeps the pinned footprint near the old
-    * columnar cache's, not raw-row size. The trades, documented not
-    * hidden: (a) checkpoint blocks are pinned outside CacheManager, so
-    * `clearCache()` no longer evicts them (eviction goes through the
-    * entry's leaf RDD — see [[releaseEntry]]) and an externally released
-    * entry CANNOT recompute (lineage is gone): `getOrBuild` detects the
-    * dead leaf and REBUILDS a fresh entry instead of re-persisting the
+    * becomes O(result), not O(build lineage). The in-memory
+    * representation stays the COLUMNAR cache (a persist layered over the
+    * disk checkpoint — see the branch comment below for the measured
+    * reason). The trades, documented not hidden: (a) the checkpoint
+    * blocks are pinned outside CacheManager, so eviction goes through the
+    * entry's leaf RDD (see [[releaseEntry]]) and an externally released
+    * checkpoint CANNOT recompute (lineage is gone): `getOrBuild` detects
+    * the dead leaf and REBUILDS a fresh entry instead of returning the
     * old instance; (b) like the staged branch (which has always written
     * parquet under the lock), the build now executes inside the cache
     * lock, so concurrent same-session builds of DIFFERENT keys
@@ -195,11 +195,24 @@ object CorpusCache {
         s.read.parquet(fin.toString)
       case None =>
         System.err.println(s"[corpuscache] checkpoint (no stage dir) key=$key")
-        // MEMORY_AND_DISK, not _SER: the checkpoint RDD's rows are already
-        // compact UnsafeRow binaries, so Java-serializing them costs CPU on
-        // every consumer scan for little space (measured: the flat-ADC scan
-        // over pqcodes regressed 3.4 -> 5.7 s under _SER, back under
-        // deserialized storage). Disk spill serializes either way.
+        // Two layers, each carrying one property:
+        //  - a DISK_ONLY eager localCheckpoint TRUNCATES THE LINEAGE (the
+        //    round-16 driver-CPU fix) while holding ZERO heap — an
+        //    in-memory deserialized checkpoint was measured to kill the
+        //    10⁷ probe tier outright at the default 8 GB heap (GC-locker
+        //    thrash → executor death at 159 s into the IMI search; the
+        //    columnar persist of rounds ≤15 ran the same tier in ~10² s),
+        //    because row-object storage costs several× the columnar
+        //    buffers' bytes;
+        //  - a columnar persist() OVER the checkpoint leaf restores the
+        //    compact, spill-graceful in-memory representation consumers
+        //    scan (exactly rounds ≤15's memory profile) — but its cached
+        //    plan is now the single LogicalRDD leaf, so the per-action
+        //    plan-processing cost stays O(1) in build-lineage size.
+        // An externally clearCache()d entry re-persists lazily from the
+        // disk checkpoint (the pre-round-16 contract, restored); only a
+        // release of the checkpoint RDD itself kills the entry, and
+        // getOrBuild detects that and rebuilds.
         // The checkpoint freezes the build plan's FINAL (AQE-coalesced)
         // partition layout — often 1-4 partitions at gate scale. That is
         // deliberate: measured across the full sweep, re-spreading narrow
@@ -209,7 +222,8 @@ object CorpusCache {
         // index row ~25× (the flat-ADC baseline scan) needed width — that
         // consumer now re-spreads its own input where the amplification
         // is known. At probe tiers (10⁷+) builds land wide on their own.
-        df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+        val cp = df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+        cp.persist()
     }
 
   /** The pinned RDD behind a checkpoint-truncated entry: the plan's single
@@ -292,10 +306,15 @@ object CorpusCache {
       }
       val df = entries.get(key) match {
         // staged entries (no checkpoint leaf) are always live; a
-        // checkpointed entry whose blocks were externally released is
-        // dead — its truncated lineage cannot recompute — so the lookup
-        // REBUILDS a live entry rather than returning it
-        case Some(hit) if entryLive(hit) => hit
+        // checkpointed entry whose CHECKPOINT blocks were externally
+        // released is dead — its truncated lineage cannot recompute — so
+        // the lookup REBUILDS a live entry rather than returning it. A
+        // live entry whose COLUMNAR layer was clearCache()d re-persists
+        // lazily from the disk checkpoint (the pre-round-16 contract).
+        case Some(hit) if entryLive(hit) =>
+          if (stageDir.isEmpty && hit.storageLevel == StorageLevel.NONE &&
+              checkpointRdd(hit).nonEmpty) hit.persist()
+          hit
         case _ =>
           materialize(s, key, build)
       }

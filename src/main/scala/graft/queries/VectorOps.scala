@@ -155,6 +155,19 @@ object VectorOps {
   private val HEAD_D = 16
   private val BOUND_EPS = 1e-9
 
+  /** Numeric slack of the NORMALIZED tier-1 bound (round 16): the sketch
+    * stores x_i/‖x‖ rounded to f32, so dot(ha, hb) differs from the true
+    * dot(a_h/‖a‖, b_h/‖b‖) by at most Σ(|δa_i||b_i| + |a_i||δb_i| +
+    * |δa_i||δb_i|) ≤ 2·2⁻²⁴·Σ|a_i b_i|/(‖a‖‖b‖) + O(2⁻⁴⁸) ≤ 2⁻²³ by
+    * Cauchy–Schwarz (unit-normalized sides) ≈ 1.2·10⁻⁷; the tail-norm
+    * product and the double-fold sum add ≤ ~10⁻¹³. 10⁻⁶ is ~8× headroom
+    * — and, like [[BOUND_EPS]], it only ever ADMITS a sliver of extra
+    * candidates for the exact rescore to discard: the bound stays a true
+    * upper bound of the exact cosine, so the verified output is
+    * bit-identical (QueryInvariantSpec pins the equality).
+    */
+  private[queries] val SKETCH_EPS = 1e-6
+
   /** Exact double dot product, sequential fold (oracle-portable). Uses the
     * native FloatVecDot expression (graft.expr) — bit-identical to the
     * zip_with/aggregate spelling but allocation-free inside codegen, which
@@ -796,21 +809,27 @@ object VectorOps {
 
   /** Per-vector pair-scoring sketch over the augmented corpus, built ONCE
     * per (session, corpus) like the assignment tables it joins: the first
-    * [[HEAD_D]] components exact (`hd`), the 48-d tail compressed to its
-    * norm (`tn`), plus the full norm (`nrm`) — ~3.5× fewer bytes per row
-    * than the 64-float vector. This is what the within-cell candidate
-    * joins shuffle INSTEAD of full vectors (round 9 measured the pair-join
-    * shuffle at ~5.6 GB/side against ~5 GB execution memory at n=10⁷ —
-    * single-box spill); the full-precision vectors are touched again only
-    * by the per-survivor rescore fetch. See [[cellVerifiedPairs]].
+    * [[HEAD_D]] components (`hd`) and the 48-d tail compressed to its
+    * norm (`tn`), BOTH PRE-DIVIDED by the vector's own norm (round 16 —
+    * the round-15 verdict's #3 exchange-row lever): with the sketch
+    * normalized at build time, the tier-1 bound needs NO norm column at
+    * all (dot(ha,hb) + ta·tb ≥ T − ε directly bounds the cosine), so the
+    * pair-scan exchanges stop carrying `nrm` on every row of both sides
+    * — one 8-byte slot per row off the measured EXCHANGE+SORT wall of
+    * the 10⁷ probe tier and the 2×10⁸ flagship's scratch peak. The
+    * division quantizes each head component once to f32
+    * ([[SKETCH_EPS]] carries the rounding into the bound, keeping it
+    * provably superset-safe); the full-precision vectors are touched
+    * again only by the per-survivor rescore fetch. See
+    * [[cellVerifiedPairs]].
     */
   private[queries] def sharedPairSketch(s: SparkSession, dir: String): DataFrame =
     CorpusCache.getOrBuild(s, s"pairsketch:$dir") {
       val e = withNorm(augmented(s, dir))
       e.select(col("vec_id"),
-        slice(col("embedding"), 1, HEAD_D).as("hd"),
-        norm(slice(col("embedding"), HEAD_D + 1, RP_D - HEAD_D)).as("tn"),
-        col("nrm"))
+        transform(slice(col("embedding"), 1, HEAD_D),
+          x => (x.cast(DoubleType) / col("nrm")).cast(FloatType)).as("hd"),
+        (norm(slice(col("embedding"), HEAD_D + 1, RP_D - HEAD_D)) / col("nrm")).as("tn"))
     }
 
   /** Two-tier within-cell pair verification shared by every IVF pair
@@ -847,23 +866,45 @@ object VectorOps {
     // this scan's measured wall (the 10⁸ flagship ran 414 s end-to-end,
     // r13). The probe search, whose probe side dwarfs its member side,
     // is where the band key pays — see [[probeVerifiedPairs]].
+    // round 16 (the exchange-row narrowing): each side carries ONLY
+    // (ck, id, hd, tn, s1) — the sine column and the norm column are gone
+    // from the corpus-sized self-join exchange (two 8-byte slots per row
+    // per side). The sine is folded into the SQUARED spelling of the
+    // angular test below; the norm is pre-divided into the sketch.
     val sk = sharedPairSketch(s, dir)
       .join(assign.select(col("vec_id"), col("ck"), col("s1")), Seq("vec_id"))
-      .withColumn("sn", sinFromCos(col("s1")))
     val l = sk.select(col("ck"), col("vec_id").as("i"), col("hd").as("ha"),
-      col("tn").as("ta"), col("nrm").as("na"), col("s1").as("su"), col("sn").as("snu"))
+      col("tn").as("ta"), col("s1").as("su"))
     val r = sk.select(col("ck"), col("vec_id").as("j"), col("hd").as("hb"),
-      col("tn").as("tb"), col("nrm").as("nb"), col("s1").as("sv"), col("sn").as("snv"))
+      col("tn").as("tb"), col("s1").as("sv"))
     val cand = l.join(r, Seq("ck")).filter(col("i") < col("j"))
       // tier 0 (scalar, short-circuits tier 1's 16-d dot): cos(u,v) ≤
       // cos(θ_u − θ_v) by the angular triangle inequality around the
-      // shared cell anchor — prune when even that ceiling misses ANN_T
-      .filter((col("su") * col("sv") + col("snu") * col("snv") >=
-          lit(ANN_T) - lit(BOUND_EPS)) &&
+      // shared cell anchor — prune when even that ceiling misses ANN_T.
+      // SQUARED spelling (round 16): with d = T − ε − su·sv, the keep
+      // test su·sv + sin_u·sin_v ≥ T − ε is equivalently d ≤ 0 ∨
+      // (1−su²)(1−sv²) ≥ d² (both sides non-negative when d > 0) — the
+      // sines never need computing, so they never need CARRYING across
+      // the exchange either
+      .filter(angularKeep(col("su"), col("sv")) &&
         (dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
-          lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS)))
+          lit(ANN_T) - lit(SKETCH_EPS)))
       .select(col("i"), col("j"))
     rescoreExact(s, dir, cand)
+  }
+
+  /** The tier-0 angular keep test in sine-free squared form: with
+    * d = ANN_T − BOUND_EPS − su·sv, keep iff d ≤ 0 or (1−su²)(1−sv²) ≥
+    * d² − BOUND_EPS. Equivalent-superset of the sqrt spelling (squaring
+    * is monotone on the non-negative branch; the trailing BOUND_EPS
+    * absorbs the squared form's own double rounding — it can only ADMIT,
+    * never prune, relative to the real-arithmetic predicate), and free of
+    * per-candidate sqrt AND of per-row carried sine columns.
+    */
+  private def angularKeep(su: Column, sv: Column): Column = {
+    val d = lit(ANN_T) - lit(BOUND_EPS) - su * sv
+    (d <= lit(0.0d)) ||
+      ((lit(1.0d) - su * su) * (lit(1.0d) - sv * sv) >= d * d - lit(BOUND_EPS))
   }
 
   /** sin of an angle given its cosine, clamped against float overshoot
@@ -991,8 +1032,14 @@ object VectorOps {
     // escape (needed only if sr merely bounded cos(u, c_pc) from above)
     // is unnecessary, and each probe row's keepable members form a pure
     // sv WINDOW, which is what lets the join key on (cell, band).
+    // round 16 (the exchange-row narrowing): probe rows carry ONLY
+    // (pc[, band], u, ha, ta, sr) — the sine and norm slots are gone from
+    // the ~6×-larger probe side of the measured EXCHANGE+SORT wall (the
+    // sine via [[angularKeep]]'s squared spelling, the norm via the
+    // pre-normalized sketch); the member side drops the same two slots,
+    // computing its band-window sine inline BEFORE the exchange.
     val probesBase = sk.select(col("cell").as("pc"), col("vec_id").as("u"),
-        col("hd").as("ha"), col("tn").as("ta"), col("nrm").as("na"),
+        col("hd").as("ha"), col("tn").as("ta"),
         col("s1").as("sr"))
       // margin-gated extra regions (round 11; round 14 — derived width):
       // the chain's ranked probe list carries each region's cross-region
@@ -1005,15 +1052,14 @@ object VectorOps {
       // branch is untouched), so probe recall ≥ nprobe=1 recall holds.
       .unionByName(sk
         .select(col("vec_id").as("u"), col("hd").as("ha"), col("tn").as("ta"),
-          col("nrm").as("na"), col("s1"), explode(col("probes")).as("pr"))
+          col("s1"), explode(col("probes")).as("pr"))
         .filter(col("pr").getField("mgn") <= lit(PROBE_MARGIN_T))
         .select(col("pr").getField("pc").as("pc"), col("u"),
-          col("ha"), col("ta"), col("na"),
+          col("ha"), col("ta"),
           (col("s1") - col("pr").getField("mgn")).as("sr")))
-      .withColumn("snr", sinFromCos(col("sr")))
     val homeBase = sk.select(col("cell").as("pc"), col("vec_id").as("v"),
-      col("hd").as("hb"), col("tn").as("tb"), col("nrm").as("nb"),
-      col("s1").as("sv"), sinFromCos(col("s1")).as("snv"))
+      col("hd").as("hb"), col("tn").as("tb"),
+      col("s1").as("sv"))
     // band-split (round 15, second cut): the join keys on (cell, band)
     // so out-of-window candidates are never materialized — the prune
     // moves from the filter into the equi-join key. The probe side
@@ -1028,10 +1074,13 @@ object VectorOps {
       if (banded) (
         probesBase.join(bnd, Seq("pc"))
           .select(col("pc"), bandOf(col("sr")).as("band"),
-            col("u"), col("ha"), col("ta"), col("na"), col("sr"), col("snr")),
+            col("u"), col("ha"), col("ta"), col("sr")),
         homeBase.join(bnd, Seq("pc"))
-          .select(col("pc"), bandRange(col("sv"), col("snv")).as("band"),
-            col("v"), col("hb"), col("tb"), col("nb"), col("sv"), col("snv")),
+          // the window sine is computed INLINE here, once per member row
+          // before the exchange — it feeds only the band explode and is
+          // never carried
+          .select(col("pc"), bandRange(col("sv"), sinFromCos(col("sv"))).as("band"),
+            col("v"), col("hb"), col("tb"), col("sv")),
         Seq("pc", "band"))
       else (probesBase, homeBase, Seq("pc"))
     // Tier-0 angular prune (round 15 — the derived width's cost lever,
@@ -1055,10 +1104,9 @@ object VectorOps {
     // that lives inside the pair-scan's memory envelope.
     val cand = probes.join(home, joinKeys)
       .filter(col("u") =!= col("v"))
-      .filter((col("sr") * col("sv") + col("snr") * col("snv") >=
-          lit(ANN_T) - lit(BOUND_EPS)) &&
+      .filter(angularKeep(col("sr"), col("sv")) &&
         (dot(col("ha"), col("hb")) + col("ta") * col("tb") >=
-          lit(ANN_T) * col("na") * col("nb") - lit(BOUND_EPS)))
+          lit(ANN_T) - lit(SKETCH_EPS)))
       .select(least(col("u"), col("v")).as("i"),
         greatest(col("u"), col("v")).as("j"))
       .distinct()

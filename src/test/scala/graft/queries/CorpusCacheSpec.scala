@@ -186,8 +186,11 @@ class CorpusCacheSpec extends SparkSpec {
     }
     System.gc()
     val after = s2.sparkContext.getPersistentRDDs.size
-    assert(after - before <= CorpusCache.MaxLive,
-      s"persistent RDDs grew by ${after - before} > ${CorpusCache.MaxLive}: " +
+    // 2 persistent RDDs per live entry since round 16: the disk
+    // checkpoint leaf + the columnar cache layered over it — both must be
+    // released by eviction, so the residual bound is 2×MaxLive
+    assert(after - before <= 2 * CorpusCache.MaxLive,
+      s"persistent RDDs grew by ${after - before} > ${2 * CorpusCache.MaxLive}: " +
         "an LRU eviction lost track of its entry (orphaned cached blocks)")
     assert(CorpusCache.liveCount(s2) <= CorpusCache.MaxLive)
   }

@@ -255,6 +255,19 @@ class QueryInvariantSpec extends SparkSpec {
         ((pb(k)._1.toInt, pb(k)._2.toInt)),
         s"static/Column probe-width law drift at n=$n (k=$k)")
     }
+    // round 16 (round-15 verdict #6): the band key's ENGAGEMENT boundary,
+    // pinned via the same predicate probeVerifiedPairs evaluates
+    // (staticProbeWidth(n)._1 > 2) — a regression flipping the gate
+    // constant would either silently re-tax every gate sf with the band
+    // machinery or silently un-band the 10⁷ tier. p = 2 holds through
+    // k = 16 (n ≤ 16·1024) and the first count past that floor derives
+    // p = 3.
+    assert(VectorOps.staticProbeWidth(4000L)._1 === 2,
+      "gate-sf corpus counts must NOT engage the band key")
+    assert(VectorOps.staticProbeWidth(16384L)._1 === 2,
+      "the p = 2 floor holds through exactly k = 16")
+    assert(VectorOps.staticProbeWidth(16385L)._1 === 3,
+      "the first count past the floor must engage the band key")
     // the emitted probe list obeys the law on the fixture: ranked extra
     // regions only (home excluded), margins non-negative and monotone,
     // and rank-2 consistent with the compat columns (cell2, mgn)
@@ -371,14 +384,16 @@ class QueryInvariantSpec extends SparkSpec {
     val sk = VectorOps.sharedPairSketch(spark, dir)
       .join(assign.select(col("vec_id"), col("ck")), Seq("vec_id"))
     val ll = sk.select(col("ck"), col("vec_id").as("i"), col("hd").as("ha"),
-      col("tn").as("ta"), col("nrm").as("na"))
+      col("tn").as("ta"))
     val rr = sk.select(col("ck"), col("vec_id").as("j"), col("hd").as("hb"),
-      col("tn").as("tb"), col("nrm").as("nb"))
+      col("tn").as("tb"))
     val candAll = ll.join(rr, Seq("ck")).filter(col("i") < col("j"))
     val total = candAll.count()
+    // round 16: the sketch is pre-normalized, so the bound replay is the
+    // norm-free spelling with the f32-quantization slack (SKETCH_EPS)
     val survivors = candAll
       .filter(vdot(col("ha"), col("hb")) + col("ta") * col("tb") >=
-        lit(0.999) * col("na") * col("nb") - lit(1e-9))
+        lit(0.999) - lit(VectorOps.SKETCH_EPS))
       .count()
     assert(survivors >= exact.size, "the bound must be a superset of the exact pairs")
     // Non-vacuous pruning, with the bound DERIVED from the fixture rather
